@@ -1,0 +1,167 @@
+"""Functional JAX BERT encoder (the compute path of the framework).
+
+TPU-first design notes:
+
+- **Stacked layer params + ``lax.scan``**: all transformer layers live in one
+  pytree with a leading layer axis; the forward pass scans over it. One
+  layer's HLO is compiled once regardless of depth — compile time is O(1) in
+  ``num_layers`` and XLA still pipelines HBM→VMEM weight streaming.
+- **bf16 compute, f32 islands**: matmuls run in bfloat16 on the MXU with f32
+  accumulation (``preferred_element_type``); LayerNorm statistics and softmax
+  run in f32 for numerical parity with the fp32 reference.
+- **Static shapes**: inputs are always (batch, max_len) padded+masked, so a
+  single compiled executable serves every request size.
+
+Semantics match the HF ``BertModel`` the reference runs through ONNX
+(embeddings.rs:48-52): post-LN residual blocks, erf GELU, learned position
+embeddings, additive attention mask. Pooling (masked mean + L2) matches
+embeddings.rs:61-91 exactly.
+
+Parameter tree (all arrays; layer-stacked leaves have leading dim L):
+
+    embeddings:
+      word (V,H)  position (P,H)  token_type (2,H)  ln_scale (H,)  ln_bias (H,)
+    layers:
+      q_w k_w v_w (L,H,H)      q_b k_b v_b (L,H)
+      attn_out_w (L,H,H)       attn_out_b (L,H)
+      attn_ln_scale attn_ln_bias (L,H)
+      ffn_in_w (L,H,I)         ffn_in_b (L,I)
+      ffn_out_w (L,I,H)        ffn_out_b (L,H)
+      ffn_ln_scale ffn_ln_bias (L,H)
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from sema_tpu.models.registry import EncoderSpec
+
+Params = Dict[str, Any]
+
+LN_EPS = 1e-12  # BERT default
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
+    """LayerNorm with f32 statistics regardless of compute dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + LN_EPS)
+    out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _attention(x: jax.Array, layer: Params, mask_bias: jax.Array,
+               num_heads: int) -> jax.Array:
+    """Multi-head self-attention, f32 softmax, MXU matmuls."""
+    b, s, h = x.shape
+    hd = h // num_heads
+
+    def proj(w, bias):
+        y = jnp.einsum("bsh,hd->bsd", x, w.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        y = (y + bias.astype(jnp.float32)).astype(x.dtype)
+        return y.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
+
+    q = proj(layer["q_w"], layer["q_b"])
+    k = proj(layer["k_w"], layer["k_b"])
+    v = proj(layer["v_w"], layer["v_b"])
+
+    scores = jnp.einsum("bnqd,bnkd->bnqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(hd) + mask_bias  # (b,1,1,s) broadcast
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+
+    ctx = jnp.einsum("bnqk,bnkd->bnqd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
+
+    out = jnp.einsum("bsh,hd->bsd", ctx, layer["attn_out_w"].astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    out = out + layer["attn_out_b"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _ffn(x: jax.Array, layer: Params) -> jax.Array:
+    up = jnp.einsum("bsh,hi->bsi", x, layer["ffn_in_w"].astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+    up = jax.nn.gelu(up + layer["ffn_in_b"].astype(jnp.float32),
+                     approximate=False)
+    down = jnp.einsum("bsi,ih->bsh", up.astype(x.dtype),
+                      layer["ffn_out_w"].astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+    down = down + layer["ffn_out_b"].astype(jnp.float32)
+    return down.astype(x.dtype)
+
+
+def encoder_layer(x: jax.Array, layer: Params, mask_bias: jax.Array,
+                  num_heads: int) -> jax.Array:
+    """One post-LN BERT block."""
+    attn = _attention(x, layer, mask_bias, num_heads)
+    x = layer_norm(x + attn, layer["attn_ln_scale"], layer["attn_ln_bias"])
+    ffn = _ffn(x, layer)
+    x = layer_norm(x + ffn, layer["ffn_ln_scale"], layer["ffn_ln_bias"])
+    return x
+
+
+def bert_forward(params: Params, input_ids: jax.Array,
+                 attention_mask: jax.Array, spec: EncoderSpec,
+                 compute_dtype=jnp.float32) -> jax.Array:
+    """Token-level hidden states (batch, seq, hidden).
+
+    ``input_ids``/``attention_mask`` are (batch, seq) int32. token_type_ids
+    are all zeros, as the reference feeds them (embeddings.rs:37,51).
+    """
+    emb = params["embeddings"]
+    seq = input_ids.shape[1]
+    positions = jnp.arange(seq, dtype=jnp.int32)[None, :]
+
+    x = (emb["word"][input_ids]
+         + emb["position"][positions]
+         + emb["token_type"][jnp.zeros_like(input_ids)])
+    x = layer_norm(x.astype(jnp.float32), emb["ln_scale"], emb["ln_bias"])
+    x = x.astype(compute_dtype)
+
+    # additive mask: 0 where attended, -1e9 (f32) where padded
+    mask_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
+
+    def body(h, layer):
+        return encoder_layer(h, layer, mask_bias, spec.num_heads), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return x
+
+
+def mean_pool_normalize(hidden: jax.Array, attention_mask: jax.Array) -> jax.Array:
+    """Masked mean pool + L2 normalize — exact semantics of the reference's
+    ``mean_pool`` (embeddings.rs:61-91): sum token vectors weighted by the
+    mask, divide by mask sum (guarded), divide by L2 norm (guarded).
+    Always computed in f32."""
+    h = hidden.astype(jnp.float32)
+    m = attention_mask.astype(jnp.float32)[..., None]
+    summed = jnp.sum(h * m, axis=-2)
+    mask_sum = jnp.sum(m, axis=-2)
+    pooled = jnp.where(mask_sum > 0, summed / jnp.maximum(mask_sum, 1e-9), summed)
+    norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+    return jnp.where(norm > 0, pooled / jnp.maximum(norm, 1e-12), pooled)
+
+
+def cls_pool_normalize(hidden: jax.Array, attention_mask: jax.Array) -> jax.Array:
+    """[CLS] pooling + L2 normalize (bge-family convention)."""
+    pooled = hidden[..., 0, :].astype(jnp.float32)
+    norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+    return jnp.where(norm > 0, pooled / jnp.maximum(norm, 1e-12), pooled)
+
+
+def embed(params: Params, input_ids: jax.Array, attention_mask: jax.Array,
+          spec: EncoderSpec, compute_dtype=jnp.float32) -> jax.Array:
+    """Full sentence-embedding forward: encoder → pooling → L2. (batch, dim) f32."""
+    hidden = bert_forward(params, input_ids, attention_mask, spec, compute_dtype)
+    if spec.pooling == "cls":
+        return cls_pool_normalize(hidden, attention_mask)
+    return mean_pool_normalize(hidden, attention_mask)

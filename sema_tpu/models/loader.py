@@ -1,0 +1,158 @@
+"""Encoder weight loading.
+
+Sources, in priority order (the reference downloads from the HF hub on every
+run, embeddings.rs:93-103; we are offline-first):
+
+1. an explicit local directory containing ``model.safetensors``
+   (``model.weights_path`` config / ``--weights`` flag);
+2. the local HF hub cache (``~/.cache/huggingface/hub``), if the model was
+   ever downloaded on this machine;
+3. deterministic random initialization (keeps the full pipeline runnable —
+   and benchmarkable, FLOPs are identical — without network access).
+
+HF BertModel parameter names are mapped onto the stacked layer pytree of
+:mod:`sema_tpu.models.bert`; torch ``Linear.weight`` is (out, in) and is
+transposed to (in, out) on load.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sema_tpu.models.registry import EncoderSpec
+
+# (our leaf name, HF suffix, transpose?)
+_LAYER_LEAVES = [
+    ("q_w", "attention.self.query.weight", True),
+    ("q_b", "attention.self.query.bias", False),
+    ("k_w", "attention.self.key.weight", True),
+    ("k_b", "attention.self.key.bias", False),
+    ("v_w", "attention.self.value.weight", True),
+    ("v_b", "attention.self.value.bias", False),
+    ("attn_out_w", "attention.output.dense.weight", True),
+    ("attn_out_b", "attention.output.dense.bias", False),
+    ("attn_ln_scale", "attention.output.LayerNorm.weight", False),
+    ("attn_ln_bias", "attention.output.LayerNorm.bias", False),
+    ("ffn_in_w", "intermediate.dense.weight", True),
+    ("ffn_in_b", "intermediate.dense.bias", False),
+    ("ffn_out_w", "output.dense.weight", True),
+    ("ffn_out_b", "output.dense.bias", False),
+    ("ffn_ln_scale", "output.LayerNorm.weight", False),
+    ("ffn_ln_bias", "output.LayerNorm.bias", False),
+]
+
+_EMB_LEAVES = [
+    ("word", "embeddings.word_embeddings.weight"),
+    ("position", "embeddings.position_embeddings.weight"),
+    ("token_type", "embeddings.token_type_embeddings.weight"),
+    ("ln_scale", "embeddings.LayerNorm.weight"),
+    ("ln_bias", "embeddings.LayerNorm.bias"),
+]
+
+
+def from_hf_tensors(tensors: Dict[str, np.ndarray], spec: EncoderSpec,
+                    param_dtype=jnp.float32) -> Dict[str, Any]:
+    """Convert a flat {hf_name: array} dict into the stacked param pytree.
+
+    Accepts names with or without the ``bert.`` / ``encoder.`` model prefix
+    used by various exports.
+    """
+    def get(name: str) -> np.ndarray:
+        for prefix in ("", "bert.", "model.", "encoder."):
+            key = prefix + name
+            if key in tensors:
+                return np.asarray(tensors[key])
+        raise KeyError(f"missing weight {name!r}; have e.g. "
+                       f"{sorted(tensors)[:5]}")
+
+    emb = {ours: jnp.asarray(get(hf), dtype=param_dtype)
+           for ours, hf in _EMB_LEAVES}
+
+    layers: Dict[str, list] = {ours: [] for ours, _, _ in _LAYER_LEAVES}
+    for i in range(spec.num_layers):
+        for ours, suffix, transpose in _LAYER_LEAVES:
+            w = get(f"encoder.layer.{i}.{suffix}")
+            if transpose:
+                w = w.T
+            layers[ours].append(np.asarray(w))
+    stacked = {k: jnp.asarray(np.stack(v), dtype=param_dtype)
+               for k, v in layers.items()}
+    return {"embeddings": emb, "layers": stacked}
+
+
+def random_params(spec: EncoderSpec, seed: int = 0,
+                  param_dtype=jnp.float32) -> Dict[str, Any]:
+    """Deterministic BERT-style initialization (trunc-normal σ=0.02)."""
+    key = jax.random.key(seed)
+    ks = iter(jax.random.split(key, 8 + 16))
+
+    def init(k, shape):
+        return (jax.random.truncated_normal(k, -2.0, 2.0, shape) * 0.02
+                ).astype(param_dtype)
+
+    H, I, L = spec.hidden_size, spec.intermediate_size, spec.num_layers
+    emb = {
+        "word": init(next(ks), (spec.vocab_size, H)),
+        "position": init(next(ks), (spec.max_position_embeddings, H)),
+        "token_type": init(next(ks), (2, H)),
+        "ln_scale": jnp.ones((H,), param_dtype),
+        "ln_bias": jnp.zeros((H,), param_dtype),
+    }
+    shapes = {
+        "q_w": (L, H, H), "q_b": (L, H), "k_w": (L, H, H), "k_b": (L, H),
+        "v_w": (L, H, H), "v_b": (L, H),
+        "attn_out_w": (L, H, H), "attn_out_b": (L, H),
+        "ffn_in_w": (L, H, I), "ffn_in_b": (L, I),
+        "ffn_out_w": (L, I, H), "ffn_out_b": (L, H),
+    }
+    layers = {name: init(next(ks), shape) for name, shape in shapes.items()}
+    layers.update({
+        "attn_ln_scale": jnp.ones((L, H), param_dtype),
+        "attn_ln_bias": jnp.zeros((L, H), param_dtype),
+        "ffn_ln_scale": jnp.ones((L, H), param_dtype),
+        "ffn_ln_bias": jnp.zeros((L, H), param_dtype),
+    })
+    return {"embeddings": emb, "layers": layers}
+
+
+def _hf_cache_snapshot(repo: str) -> Optional[Path]:
+    """Locate a cached HF snapshot dir for ``repo`` without network access."""
+    cache = Path(os.environ.get(
+        "HF_HOME", Path.home() / ".cache" / "huggingface")) / "hub"
+    repo_dir = cache / ("models--" + repo.replace("/", "--"))
+    snaps = repo_dir / "snapshots"
+    if not snaps.is_dir():
+        return None
+    candidates = sorted(snaps.iterdir(), key=lambda p: p.stat().st_mtime)
+    return candidates[-1] if candidates else None
+
+
+def load_params(spec: EncoderSpec, weights_path: str = "",
+                param_dtype=jnp.float32, seed: int = 0):
+    """Resolve weights per the priority order above.
+
+    Returns (params, source) where source ∈ {"local", "hf-cache", "random"}.
+    """
+    from safetensors.numpy import load_file
+
+    if weights_path:
+        st = Path(weights_path)
+        if st.is_dir():
+            st = st / "model.safetensors"
+        if not st.exists():
+            raise FileNotFoundError(f"weights not found: {st}")
+        return from_hf_tensors(load_file(st), spec, param_dtype), "local"
+
+    if spec.hf_repo:
+        snap = _hf_cache_snapshot(spec.hf_repo)
+        if snap is not None and (snap / "model.safetensors").exists():
+            tensors = load_file(snap / "model.safetensors")
+            return from_hf_tensors(tensors, spec, param_dtype), "hf-cache"
+
+    return random_params(spec, seed=seed, param_dtype=param_dtype), "random"

@@ -1,0 +1,242 @@
+"""BERT WordPiece tokenization (uncased).
+
+The reference tokenizes with the HF ``tokenizers`` Rust crate using
+MiniLM's tokenizer.json (embeddings.rs:20,27-33), then hard-truncates the
+encoded ids to MAX_LENGTH with zero-padding (embeddings.rs:35-46 — note the
+truncation simply drops tokens past the limit; the final token need not be
+[SEP]). We reproduce those exact semantics.
+
+Implementation:
+
+- :class:`WordPieceTokenizer` — a from-scratch implementation of BERT
+  uncased tokenization: text cleaning, CJK isolation, lowercasing + accent
+  stripping (NFD), punctuation splitting, then greedy longest-match-first
+  WordPiece with ``##`` continuations. Matches HF's BertWordPieceTokenizer
+  output token-for-token (verified in tests against the installed
+  ``tokenizers`` package over a shared vocab).
+- :class:`HashTokenizer` — offline fallback when no vocab file exists
+  (zero-egress environments): words map to stable hash buckets over the
+  model's vocab range. Not WordPiece, but deterministic and collision-sparse;
+  keeps the full pipeline and benchmarks runnable.
+
+Vocab resolution mirrors weight resolution (models/loader.py): explicit path
+→ HF cache → fallback.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import unicodedata
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+PAD, UNK, CLS, SEP, MASK = "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"
+
+
+def _is_whitespace(ch: str) -> bool:
+    if ch in (" ", "\t", "\n", "\r"):
+        return True
+    return unicodedata.category(ch) == "Zs"
+
+
+def _is_control(ch: str) -> bool:
+    if ch in ("\t", "\n", "\r"):
+        return False
+    return unicodedata.category(ch).startswith("C")
+
+
+def _is_punctuation(ch: str) -> bool:
+    cp = ord(ch)
+    # ASCII ranges BERT treats as punctuation even where unicodedata doesn't
+    if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def _is_cjk(cp: int) -> bool:
+    return (
+        0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F)
+
+
+def basic_tokenize(text: str, lowercase: bool = True) -> List[str]:
+    """BERT BasicTokenizer: clean, CJK-isolate, lowercase+strip accents,
+    split punctuation, split whitespace."""
+    cleaned = []
+    for ch in text:
+        cp = ord(ch)
+        if cp == 0 or cp == 0xFFFD or _is_control(ch):
+            continue
+        if _is_whitespace(ch):
+            cleaned.append(" ")
+        elif _is_cjk(cp):
+            cleaned.extend((" ", ch, " "))
+        else:
+            cleaned.append(ch)
+    tokens = "".join(cleaned).split()
+
+    out: List[str] = []
+    for token in tokens:
+        if lowercase:
+            token = token.lower()
+            token = "".join(c for c in unicodedata.normalize("NFD", token)
+                            if unicodedata.category(c) != "Mn")
+        # split on punctuation
+        current: List[str] = []
+        for ch in token:
+            if _is_punctuation(ch):
+                if current:
+                    out.append("".join(current))
+                    current = []
+                out.append(ch)
+            else:
+                current.append(ch)
+        if current:
+            out.append("".join(current))
+    return out
+
+
+class WordPieceTokenizer:
+    """Greedy longest-match-first WordPiece over a BERT vocab."""
+
+    def __init__(self, vocab: Dict[str, int], lowercase: bool = True,
+                 max_word_chars: int = 100):
+        self.vocab = vocab
+        self.lowercase = lowercase
+        self.max_word_chars = max_word_chars
+        self.pad_id = vocab.get(PAD, 0)
+        self.unk_id = vocab.get(UNK, 1)
+        self.cls_id = vocab.get(CLS, 2)
+        self.sep_id = vocab.get(SEP, 3)
+
+    @classmethod
+    def from_vocab_file(cls, path: Path | str, **kw) -> "WordPieceTokenizer":
+        vocab = {}
+        with open(path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                vocab[line.rstrip("\n")] = i
+        return cls(vocab, **kw)
+
+    @classmethod
+    def from_tokenizer_json(cls, path: Path | str) -> "WordPieceTokenizer":
+        data = json.loads(Path(path).read_text(encoding="utf-8"))
+        vocab = data["model"]["vocab"]
+        lowercase = True
+        norm = data.get("normalizer") or {}
+        if norm.get("type") == "BertNormalizer":
+            lowercase = norm.get("lowercase", True)
+        return cls(vocab, lowercase=lowercase)
+
+    def wordpiece(self, word: str) -> List[str]:
+        if len(word) > self.max_word_chars:
+            return [UNK]
+        pieces: List[str] = []
+        start = 0
+        n = len(word)
+        while start < n:
+            end = n
+            piece = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    piece = sub
+                    break
+                end -= 1
+            if piece is None:
+                return [UNK]
+            pieces.append(piece)
+            start = end
+        return pieces
+
+    def tokenize(self, text: str) -> List[str]:
+        out: List[str] = []
+        for word in basic_tokenize(text, self.lowercase):
+            out.extend(self.wordpiece(word))
+        return out
+
+    def encode(self, text: str, max_length: int) -> Tuple[List[int], List[int]]:
+        """ids + attention mask, specials added then hard-truncated to
+        ``max_length`` (parity with embeddings.rs:40-46)."""
+        ids = [self.cls_id]
+        ids += [self.vocab.get(t, self.unk_id) for t in self.tokenize(text)]
+        ids.append(self.sep_id)
+        ids = ids[:max_length]
+        mask = [1] * len(ids)
+        return ids, mask
+
+
+class HashTokenizer:
+    """Vocab-free fallback: stable hash buckets over the model vocab range.
+
+    Used only when neither an explicit vocab nor an HF cache entry exists.
+    Reserves ids 0-4 for specials, buckets words into [5, vocab_size).
+    """
+
+    def __init__(self, vocab_size: int, lowercase: bool = True):
+        self.vocab_size = vocab_size
+        self.lowercase = lowercase
+        self.pad_id, self.unk_id, self.cls_id, self.sep_id = 0, 1, 2, 3
+        self._reserved = 5
+
+    def _bucket(self, word: str) -> int:
+        h = int.from_bytes(
+            hashlib.blake2s(word.encode("utf-8"), digest_size=8).digest(), "big")
+        return self._reserved + h % (self.vocab_size - self._reserved)
+
+    def tokenize(self, text: str) -> List[str]:
+        return basic_tokenize(text, self.lowercase)
+
+    def encode(self, text: str, max_length: int) -> Tuple[List[int], List[int]]:
+        ids = [self.cls_id]
+        ids += [self._bucket(w) for w in self.tokenize(text)]
+        ids.append(self.sep_id)
+        ids = ids[:max_length]
+        return ids, [1] * len(ids)
+
+
+def _hf_cache_snapshot(repo: str) -> Optional[Path]:
+    cache = Path(os.environ.get(
+        "HF_HOME", Path.home() / ".cache" / "huggingface")) / "hub"
+    snaps = cache / ("models--" + repo.replace("/", "--")) / "snapshots"
+    if not snaps.is_dir():
+        return None
+    candidates = sorted(snaps.iterdir(), key=lambda p: p.stat().st_mtime)
+    return candidates[-1] if candidates else None
+
+
+def load_tokenizer(vocab_size: int, hf_repo: str = "",
+                   path: str = ""):
+    """Resolve a tokenizer: explicit path → HF cache → hash fallback.
+
+    Returns (tokenizer, source) with source ∈ {"local", "hf-cache", "hash"}.
+    """
+    if path:
+        p = Path(path)
+        if p.is_dir():
+            for name in ("tokenizer.json", "vocab.txt"):
+                if (p / name).exists():
+                    p = p / name
+                    break
+        if p.name == "tokenizer.json":
+            return WordPieceTokenizer.from_tokenizer_json(p), "local"
+        if p.exists():
+            return WordPieceTokenizer.from_vocab_file(p), "local"
+        raise FileNotFoundError(f"tokenizer not found: {path}")
+
+    if hf_repo:
+        snap = _hf_cache_snapshot(hf_repo)
+        if snap is not None:
+            if (snap / "tokenizer.json").exists():
+                return (WordPieceTokenizer.from_tokenizer_json(
+                    snap / "tokenizer.json"), "hf-cache")
+            if (snap / "vocab.txt").exists():
+                return (WordPieceTokenizer.from_vocab_file(
+                    snap / "vocab.txt"), "hf-cache")
+
+    return HashTokenizer(vocab_size), "hash"

@@ -1,0 +1,104 @@
+"""WordPiece tokenizer: unit behavior + parity vs the HF tokenizers package."""
+
+import numpy as np
+import pytest
+
+from sema_tpu.tokenizer.wordpiece import (
+    HashTokenizer, WordPieceTokenizer, basic_tokenize,
+)
+
+VOCAB_TOKENS = [
+    "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+    "the", "quick", "brown", "fox", "jump", "##s", "##ed", "##ing",
+    "over", "lazy", "dog", "hello", "world", "un", "##aff", "##able",
+    "!", ",", ".", "'", "a", "b", "c", "##a", "##b", "##c", "1", "##1",
+]
+VOCAB = {t: i for i, t in enumerate(VOCAB_TOKENS)}
+
+
+@pytest.fixture()
+def tok():
+    return WordPieceTokenizer(VOCAB)
+
+
+def test_basic_tokenize_lowercase_punct():
+    assert basic_tokenize("Hello, World!") == ["hello", ",", "world", "!"]
+
+
+def test_basic_tokenize_accents():
+    assert basic_tokenize("Héllo") == ["hello"]
+
+
+def test_basic_tokenize_cjk_isolation():
+    assert basic_tokenize("ab中国cd") == ["ab", "中", "国", "cd"]
+
+
+def test_basic_tokenize_control_chars_removed():
+    assert basic_tokenize("a\x00b\x1fc") == ["abc"]
+
+
+def test_wordpiece_greedy_longest_match(tok):
+    assert tok.tokenize("jumps") == ["jump", "##s"]
+    assert tok.tokenize("unaffable") == ["un", "##aff", "##able"]
+
+
+def test_wordpiece_unk_for_unmatchable(tok):
+    assert tok.tokenize("zzz") == ["[UNK]"]
+
+
+def test_wordpiece_long_word_unk():
+    t = WordPieceTokenizer(VOCAB, max_word_chars=5)
+    assert t.tokenize("aaaaaa") == ["[UNK]"]
+
+
+def test_encode_adds_specials_and_truncates(tok):
+    ids, mask = tok.encode("the quick brown fox", max_length=4)
+    # [CLS] the quick brown — hard truncation, no trailing [SEP]
+    # (parity with embeddings.rs:40-46 .take(MAX_LENGTH))
+    assert ids == [VOCAB["[CLS]"], VOCAB["the"], VOCAB["quick"], VOCAB["brown"]]
+    assert mask == [1, 1, 1, 1]
+
+
+def test_encode_short_has_cls_sep(tok):
+    ids, mask = tok.encode("hello world", max_length=16)
+    assert ids[0] == VOCAB["[CLS]"]
+    assert ids[-1] == VOCAB["[SEP]"]
+    assert len(ids) == 4 and len(mask) == 4
+
+
+def test_hash_tokenizer_deterministic_and_in_range():
+    t = HashTokenizer(vocab_size=1000)
+    ids1, _ = t.encode("some words here", max_length=32)
+    ids2, _ = t.encode("some words here", max_length=32)
+    assert ids1 == ids2
+    assert all(0 <= i < 1000 for i in ids1)
+    ids3, _ = t.encode("different words", max_length=32)
+    assert ids1 != ids3
+
+
+def test_parity_vs_hf_tokenizers():
+    """Token-for-token parity with the Rust tokenizers crate the reference
+    uses (embeddings.rs:20), over a shared vocab."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, models, normalizers, pre_tokenizers
+
+    hf = Tokenizer(models.WordPiece(VOCAB, unk_token="[UNK]",
+                                    max_input_chars_per_word=100))
+    hf.normalizer = normalizers.BertNormalizer(lowercase=True)
+    hf.pre_tokenizer = pre_tokenizers.BertPreTokenizer()
+
+    ours = WordPieceTokenizer(VOCAB)
+    cases = [
+        "The quick brown fox jumps over the lazy dog!",
+        "Hello, World! It's unaffable.",
+        "MiXeD CaSe WiTh AcCeNtS: héllo wörld",
+        "numbers 111 and letters abc",
+        "punct...everywhere,,,ok?!",
+        "中国 words mixed 世界",
+        "   leading and   trailing   spaces   ",
+        "tabs\tand\nnewlines\r\nmixed",
+    ]
+    for text in cases:
+        got = ours.tokenize(text)
+        want = hf.encode(text).tokens
+        assert got == want, f"{text!r}: {got} != {want}"
