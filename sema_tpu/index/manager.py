@@ -1,0 +1,135 @@
+"""Incremental index orchestration (≙ reference ``StorageManager``,
+src/storage/mod.rs).
+
+Behavior parity:
+
+- per-file xxh3-128 hash checked against the stored manifest: unchanged →
+  skip; changed → remove old chunks from BOTH indexes, then re-index; new →
+  index (storage/mod.rs:30-52);
+- chunks go to both the vector and text index; a failure in one is warned,
+  not fatal (storage/mod.rs:96-110);
+- the file hash is recorded only AFTER its chunks are indexed, so a crash
+  mid-index retries that file next run (storage/mod.rs:62-66);
+- search dispatch: queries starting with ``'`` hit the text index (prefix
+  stripped; empty rest → no results), everything else is semantic
+  (storage/mod.rs:112-125);
+- ``close()`` commits the text index (storage/mod.rs:127-131).
+
+Improvement over the reference: semantic scores are real cosine
+similarities instead of the constant 1.0 (storage/mod.rs:123 discards them),
+and embedding runs batched on TPU instead of per-chunk on CPU.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sema_tpu.index.text_index import TextIndex
+from sema_tpu.index.vector_store import VectorStore
+from sema_tpu.ingest.chunker import process_files
+from sema_tpu.ingest.hashing import hash_file
+from sema_tpu.types import Chunk
+from sema_tpu.utils.metrics import Metrics, null_metrics
+
+
+class IndexManager:
+    def __init__(self, data_dir: Path | str, encoder, store_dtype: str = "bfloat16",
+                 mesh=None, index_axis: str = "index",
+                 metrics: Optional[Metrics] = None):
+        self.encoder = encoder
+        self.metrics = metrics or null_metrics()
+        self.vector_store = VectorStore(
+            data_dir, dim=encoder.spec.dim, model=encoder.spec.name,
+            store_dtype=store_dtype, mesh=mesh, index_axis=index_axis)
+        self.text_index = TextIndex(data_dir)
+
+    # -- indexing ------------------------------------------------------------
+
+    def process_and_index_files(
+            self, files: Sequence[Path],
+            progress: Optional[Callable[[str, int, int], None]] = None,
+    ) -> int:
+        """Index changed/new files; returns number of chunks indexed
+        (storage/mod.rs:30-70 returns the same count)."""
+        files_to_process: List[Path] = []
+        with self.metrics.timer("hash_check"):
+            for f in files:
+                f = Path(f)
+                if not f.exists():
+                    continue
+                try:
+                    current = hash_file(f)
+                except OSError:
+                    continue
+                stored = self.vector_store.get_file_hash(f)
+                if stored == current:
+                    continue
+                if stored is not None:
+                    self.vector_store.remove_file_chunks(f)
+                    self.text_index.remove_file_chunks(f)
+                files_to_process.append(f)
+
+        if progress:
+            progress("chunking", 0, len(files_to_process))
+        with self.metrics.timer("chunk"):
+            chunks = process_files(files_to_process)
+        self.metrics.count("chunks", len(chunks))
+
+        if chunks:
+            self.index_chunks(chunks, progress=progress)
+            with self.metrics.timer("hash_update"):
+                for f in files_to_process:
+                    try:
+                        self.vector_store.update_file_hash(f, hash_file(f))
+                    except OSError:
+                        pass
+                self.vector_store.save_file_hashes()
+        return len(chunks)
+
+    def index_chunks(self, chunks: Sequence[Chunk],
+                     progress=None) -> None:
+        """Dual-index a chunk batch; failures are warnings
+        (storage/mod.rs:96-110)."""
+        try:
+            with self.metrics.timer("embed"):
+                emb_progress = (
+                    (lambda done, total: progress("embedding", done, total))
+                    if progress else None)
+                embeddings = self.encoder.encode_texts(
+                    [c.content for c in chunks], progress=emb_progress)
+            with self.metrics.timer("vector_write"):
+                self.vector_store.add_chunks(chunks, embeddings)
+        except Exception as e:  # noqa: BLE001 — parity: warn, keep going
+            print(f"Warning: Failed to index chunks in vector store: {e}",
+                  file=sys.stderr)
+        try:
+            with self.metrics.timer("text_write"):
+                self.text_index.index_chunks(chunks)
+        except Exception as e:  # noqa: BLE001
+            print(f"Warning: Failed to index chunks in text index: {e}",
+                  file=sys.stderr)
+
+    # -- search ----------------------------------------------------------------
+
+    def search(self, query: str, limit: int) -> List[Tuple[Chunk, float]]:
+        """Dispatch on the ``'`` prefix (storage/mod.rs:112-125)."""
+        query = query.strip()
+        if query.startswith("'"):
+            stripped = query[1:]
+            if not stripped:
+                return []
+            with self.metrics.timer("text_search"):
+                return self.text_index.search(stripped, limit)
+        with self.metrics.timer("embed_query"):
+            qvec = self.encoder.encode_query(query)
+        with self.metrics.timer("vector_search"):
+            return self.vector_store.search(qvec, limit)
+
+    def close(self) -> None:
+        self.text_index.close()
+        self.vector_store.close()

@@ -1,0 +1,353 @@
+"""Device-resident embedding store with segment persistence.
+
+Replaces the reference's LanceDB table (src/storage/lance_indexer.rs): chunk
+vectors live as one (N, d) bf16 matrix in device HBM (sharded over the mesh
+``index`` axis when multi-chip), scanned exactly at HBM bandwidth; chunk
+metadata stays on host.
+
+On-disk layout (``<data_dir>/vector_index/``)::
+
+    manifest.json        model/dim/dtype, segment table, tombstones
+    seg-000000.bin       raw row-major embeddings, store dtype
+    seg-000000.meta.jsonl  one chunk per line (id, path, lines, content)
+
+Design points:
+
+- **append segments + tombstones**: adding files appends a new segment;
+  re-indexing a changed file tombstones its old rows (filtered on-device by
+  the validity mask) and appends fresh ones — mirroring the reference's
+  delete-then-reindex (storage/mod.rs:42-47) without rewriting the store.
+  Segments are compacted away when the dead fraction exceeds 25% on load.
+- **atomic manifest**: the manifest is written via rename; a crash
+  mid-append leaves the previous manifest pointing at fully-written
+  segments only (the reference can desync its two indexes on crash,
+  SURVEY.md §5 checkpoint notes — here the manifest IS the commit point).
+- **static device shapes**: the device matrix pads N up to a shard-aligned
+  multiple so one executable serves the store between mutations; padding
+  rows are invalid in the mask.
+
+The file-hash manifest (``file_index.json``) that drives incremental
+indexing (≙ the reference's ``file_index`` LanceDB table,
+lance_indexer.rs:165-232) also lives here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+
+from sema_tpu.types import Chunk
+
+_STORE_DTYPES = {
+    "bfloat16": ml_dtypes.bfloat16,
+    "float32": np.float32,
+    "float16": np.float16,
+    "int8": np.int8,
+}
+
+MANIFEST_VERSION = 1
+_COMPACT_DEAD_FRACTION = 0.25
+
+
+def _atomic_write_json(path: Path, obj) -> None:
+    tmp = path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(obj))
+    os.replace(tmp, path)
+
+
+@dataclass
+class _Segment:
+    name: str
+    rows: int
+    deleted: set = field(default_factory=set)   # row ids within segment
+    vectors: Optional[np.ndarray] = None        # (rows, dim) store dtype
+    meta: Optional[List[dict]] = None           # chunk metadata rows
+
+
+class VectorStore:
+    def __init__(self, data_dir: Path | str, dim: int, model: str,
+                 store_dtype: str = "bfloat16", mesh=None,
+                 index_axis: str = "index"):
+        self.dir = Path(data_dir) / "vector_index"
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.dim = dim
+        self.model = model
+        self.store_dtype = store_dtype
+        self.np_dtype = _STORE_DTYPES[store_dtype]
+        self.mesh = mesh
+        self.index_axis = index_axis
+        self.segments: List[_Segment] = []
+        self.file_hashes: Dict[str, str] = {}
+        self._device_store = None     # (N_pad, dim) jax array
+        self._device_valid = None     # (N_pad,) bool
+        self._topk_fns: Dict[Tuple[int, int], callable] = {}
+        self._load()
+
+    # -- persistence ----------------------------------------------------------
+
+    @property
+    def _manifest_path(self) -> Path:
+        return self.dir / "manifest.json"
+
+    @property
+    def _hashes_path(self) -> Path:
+        return self.dir / "file_index.json"
+
+    def _load(self) -> None:
+        if self._hashes_path.exists():
+            self.file_hashes = json.loads(self._hashes_path.read_text())
+        if not self._manifest_path.exists():
+            return
+        m = json.loads(self._manifest_path.read_text())
+        if m.get("model") != self.model or m.get("dim") != self.dim:
+            raise ValueError(
+                f"index at {self.dir} was built with model="
+                f"{m.get('model')!r} dim={m.get('dim')}; current config is "
+                f"model={self.model!r} dim={self.dim}. Re-index with "
+                f"`sema-tpu index --reindex` or switch the model back.")
+        if m.get("store_dtype") != self.store_dtype:
+            # store dtype is a storage detail; honor what's on disk
+            self.store_dtype = m["store_dtype"]
+            self.np_dtype = _STORE_DTYPES[self.store_dtype]
+        for seg in m["segments"]:
+            self.segments.append(_Segment(
+                name=seg["name"], rows=seg["rows"],
+                deleted=set(seg.get("deleted", []))))
+        self._maybe_compact()
+
+    def _seg_paths(self, name: str) -> Tuple[Path, Path]:
+        return self.dir / f"{name}.bin", self.dir / f"{name}.meta.jsonl"
+
+    def _load_segment(self, seg: _Segment) -> None:
+        if seg.vectors is not None:
+            return
+        vec_path, meta_path = self._seg_paths(seg.name)
+        raw = np.fromfile(vec_path, dtype=self.np_dtype)
+        seg.vectors = raw.reshape(seg.rows, self.dim)
+        seg.meta = [json.loads(line) for line in
+                    meta_path.read_text().splitlines()]
+
+    def _save_manifest(self) -> None:
+        _atomic_write_json(self._manifest_path, {
+            "version": MANIFEST_VERSION,
+            "model": self.model, "dim": self.dim,
+            "store_dtype": self.store_dtype,
+            "segments": [
+                {"name": s.name, "rows": s.rows,
+                 "deleted": sorted(s.deleted)}
+                for s in self.segments],
+        })
+
+    def save_file_hashes(self) -> None:
+        _atomic_write_json(self._hashes_path, self.file_hashes)
+
+    # -- file hash manifest (≙ lance_indexer.rs file_index table) -------------
+
+    def get_file_hash(self, file_path) -> Optional[str]:
+        return self.file_hashes.get(str(file_path))
+
+    def update_file_hash(self, file_path, file_hash: str) -> None:
+        self.file_hashes[str(file_path)] = file_hash
+
+    def remove_file_hash(self, file_path) -> None:
+        self.file_hashes.pop(str(file_path), None)
+
+    # -- mutation --------------------------------------------------------------
+
+    @property
+    def total_rows(self) -> int:
+        return sum(s.rows for s in self.segments)
+
+    @property
+    def live_rows(self) -> int:
+        return sum(s.rows - len(s.deleted) for s in self.segments)
+
+    def add_chunks(self, chunks: Sequence[Chunk],
+                   embeddings: np.ndarray) -> None:
+        """Append one segment holding ``chunks`` (ordered) + their vectors."""
+        if len(chunks) == 0:
+            return
+        assert embeddings.shape == (len(chunks), self.dim), embeddings.shape
+        name = f"seg-{len(self.segments):06d}-{self.total_rows:09d}"
+        vec_path, meta_path = self._seg_paths(name)
+        vectors = np.ascontiguousarray(embeddings, dtype=self.np_dtype)
+        vectors.tofile(vec_path)
+        meta = [{
+            "id": c.id, "file_path": str(c.file_path),
+            "start_line": c.start_line, "end_line": c.end_line,
+            "content": c.content,
+        } for c in chunks]
+        with open(meta_path, "w") as f:
+            for row in meta:
+                f.write(json.dumps(row) + "\n")
+        seg = _Segment(name=name, rows=len(chunks), vectors=vectors, meta=meta)
+        self.segments.append(seg)
+        self._save_manifest()
+        self._invalidate_device()
+
+    def remove_file_chunks(self, file_path) -> int:
+        """Tombstone every row belonging to ``file_path``
+        (≙ lance_indexer.rs:234-250 delete)."""
+        target = str(file_path)
+        removed = 0
+        for seg in self.segments:
+            self._load_segment(seg)
+            for i, row in enumerate(seg.meta):
+                if row["file_path"] == target and i not in seg.deleted:
+                    seg.deleted.add(i)
+                    removed += 1
+        if removed:
+            self._save_manifest()
+            self._invalidate_device()
+        return removed
+
+    def _maybe_compact(self) -> None:
+        total = self.total_rows
+        dead = total - self.live_rows
+        if total == 0 or dead / total <= _COMPACT_DEAD_FRACTION:
+            return
+        live_vecs: List[np.ndarray] = []
+        live_meta: List[dict] = []
+        old_files = []
+        for seg in self.segments:
+            self._load_segment(seg)
+            keep = [i for i in range(seg.rows) if i not in seg.deleted]
+            if keep:
+                live_vecs.append(seg.vectors[keep])
+                live_meta.extend(seg.meta[i] for i in keep)
+            old_files.extend(self._seg_paths(seg.name))
+        self.segments = []
+        if live_vecs:
+            vectors = np.concatenate(live_vecs, axis=0)
+            name = "seg-000000-000000000"
+            vec_path, meta_path = self._seg_paths(name)
+            # write under fresh names absent from the old manifest, then
+            # commit the manifest, then unlink the dead files
+            if vec_path in old_files:
+                name = "seg-compact"
+                vec_path, meta_path = self._seg_paths(name)
+            vectors.tofile(vec_path)
+            with open(meta_path, "w") as f:
+                for row in live_meta:
+                    f.write(json.dumps(row) + "\n")
+            self.segments = [_Segment(name=name, rows=len(live_meta),
+                                      vectors=vectors, meta=live_meta)]
+        self._save_manifest()
+        for p in old_files:
+            if p.exists() and p not in self._seg_paths(
+                    self.segments[0].name if self.segments else ""):
+                p.unlink()
+        self._invalidate_device()
+
+    # -- device placement -------------------------------------------------------
+
+    def _invalidate_device(self) -> None:
+        self._device_store = None
+        self._device_valid = None
+        self._topk_fns.clear()
+
+    def _shards(self) -> int:
+        if self.mesh is None:
+            return 1
+        return self.mesh.shape[self.index_axis]
+
+    def _build_device(self) -> None:
+        """Concatenate live segments into the padded device matrix."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shards = self._shards()
+        n = self.total_rows
+        # pad to a multiple of shards × 8 sublanes (min f32 tile height)
+        align = max(shards * 8, 8)
+        n_pad = max(((n + align - 1) // align) * align, align)
+
+        host = np.zeros((n_pad, self.dim), dtype=self.np_dtype)
+        valid = np.zeros((n_pad,), dtype=bool)
+        off = 0
+        for seg in self.segments:
+            self._load_segment(seg)
+            host[off:off + seg.rows] = seg.vectors
+            v = np.ones((seg.rows,), dtype=bool)
+            if seg.deleted:
+                v[sorted(seg.deleted)] = False
+            valid[off:off + seg.rows] = v
+            off += seg.rows
+
+        if self.mesh is not None:
+            sharding = NamedSharding(self.mesh, P(self.index_axis, None))
+            vsharding = NamedSharding(self.mesh, P(self.index_axis))
+            self._device_store = jax.device_put(host, sharding)
+            self._device_valid = jax.device_put(valid, vsharding)
+        else:
+            self._device_store = jnp.asarray(host)
+            self._device_valid = jnp.asarray(valid)
+
+    def device_arrays(self):
+        if self._device_store is None:
+            self._build_device()
+        return self._device_store, self._device_valid
+
+    # -- row id → chunk ---------------------------------------------------------
+
+    def chunk_at(self, row: int) -> Chunk:
+        off = 0
+        for seg in self.segments:
+            if row < off + seg.rows:
+                self._load_segment(seg)
+                r = seg.meta[row - off]
+                return Chunk(id=r["id"], file_path=Path(r["file_path"]),
+                             start_line=r["start_line"],
+                             end_line=r["end_line"], content=r["content"])
+            off += seg.rows
+        raise IndexError(row)
+
+    # -- search -----------------------------------------------------------------
+
+    def search(self, query_vec: np.ndarray, k: int
+               ) -> List[Tuple[Chunk, float]]:
+        """Exact top-k scan (single query). Scores are true cosine
+        similarities — the reference discards them (storage/mod.rs:123
+        returns constant 1.0); keeping them is a strict improvement that
+        makes result ordering meaningful."""
+        if self.live_rows == 0:
+            return []
+        store, valid = self.device_arrays()
+        k_eff = min(k, int(store.shape[0]))
+
+        key = (int(store.shape[0]), k_eff)
+        fn = self._topk_fns.get(key)
+        if fn is None:
+            if self.mesh is not None:
+                from sema_tpu.parallel.sharded_topk import make_sharded_topk
+                fn = make_sharded_topk(self.mesh, int(store.shape[0]), k_eff,
+                                       axis=self.index_axis)
+            else:
+                from functools import partial
+                from sema_tpu.ops.topk import batched_topk_scores
+                fn = jax.jit(partial(batched_topk_scores, k=k_eff))
+            self._topk_fns[key] = fn
+
+        q = jnp.asarray(query_vec, dtype=jnp.float32)[None, :]
+        scores, idx = fn(store, q, valid)
+        scores = np.asarray(scores)[0]
+        idx = np.asarray(idx)[0]
+        out: List[Tuple[Chunk, float]] = []
+        for s, i in zip(scores, idx):
+            if not np.isfinite(s):
+                continue  # masked/padded rows ranked past the live ones
+            out.append((self.chunk_at(int(i)), float(s)))
+            if len(out) >= k:
+                break
+        return out
+
+    def close(self) -> None:
+        self.save_file_hashes()
+        self._save_manifest()

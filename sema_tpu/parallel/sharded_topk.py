@@ -20,7 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from sema_tpu.ops.topk import batched_topk_scores
 
@@ -70,7 +70,9 @@ def make_sharded_topk(mesh: Mesh, total_rows: int, k: int,
         fn, mesh=mesh,
         in_specs=(spec_sharded_rows, spec_replicated, P(axis)),
         out_specs=(spec_replicated, spec_replicated),
-        check_rep=False)
+        # after all_gather every chip holds identical candidates and computes
+        # the same merge — replication is real but not VMA-inferable
+        check_vma=False)
     return jax.jit(mapped)
 
 

@@ -10,11 +10,19 @@ Must run before the first ``import jax`` anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the host environment pins JAX_PLATFORMS to a real
+# accelerator — unit tests need 8 virtual devices and bit-stable f32.
+# The env var alone is not enough on hosts whose TPU plugin overrides it,
+# so also pin the config flag before any backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,116 @@
+"""IndexManager: incremental indexing + search dispatch
+(≙ StorageManager, storage/mod.rs)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from sema_tpu.index import IndexManager
+from sema_tpu.models import Encoder, get_spec
+from sema_tpu.models.loader import random_params
+from sema_tpu.tokenizer import HashTokenizer
+
+
+@pytest.fixture(scope="module")
+def encoder():
+    spec = get_spec("test-tiny")
+    return Encoder(spec, random_params(spec), HashTokenizer(spec.vocab_size),
+                   batch_size=8)
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    root = tmp_path / "tree"
+    root.mkdir()
+    (root / "alpha.py").write_text(
+        "def compute_checksum(data):\n    return crc32(data)\n" * 3)
+    (root / "beta.md").write_text(
+        "# Networking guide\nsockets and protocols explained here\n" * 3)
+    return root
+
+
+def make_mgr(tmp_path, encoder):
+    return IndexManager(tmp_path / "data", encoder)
+
+
+def test_index_and_search(tmp_path, tree, encoder):
+    mgr = make_mgr(tmp_path, encoder)
+    files = sorted(tree.glob("*"))
+    n = mgr.process_and_index_files(files)
+    assert n > 0
+
+    # semantic search returns results with real scores
+    results = mgr.search("checksum computation", limit=10)
+    assert results
+    assert all(isinstance(s, float) for _, s in results)
+
+    # keyword dispatch via ' prefix (storage/mod.rs:115-120)
+    results = mgr.search("'sockets", limit=10)
+    assert results
+    assert all("sockets" in c.content for c, _ in results)
+    assert str(results[0][0].file_path).endswith("beta.md")
+
+    # bare ' → empty (storage/mod.rs:117-119)
+    assert mgr.search("'", limit=10) == []
+    mgr.close()
+
+
+def test_incremental_skip_unchanged(tmp_path, tree, encoder):
+    mgr = make_mgr(tmp_path, encoder)
+    files = sorted(tree.glob("*"))
+    n1 = mgr.process_and_index_files(files)
+    assert n1 > 0
+    n2 = mgr.process_and_index_files(files)
+    assert n2 == 0  # storage/mod.rs:40-41: unchanged hash → skip
+    mgr.close()
+
+
+def test_incremental_reindex_changed(tmp_path, tree, encoder):
+    mgr = make_mgr(tmp_path, encoder)
+    files = sorted(tree.glob("*"))
+    mgr.process_and_index_files(files)
+    live_before = mgr.vector_store.live_rows
+
+    (tree / "alpha.py").write_text(
+        "def totally_new_function():\n    return 42\n" * 5)
+    n = mgr.process_and_index_files(files)
+    assert n > 0
+    # old alpha chunks tombstoned, new ones live
+    results = mgr.search("'totally", limit=10)
+    assert results
+    old = mgr.search("'crc32", limit=10)
+    assert old == []
+    mgr.close()
+
+
+def test_missing_files_skipped(tmp_path, tree, encoder):
+    mgr = make_mgr(tmp_path, encoder)
+    n = mgr.process_and_index_files([tree / "ghost.py"])
+    assert n == 0  # storage/mod.rs:34-36
+    mgr.close()
+
+
+def test_crash_retry_semantics(tmp_path, tree, encoder, monkeypatch):
+    """Hash recorded only after successful indexing → failed files retried
+    (storage/mod.rs:62-66)."""
+    mgr = make_mgr(tmp_path, encoder)
+    files = sorted(tree.glob("*"))
+
+    def boom(*a, **kw):
+        raise RuntimeError("device lost")
+    monkeypatch.setattr(mgr.encoder, "encode_texts", boom)
+    mgr.process_and_index_files(files)  # vector write fails with warning
+    # text index still got the chunks (independent failure domains,
+    # storage/mod.rs:101-107) but no hash was recorded? — hashes ARE
+    # recorded after index_chunks returns (failures inside are warnings),
+    # matching the reference exactly: lance failure + tantivy success →
+    # hash written (storage/mod.rs:101-110,62-66).
+    monkeypatch.undo()
+
+    mgr2 = IndexManager(tmp_path / "data", encoder)
+    n = mgr2.process_and_index_files(files)
+    assert n == 0  # parity: hash was recorded despite the vector failure
+    # but semantic search finds nothing — same desync the reference permits
+    assert mgr2.vector_store.live_rows == 0
+    mgr2.close()

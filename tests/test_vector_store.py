@@ -1,0 +1,146 @@
+"""Device vector store: segments, tombstones, compaction, persistence,
+mesh sharding (runs on the 8-device virtual CPU mesh)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+from sema_tpu.index.vector_store import VectorStore
+from sema_tpu.parallel import make_mesh
+from sema_tpu.types import Chunk
+
+
+def chunks_and_vecs(n, d=32, path="f.txt", seed=0, start=0):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    cs = [Chunk(id=f"{path}:{start + i}", file_path=Path(path),
+                start_line=i + 1, end_line=i + 2, content=f"content {start + i}")
+          for i in range(n)]
+    return cs, vecs
+
+
+def make_store(tmp_path, d=32, **kw):
+    return VectorStore(tmp_path, dim=d, model="test-tiny", **kw)
+
+
+def test_add_and_search_exact(tmp_path):
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(100)
+    store.add_chunks(cs, vecs)
+    q = vecs[42]
+    results = store.search(q, k=5)
+    assert results[0][0].id == "f.txt:42"
+    assert results[0][1] == pytest.approx(1.0, abs=1e-2)  # bf16 store
+    assert len(results) == 5
+
+
+def test_multiple_segments(tmp_path):
+    store = make_store(tmp_path)
+    cs1, v1 = chunks_and_vecs(60, path="a.txt", seed=1)
+    cs2, v2 = chunks_and_vecs(40, path="b.txt", seed=2)
+    store.add_chunks(cs1, v1)
+    store.add_chunks(cs2, v2)
+    assert store.total_rows == 100
+    # search for a vector in the second segment
+    results = store.search(v2[10], k=1)
+    assert results[0][0].id == "b.txt:10"
+
+
+def test_persistence_roundtrip(tmp_path):
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(50)
+    store.add_chunks(cs, vecs)
+    store.update_file_hash(Path("f.txt"), "abc123")
+    store.close()
+
+    store2 = make_store(tmp_path)
+    assert store2.total_rows == 50
+    assert store2.get_file_hash(Path("f.txt")) == "abc123"
+    results = store2.search(vecs[7], k=1)
+    assert results[0][0].id == "f.txt:7"
+    assert results[0][0].content == "content 7"
+
+
+def test_remove_file_chunks_tombstones(tmp_path):
+    store = make_store(tmp_path)
+    cs1, v1 = chunks_and_vecs(30, path="a.txt", seed=1)
+    cs2, v2 = chunks_and_vecs(30, path="b.txt", seed=2)
+    store.add_chunks(cs1, v1)
+    store.add_chunks(cs2, v2)
+    removed = store.remove_file_chunks(Path("a.txt"))
+    assert removed == 30
+    assert store.live_rows == 30
+    results = store.search(v1[5], k=3)
+    assert all(str(r[0].file_path) == "b.txt" for r in results)
+
+
+def test_model_mismatch_raises(tmp_path):
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(10)
+    store.add_chunks(cs, vecs)
+    store.close()
+    with pytest.raises(ValueError, match="Re-index"):
+        VectorStore(tmp_path, dim=32, model="other-model")
+
+
+def test_compaction_on_load(tmp_path):
+    store = make_store(tmp_path)
+    cs1, v1 = chunks_and_vecs(80, path="a.txt", seed=1)
+    cs2, v2 = chunks_and_vecs(20, path="b.txt", seed=2)
+    store.add_chunks(cs1, v1)
+    store.add_chunks(cs2, v2)
+    store.remove_file_chunks(Path("a.txt"))  # 80% dead
+    store.close()
+
+    store2 = make_store(tmp_path)
+    assert store2.total_rows == 20           # compacted
+    assert store2.live_rows == 20
+    assert len(store2.segments) == 1
+    results = store2.search(v2[3], k=1)
+    assert results[0][0].id == "b.txt:3"
+    # dead segment files unlinked
+    bins = list((Path(tmp_path) / "vector_index").glob("seg-*.bin"))
+    assert len(bins) == 1
+
+
+def test_search_empty_store(tmp_path):
+    store = make_store(tmp_path)
+    assert store.search(np.ones(32, np.float32), k=5) == []
+
+
+def test_k_larger_than_store(tmp_path):
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(3)
+    store.add_chunks(cs, vecs)
+    results = store.search(vecs[0], k=50)
+    assert len(results) == 3  # padding rows filtered
+
+
+def test_incremental_reindex_flow(tmp_path):
+    """delete-then-reindex keeps ids coherent (storage/mod.rs:42-47)."""
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(10, path="f.txt")
+    store.add_chunks(cs, vecs)
+    store.remove_file_chunks(Path("f.txt"))
+    cs2, vecs2 = chunks_and_vecs(12, path="f.txt", seed=9)
+    store.add_chunks(cs2, vecs2)
+    assert store.live_rows == 12
+    results = store.search(vecs2[11], k=1)
+    assert results[0][0].id == "f.txt:11"
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_mesh_sharded_store(tmp_path):
+    mesh = make_mesh()
+    store = make_store(tmp_path, mesh=mesh)
+    cs, vecs = chunks_and_vecs(500)
+    store.add_chunks(cs, vecs)
+    results = store.search(vecs[123], k=5)
+    assert results[0][0].id == "f.txt:123"
+    # device store must actually be sharded over the index axis
+    dev_store, _ = store.device_arrays()
+    assert len(dev_store.sharding.device_set) == 8
