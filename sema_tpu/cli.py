@@ -1,0 +1,250 @@
+"""Command-line interface.
+
+Flag parity with the reference's clap parser (src/cli/args.rs:10-46):
+positional directory + --max-file-size --include-hidden --follow-symlinks
+--extensions --exclude --ignore-gitignore. Config loading and override
+precedence mirror src/main.rs:21-59; directory resolution (canonicalize,
+must-be-dir errors) mirrors src/main.rs:61-86.
+
+Beyond the reference (which is TUI-only, SURVEY.md §1 notes): headless
+subcommands —
+
+    sema-tpu [DIR] [flags]          crawl+index+TUI (reference behavior)
+    sema-tpu index [DIR] [flags]    headless index build
+    sema-tpu query "text" [flags]   headless query ('-prefix = keyword)
+    sema-tpu bench [flags]          performance benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+from typing import List, Optional
+
+from sema_tpu.config import (Config, ConfigManager, apply_cli_overrides,
+                             data_dir)
+from sema_tpu.types import CrawlerConfig
+
+SUBCOMMANDS = {"index", "query", "tui", "bench"}
+
+
+def _add_crawl_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("directory", nargs="?", help="Directory path to crawl")
+    p.add_argument("--max-file-size", type=int, default=None,
+                   help="Maximum file size to process (in bytes)")
+    p.add_argument("--include-hidden", action="store_true",
+                   help="Include hidden files in crawling")
+    p.add_argument("--follow-symlinks", action="store_true",
+                   help="Follow symbolic links")
+    p.add_argument("--extensions", type=lambda s: s.split(","), default=None,
+                   help="File extensions to crawl (comma-separated). "
+                        "When specified, ignores default extensions.")
+    p.add_argument("--exclude", type=lambda s: s.split(","), default=None,
+                   help="Additional patterns to exclude (comma-separated)")
+    p.add_argument("--ignore-gitignore", action="store_true",
+                   help="Ignore files and patterns listed in .gitignore files")
+
+
+def _add_model_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model", default=None,
+                   help="Encoder model (minilm-l6, bge-small-en, e5-base, "
+                        "gte-large)")
+    p.add_argument("--weights", default=None,
+                   help="Local safetensors dir for encoder weights")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sema-tpu",
+        description="Semantic File Search — TPU-native semantic + keyword "
+                    "search in local files")
+    sub = p.add_subparsers(dest="command")
+
+    tui = sub.add_parser("tui", help="interactive TUI (default)")
+    _add_crawl_flags(tui)
+    _add_model_flags(tui)
+
+    index = sub.add_parser("index", help="build/update the index headlessly")
+    _add_crawl_flags(index)
+    _add_model_flags(index)
+    index.add_argument("--reindex", action="store_true",
+                       help="Discard the existing index first")
+    index.add_argument("--stats", action="store_true",
+                       help="Print per-stage timing JSON")
+
+    query = sub.add_parser("query", help="run one query against the index")
+    query.add_argument("text", help="query text; prefix with ' for keyword "
+                                    "(BM25) search")
+    query.add_argument("--limit", type=int, default=50,
+                       help="max results (default 50)")
+    query.add_argument("--json", action="store_true", help="JSON output")
+    query.add_argument("--group", action="store_true",
+                       help="group results by file (TUI behavior)")
+    _add_model_flags(query)
+
+    bench = sub.add_parser("bench", help="run the standard benchmark")
+    bench.add_argument("--config", default="minilm-10k",
+                       help="benchmark config name")
+    _add_model_flags(bench)
+
+    return p
+
+
+def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # reference behavior: bare `sema-tpu [DIR] [flags]` runs the TUI
+    if not argv or argv[0] not in SUBCOMMANDS and not argv[0] in ("-h", "--help"):
+        argv = ["tui"] + argv
+    return build_parser().parse_args(argv)
+
+
+def load_config(args) -> Config:
+    """main.rs:21-29: init-on-first-run, then CLI overrides in memory."""
+    manager = ConfigManager()
+    manager.init()
+    config = manager.load_config()
+    if getattr(args, "weights", None):
+        config.model.weights_path = args.weights
+    return apply_cli_overrides(config, args)
+
+
+def resolve_directory(args) -> Path:
+    """main.rs:61-86: default cwd, canonicalize, must be a directory."""
+    target = Path(getattr(args, "directory", None) or os.getcwd())
+    try:
+        canonical = target.resolve(strict=True)
+    except OSError:
+        sys.exit(f"Error: Directory '{target}' does not exist or cannot be "
+                 f"accessed")
+    if not canonical.is_dir():
+        sys.exit(f"Error: '{canonical}' is not a directory")
+    return canonical
+
+
+def crawler_config(config: Config) -> CrawlerConfig:
+    g = config.general
+    return CrawlerConfig(
+        max_file_size=g.max_file_size,
+        follow_symlinks=g.follow_symlinks,
+        include_hidden=g.include_hidden,
+        file_extensions=tuple(g.file_extensions),
+        exclude_patterns=tuple(g.exclude_patterns),
+        ignore_gitignore=g.ignore_gitignore)
+
+
+def make_index_manager(config: Config, metrics=None):
+    from sema_tpu.index import IndexManager
+    from sema_tpu.models import Encoder
+    from sema_tpu.parallel.mesh import default_mesh
+
+    mesh = default_mesh()
+    encoder = Encoder.from_config(config.model, mesh=mesh,
+                                  data_axis="index")
+    if encoder.weights_source == "random":
+        print("Warning: no local weights found for model "
+              f"{config.model.name!r}; using random init (rankings will be "
+              "meaningless). Pass --weights or populate the HF cache.",
+              file=sys.stderr)
+    return IndexManager(
+        data_dir(), encoder, store_dtype=config.index.store_dtype,
+        mesh=mesh, metrics=metrics)
+
+
+def cmd_index(args) -> int:
+    from sema_tpu.crawl import FileCrawler
+    from sema_tpu.utils.metrics import Metrics
+
+    config = load_config(args)
+    directory = resolve_directory(args)
+
+    if args.reindex:
+        import shutil
+        for sub in ("vector_index", "text_index"):
+            shutil.rmtree(data_dir() / sub, ignore_errors=True)
+
+    metrics = Metrics()
+    t0 = time.perf_counter()
+    with metrics.timer("crawl"):
+        files = FileCrawler(crawler_config(config)).crawl_directory(directory)
+    print(f"crawled {len(files)} files")
+
+    mgr = make_index_manager(config, metrics=metrics)
+
+    def progress(stage, done, total):
+        if total:
+            print(f"\r{stage}: {done}/{total}", end="", file=sys.stderr)
+            if done == total:
+                print(file=sys.stderr)
+
+    n = mgr.process_and_index_files(files, progress=progress)
+    mgr.close()
+    dt = time.perf_counter() - t0
+    print(f"indexed {n} chunks in {dt:.1f}s "
+          f"({mgr.vector_store.live_rows} live vectors)")
+    if args.stats:
+        print(json.dumps(metrics.report(), indent=2))
+    return 0
+
+
+def cmd_query(args) -> int:
+    config = load_config(args)
+    mgr = make_index_manager(config)
+    t0 = time.perf_counter()
+    results = mgr.search(args.text, args.limit)
+    dt = time.perf_counter() - t0
+
+    if args.group:
+        from sema_tpu.search.engine import group_results_by_file
+        from sema_tpu.types import SearchResult
+        grouped = group_results_by_file(
+            [SearchResult(chunk=c, score=s) for c, s in results])
+        results = [(g.chunk, g.score) for g in grouped]
+        counts = {str(g.chunk.file_path): g.total_matches_in_file
+                  for g in grouped}
+
+    if args.json:
+        for chunk, score in results:
+            print(json.dumps({
+                "id": chunk.id, "file_path": str(chunk.file_path),
+                "start_line": chunk.start_line, "end_line": chunk.end_line,
+                "score": score,
+                "content": chunk.content}))
+    else:
+        if not results:
+            print("no results")
+        for chunk, score in results:
+            loc = f"{chunk.file_path}:L{chunk.start_line}-{chunk.end_line}"
+            extra = (f"  (+{counts[str(chunk.file_path)] - 1} more)"
+                     if args.group and counts.get(str(chunk.file_path), 1) > 1
+                     else "")
+            print(f"{score:8.4f}  {loc}{extra}")
+        print(f"-- {len(results)} results in {dt * 1e3:.1f} ms",
+              file=sys.stderr)
+    return 0
+
+
+def cmd_tui(args) -> int:
+    from sema_tpu.tui.app import run_app
+    config = load_config(args)
+    directory = resolve_directory(args)
+    return run_app(directory, config)
+
+
+def cmd_bench(args) -> int:
+    import bench as bench_mod  # repo-root bench.py drives the same path
+    return bench_mod.run(config_name=args.config)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = parse_args(argv)
+    cmd = {"index": cmd_index, "query": cmd_query, "tui": cmd_tui,
+           "bench": cmd_bench}[args.command or "tui"]
+    return cmd(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,216 @@
+"""Key routing (≙ reference src/tui/events.rs) — pure logic, no curses.
+
+Parity notes:
+
+- results_per_page = max((terminal_height - 2) / 3, 1) — 3-line result rows
+  (events.rs:26);
+- Enter: SearchInput → ExecuteSearch (non-empty input); Results/Preview →
+  OpenFile (events.rs:30-45);
+- Esc walks back Preview → Results → Input; in Input it clears the query
+  (events.rs:46-59, an empty ExecuteSearch triggers clear, app.rs:164-168);
+- Tab cycles modes, only when there are results (events.rs:60-69);
+- Up/Down/PgUp/PgDn: selection + scroll clamping in Results; line/10-line
+  scrolling in Preview (events.rs:70-147, 202-212);
+- Ctrl-C always quits. The reference also quits on a bare ``q`` even while
+  typing in the search box (events.rs:29 precedes the Char input arm —
+  you cannot type the letter q into a query). Deviation: we only quit on
+  ``q`` outside SearchInput, and route it into the input otherwise;
+- while indexing (non-Ready), typing is buffered into the search box and
+  only quit keys act (events.rs:176-200).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+from sema_tpu.types import UIMode
+
+
+class EventResult(enum.Enum):
+    CONTINUE = "continue"
+    EXECUTE_SEARCH = "execute_search"
+    OPEN_FILE = "open_file"
+    QUIT = "quit"
+
+
+@dataclass
+class InputState:
+    """≙ tui_input::Input — text buffer + cursor."""
+
+    text: str = ""
+    cursor: int = 0
+
+    def insert(self, ch: str) -> None:
+        self.text = self.text[:self.cursor] + ch + self.text[self.cursor:]
+        self.cursor += len(ch)
+
+    def backspace(self) -> None:
+        if self.cursor > 0:
+            self.text = self.text[:self.cursor - 1] + self.text[self.cursor:]
+            self.cursor -= 1
+
+    def delete(self) -> None:
+        self.text = self.text[:self.cursor] + self.text[self.cursor + 1:]
+
+    def left(self) -> None:
+        self.cursor = max(0, self.cursor - 1)
+
+    def right(self) -> None:
+        self.cursor = min(len(self.text), self.cursor + 1)
+
+    def home(self) -> None:
+        self.cursor = 0
+
+    def end(self) -> None:
+        self.cursor = len(self.text)
+
+    def reset(self) -> None:
+        self.text = ""
+        self.cursor = 0
+
+
+# abstract key names produced by the curses layer
+KEY_ENTER, KEY_ESC, KEY_TAB = "enter", "esc", "tab"
+KEY_UP, KEY_DOWN, KEY_PGUP, KEY_PGDN = "up", "down", "pgup", "pgdn"
+KEY_LEFT, KEY_RIGHT, KEY_HOME, KEY_END = "left", "right", "home", "end"
+KEY_BACKSPACE, KEY_DELETE, KEY_CTRL_C = "backspace", "delete", "ctrl_c"
+
+
+def results_per_page(terminal_height: int) -> int:
+    return max((max(terminal_height - 2, 0)) // 3, 1)
+
+
+def update_scroll_offset(selected: int, scroll_offset: int,
+                         visible: int) -> int:
+    """events.rs:202-212."""
+    if selected < scroll_offset:
+        return selected
+    if selected >= scroll_offset + visible:
+        return selected - visible + 1
+    return scroll_offset
+
+
+def handle_key_ready(key: str, engine, inp: InputState,
+                     terminal_height: int) -> EventResult:
+    """Key routing in the Ready state (events.rs:15-174)."""
+    per_page = results_per_page(terminal_height)
+    mode = engine.ui_mode
+    n = len(engine.search_results)
+
+    if key == KEY_CTRL_C:
+        return EventResult.QUIT
+    if key == "q" and mode is not UIMode.SEARCH_INPUT:
+        return EventResult.QUIT
+
+    if key == KEY_ENTER:
+        if mode is UIMode.SEARCH_INPUT:
+            if inp.text.strip():
+                return EventResult.EXECUTE_SEARCH
+            return EventResult.CONTINUE
+        if engine.selected_result() is not None:
+            return EventResult.OPEN_FILE
+        return EventResult.CONTINUE
+
+    if key == KEY_ESC:
+        if mode is UIMode.FILE_PREVIEW:
+            engine.ui_mode = UIMode.SEARCH_RESULTS
+        elif mode is UIMode.SEARCH_RESULTS:
+            engine.ui_mode = UIMode.SEARCH_INPUT
+        else:
+            inp.reset()
+            return EventResult.EXECUTE_SEARCH  # empty → clear (app.rs:164-168)
+        return EventResult.CONTINUE
+
+    if key == KEY_TAB:
+        if n > 0:
+            engine.ui_mode = {
+                UIMode.SEARCH_INPUT: UIMode.SEARCH_RESULTS,
+                UIMode.SEARCH_RESULTS: UIMode.FILE_PREVIEW,
+                UIMode.FILE_PREVIEW: UIMode.SEARCH_INPUT,
+            }[mode]
+        return EventResult.CONTINUE
+
+    if key == KEY_UP:
+        if mode is UIMode.SEARCH_RESULTS and engine.selected_search_result > 0:
+            engine.selected_search_result -= 1
+            engine.search_results_scroll_offset = update_scroll_offset(
+                engine.selected_search_result,
+                engine.search_results_scroll_offset, per_page)
+        elif mode is UIMode.FILE_PREVIEW and engine.file_preview_scroll_offset > 0:
+            engine.file_preview_scroll_offset -= 1
+        return EventResult.CONTINUE
+
+    if key == KEY_DOWN:
+        if mode is UIMode.SEARCH_RESULTS and engine.selected_search_result < max(n - 1, 0):
+            engine.selected_search_result += 1
+            engine.search_results_scroll_offset = update_scroll_offset(
+                engine.selected_search_result,
+                engine.search_results_scroll_offset, per_page)
+        elif mode is UIMode.FILE_PREVIEW and engine.selected_result() is not None:
+            engine.file_preview_scroll_offset += 1
+        return EventResult.CONTINUE
+
+    if key == KEY_PGUP:
+        if mode is UIMode.SEARCH_RESULTS:
+            engine.selected_search_result = max(
+                engine.selected_search_result - per_page, 0)
+            engine.search_results_scroll_offset = update_scroll_offset(
+                engine.selected_search_result,
+                engine.search_results_scroll_offset, per_page)
+        elif mode is UIMode.FILE_PREVIEW:
+            engine.file_preview_scroll_offset = max(
+                engine.file_preview_scroll_offset - 10, 0)
+        return EventResult.CONTINUE
+
+    if key == KEY_PGDN:
+        if mode is UIMode.SEARCH_RESULTS:
+            engine.selected_search_result = min(
+                engine.selected_search_result + per_page, max(n - 1, 0))
+            engine.search_results_scroll_offset = update_scroll_offset(
+                engine.selected_search_result,
+                engine.search_results_scroll_offset, per_page)
+        elif mode is UIMode.FILE_PREVIEW:
+            engine.file_preview_scroll_offset += 10
+        return EventResult.CONTINUE
+
+    if mode is UIMode.SEARCH_INPUT:
+        if key == KEY_BACKSPACE:
+            inp.backspace()
+        elif key == KEY_DELETE:
+            inp.delete()
+        elif key == KEY_LEFT:
+            inp.left()
+        elif key == KEY_RIGHT:
+            inp.right()
+        elif key == KEY_HOME:
+            inp.home()
+        elif key == KEY_END:
+            inp.end()
+        elif len(key) == 1 and key.isprintable():
+            inp.insert(key)
+    return EventResult.CONTINUE
+
+
+def handle_key_non_ready(key: str, inp: InputState) -> EventResult:
+    """Key routing while indexing (events.rs:176-200)."""
+    if key in (KEY_CTRL_C, "q"):
+        # the reference quits on bare q here too (events.rs:178); while
+        # indexing there is nothing to type a query for yet, keep parity
+        return EventResult.QUIT
+    if key == KEY_BACKSPACE:
+        inp.backspace()
+    elif key == KEY_DELETE:
+        inp.delete()
+    elif key == KEY_LEFT:
+        inp.left()
+    elif key == KEY_RIGHT:
+        inp.right()
+    elif key == KEY_HOME:
+        inp.home()
+    elif key == KEY_END:
+        inp.end()
+    elif len(key) == 1 and key.isprintable():
+        inp.insert(key)
+    return EventResult.CONTINUE

@@ -1,0 +1,247 @@
+"""TUI key routing + rendering logic (≙ events.rs / ui.rs), curses-free."""
+
+from pathlib import Path
+
+import pytest
+
+from sema_tpu.search.engine import Engine
+from sema_tpu.tui import events as ev
+from sema_tpu.tui import render as rd
+from sema_tpu.types import Chunk, SearchResult, UIMode, AppState
+
+
+def results(n, path_fmt="f{}.py"):
+    return [SearchResult(
+        chunk=Chunk(id=f"{i}", file_path=Path(path_fmt.format(i)),
+                    start_line=i * 10 + 1, end_line=i * 10 + 5,
+                    content="c"), score=1.0 - i * 0.01)
+        for i in range(n)]
+
+
+def ready_engine(n=5):
+    eng = Engine()
+    eng.state = AppState.READY
+    eng.search_results = results(n)
+    eng.ui_mode = UIMode.SEARCH_RESULTS
+    return eng
+
+
+# -- input state (≙ tui_input) -------------------------------------------------
+
+def test_input_state_editing():
+    s = ev.InputState()
+    for ch in "abc":
+        s.insert(ch)
+    s.left(); s.insert("X")
+    assert s.text == "abXc" and s.cursor == 3
+    s.backspace()
+    assert s.text == "abc" and s.cursor == 2
+    s.home(); s.delete()
+    assert s.text == "bc" and s.cursor == 0
+    s.end()
+    assert s.cursor == 2
+
+
+# -- key routing -----------------------------------------------------------------
+
+def test_results_per_page():
+    assert ev.results_per_page(32) == 10   # (32-2)/3
+    assert ev.results_per_page(2) == 1     # min 1 (events.rs:26)
+
+
+def test_enter_in_input_executes_search():
+    eng = ready_engine()
+    eng.ui_mode = UIMode.SEARCH_INPUT
+    inp = ev.InputState(text="hello", cursor=5)
+    assert ev.handle_key_ready(ev.KEY_ENTER, eng, inp, 30) is \
+        ev.EventResult.EXECUTE_SEARCH
+
+
+def test_enter_empty_input_continues():
+    eng = ready_engine()
+    eng.ui_mode = UIMode.SEARCH_INPUT
+    inp = ev.InputState(text="   ", cursor=3)
+    assert ev.handle_key_ready(ev.KEY_ENTER, eng, inp, 30) is \
+        ev.EventResult.CONTINUE
+
+
+def test_enter_in_results_opens_file():
+    eng = ready_engine()
+    assert ev.handle_key_ready(ev.KEY_ENTER, eng, ev.InputState(), 30) is \
+        ev.EventResult.OPEN_FILE
+
+
+def test_esc_walks_back_modes():
+    eng = ready_engine()
+    eng.ui_mode = UIMode.FILE_PREVIEW
+    ev.handle_key_ready(ev.KEY_ESC, eng, ev.InputState(), 30)
+    assert eng.ui_mode is UIMode.SEARCH_RESULTS
+    ev.handle_key_ready(ev.KEY_ESC, eng, ev.InputState(), 30)
+    assert eng.ui_mode is UIMode.SEARCH_INPUT
+    # in input mode Esc clears (ExecuteSearch with empty text)
+    inp = ev.InputState(text="abc", cursor=3)
+    assert ev.handle_key_ready(ev.KEY_ESC, eng, inp, 30) is \
+        ev.EventResult.EXECUTE_SEARCH
+    assert inp.text == ""
+
+
+def test_tab_cycles_only_with_results():
+    eng = ready_engine()
+    eng.ui_mode = UIMode.SEARCH_INPUT
+    ev.handle_key_ready(ev.KEY_TAB, eng, ev.InputState(), 30)
+    assert eng.ui_mode is UIMode.SEARCH_RESULTS
+    ev.handle_key_ready(ev.KEY_TAB, eng, ev.InputState(), 30)
+    assert eng.ui_mode is UIMode.FILE_PREVIEW
+    ev.handle_key_ready(ev.KEY_TAB, eng, ev.InputState(), 30)
+    assert eng.ui_mode is UIMode.SEARCH_INPUT
+
+    empty = Engine()
+    empty.state = AppState.READY
+    empty.ui_mode = UIMode.SEARCH_INPUT
+    ev.handle_key_ready(ev.KEY_TAB, empty, ev.InputState(), 30)
+    assert empty.ui_mode is UIMode.SEARCH_INPUT  # events.rs:60-69
+
+
+def test_navigation_and_scroll_clamping():
+    eng = ready_engine(20)
+    # page = (8-2)/3 = 2 rows visible
+    for _ in range(5):
+        ev.handle_key_ready(ev.KEY_DOWN, eng, ev.InputState(), 8)
+    assert eng.selected_search_result == 5
+    assert eng.search_results_scroll_offset == 4  # sel - visible + 1
+    ev.handle_key_ready(ev.KEY_PGUP, eng, ev.InputState(), 8)
+    assert eng.selected_search_result == 3
+    ev.handle_key_ready(ev.KEY_PGDN, eng, ev.InputState(), 8)
+    assert eng.selected_search_result == 5
+    # up beyond 0 clamps
+    eng.selected_search_result = 0
+    ev.handle_key_ready(ev.KEY_UP, eng, ev.InputState(), 8)
+    assert eng.selected_search_result == 0
+
+
+def test_preview_scrolling():
+    eng = ready_engine()
+    eng.ui_mode = UIMode.FILE_PREVIEW
+    ev.handle_key_ready(ev.KEY_DOWN, eng, ev.InputState(), 30)
+    assert eng.file_preview_scroll_offset == 1
+    ev.handle_key_ready(ev.KEY_PGDN, eng, ev.InputState(), 30)
+    assert eng.file_preview_scroll_offset == 11
+    ev.handle_key_ready(ev.KEY_PGUP, eng, ev.InputState(), 30)
+    assert eng.file_preview_scroll_offset == 1
+    ev.handle_key_ready(ev.KEY_UP, eng, ev.InputState(), 30)
+    assert eng.file_preview_scroll_offset == 0
+
+
+def test_q_quits_outside_input_only():
+    """Deviation from events.rs:29 (where q quits even while typing)."""
+    eng = ready_engine()
+    assert ev.handle_key_ready("q", eng, ev.InputState(), 30) is \
+        ev.EventResult.QUIT
+    eng.ui_mode = UIMode.SEARCH_INPUT
+    inp = ev.InputState()
+    assert ev.handle_key_ready("q", eng, inp, 30) is ev.EventResult.CONTINUE
+    assert inp.text == "q"
+
+
+def test_ctrl_c_always_quits():
+    eng = ready_engine()
+    eng.ui_mode = UIMode.SEARCH_INPUT
+    assert ev.handle_key_ready(ev.KEY_CTRL_C, eng, ev.InputState(), 30) is \
+        ev.EventResult.QUIT
+    assert ev.handle_key_non_ready(ev.KEY_CTRL_C, ev.InputState()) is \
+        ev.EventResult.QUIT
+
+
+def test_non_ready_buffers_typing():
+    inp = ev.InputState()
+    for ch in "hello":
+        ev.handle_key_non_ready(ch, inp)
+    assert inp.text == "hello"  # events.rs:176-200
+
+
+# -- rendering --------------------------------------------------------------------
+
+def test_status_messages_parity():
+    title, msg = rd.status_message(AppState.CRAWLING, 0, "")
+    assert "Crawling files..." in title and title.startswith(" ⠋")
+    title, msg = rd.status_message(AppState.CHUNKING, 1, "")
+    assert "Processing files..." in title and "⠙" in title
+    title, msg = rd.status_message(AppState.READY, 0, "")
+    assert title == " Ready to Search "
+    assert "Type your search query" in msg
+    _, msg2 = rd.status_message(AppState.READY, 0, "abc")
+    assert "refine your query" in msg2
+
+
+def test_search_box_title():
+    assert rd.search_box_title(None, 0, "", UIMode.SEARCH_INPUT) == " Search "
+    assert rd.search_box_title("oops", 5, "q", UIMode.SEARCH_INPUT) == \
+        " Search - oops "
+    assert rd.search_box_title(None, 5, "q", UIMode.SEARCH_INPUT) == \
+        " Search - 5 results "
+    assert rd.search_box_title(None, 5, "q", UIMode.SEARCH_RESULTS) == " Search "
+
+
+def test_display_path():
+    assert rd.display_path(Path("/root/x/a.py"), Path("/root/x")) == "a.py"
+    assert rd.display_path(Path("/other/place/deep/a.py"), Path("/root/x")) \
+        == "deep/a.py"
+    long = Path("/a/" + "b" * 60 + "/c.py")
+    dp = rd.display_path(long, Path("/root/x"))
+    assert dp.startswith("...") and len(dp) == 50
+
+
+def test_result_rows_badge_and_range():
+    rs = results(2)
+    rs[0].total_matches_in_file = 3
+    rows = rd.result_rows(rs, selected=1, scroll_offset=0, width=40,
+                          height=9, base_dir=Path("."))
+    assert len(rows) == 6  # 2 results × 3 lines
+    # row 0: path, bold (not selected)
+    assert rows[0][0] == ("f0.py", rd.S_BOLD)
+    # badge on first result
+    assert rows[1][0] == ("+3", rd.S_BADGE)
+    assert rows[1][-1][0] == "L1-5"
+    # selected styling on second result
+    assert rows[3][0][1] == rd.S_SELECTED
+
+
+def test_merge_term_matches_overlap():
+    # ui.rs:524-570 overlap merge
+    assert rd.merge_term_matches("abcabc", ["abc", "bca"]) == [(0, 6)]
+    assert rd.merge_term_matches("xx abc yy", ["abc"]) == [(3, 6)]
+    assert rd.merge_term_matches("ABC", ["abc"]) == [(0, 3)]
+
+
+def test_highlight_terms_splits_spans():
+    spans = [("the quick fox", rd.S_DEFAULT)]
+    out = rd.highlight_terms(spans, ["quick"])
+    assert out == [("the ", rd.S_DEFAULT), ("quick", rd.S_MATCH),
+                   (" fox", rd.S_DEFAULT)]
+
+
+def test_preview_lines_numbers_and_scroll():
+    content = "\n".join(f"line{i}" for i in range(1, 21)) + "\n"
+    lines = rd.preview_lines(content, Path("f.txt"), scroll_offset=4,
+                             visible_lines=3, search_query="hello")
+    assert len(lines) == 3
+    assert lines[0][0][0].strip().startswith("5")  # 1-based numbering
+    # semantic query → no term highlighting
+    assert all(tag != rd.S_MATCH for line in lines for _, tag in line)
+
+
+def test_preview_lines_keyword_highlight():
+    lines = rd.preview_lines("foo bar baz\n", Path("f.txt"), 0, 10, "'bar")
+    flat = [(t, s) for line in lines for t, s in line]
+    assert ("bar", rd.S_MATCH) in flat
+
+
+def test_preview_empty_file():
+    lines = rd.preview_lines("", Path("f.txt"), 0, 10, "")
+    assert lines == [[("  1 │ (empty file)", rd.S_DIM)]]
+
+
+def test_preview_scroll_clamped():
+    lines = rd.preview_lines("one\ntwo\n", Path("f.txt"), 999, 10, "")
+    assert len(lines) == 1
+    assert "two" in "".join(t for t, _ in lines[0])
