@@ -151,7 +151,7 @@ def make_index_manager(config: Config, metrics=None):
               file=sys.stderr)
     return IndexManager(
         data_dir(), encoder, store_dtype=config.index.store_dtype,
-        mesh=mesh, metrics=metrics)
+        mesh=mesh, metrics=metrics, rescore_k=config.index.rescore_k)
 
 
 def cmd_index(args) -> int:
@@ -239,8 +239,19 @@ def cmd_bench(args) -> int:
     return bench_mod.run(config_name=args.config)
 
 
+def _apply_platform_override() -> None:
+    """Honor SEMA_TPU_PLATFORM=cpu|tpu. JAX_PLATFORMS alone is not enough on
+    hosts whose TPU plugin pins the platform; the config flag wins if set
+    before the first backend initialization."""
+    platform = os.environ.get("SEMA_TPU_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = parse_args(argv)
+    _apply_platform_override()
     cmd = {"index": cmd_index, "query": cmd_query, "tui": cmd_tui,
            "bench": cmd_bench}[args.command or "tui"]
     return cmd(args)

@@ -46,11 +46,14 @@ import numpy as np
 
 from sema_tpu.types import Chunk
 
+# dtype of the persisted segment files; the int8 mode persists bf16
+# originals (the device holds the quantized copy, the disk keeps full
+# precision for the rescore pass and future re-quantization)
 _STORE_DTYPES = {
     "bfloat16": ml_dtypes.bfloat16,
     "float32": np.float32,
     "float16": np.float16,
-    "int8": np.int8,
+    "int8": ml_dtypes.bfloat16,
 }
 
 MANIFEST_VERSION = 1
@@ -75,13 +78,14 @@ class _Segment:
 class VectorStore:
     def __init__(self, data_dir: Path | str, dim: int, model: str,
                  store_dtype: str = "bfloat16", mesh=None,
-                 index_axis: str = "index"):
+                 index_axis: str = "index", rescore_k: int = 100):
         self.dir = Path(data_dir) / "vector_index"
         self.dir.mkdir(parents=True, exist_ok=True)
         self.dim = dim
         self.model = model
         self.store_dtype = store_dtype
         self.np_dtype = _STORE_DTYPES[store_dtype]
+        self.rescore_k = rescore_k
         self.mesh = mesh
         self.index_axis = index_axis
         self.segments: List[_Segment] = []
@@ -260,13 +264,18 @@ class VectorStore:
         return self.mesh.shape[self.index_axis]
 
     def _build_device(self) -> None:
-        """Concatenate live segments into the padded device matrix."""
+        """Concatenate live segments into the padded device matrix.
+
+        Rows are padded to a multiple of shards × 128 so every shard is
+        group-aligned for the hierarchical top-k selection (group=128) and
+        tile-aligned for the MXU. In int8 mode the device gets (values i8,
+        scales f32) per-row-quantized from the persisted originals.
+        """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         shards = self._shards()
         n = self.total_rows
-        # pad to a multiple of shards × 8 sublanes (min f32 tile height)
-        align = max(shards * 8, 8)
+        align = shards * 128
         n_pad = max(((n + align - 1) // align) * align, align)
 
         host = np.zeros((n_pad, self.dim), dtype=self.np_dtype)
@@ -281,14 +290,23 @@ class VectorStore:
             valid[off:off + seg.rows] = v
             off += seg.rows
 
-        if self.mesh is not None:
-            sharding = NamedSharding(self.mesh, P(self.index_axis, None))
-            vsharding = NamedSharding(self.mesh, P(self.index_axis))
-            self._device_store = jax.device_put(host, sharding)
-            self._device_valid = jax.device_put(valid, vsharding)
+        axis = self.index_axis
+
+        def put(x, spec):
+            if self.mesh is None:
+                return jnp.asarray(x)
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        if self.store_dtype == "int8":
+            from sema_tpu.ops.quant import quantize_rows
+            qvals, scales = quantize_rows(host.astype(np.float32))
+            self._device_store = (put(qvals, P(axis, None)),
+                                  put(scales, P(axis)))
+            self._store_specs = (P(axis, None), P(axis))
         else:
-            self._device_store = jnp.asarray(host)
-            self._device_valid = jnp.asarray(valid)
+            self._device_store = put(host, P(axis, None))
+            self._store_specs = P(axis, None)
+        self._device_valid = put(valid, P(axis))
 
     def device_arrays(self):
         if self._device_store is None:
@@ -309,7 +327,92 @@ class VectorStore:
             off += seg.rows
         raise IndexError(row)
 
+    def rows_at(self, rows: np.ndarray) -> np.ndarray:
+        """Gather original (full-precision) vectors for global row ids —
+        the host side of the int8 rescore pass."""
+        out = np.zeros((len(rows), self.dim), dtype=np.float32)
+        bounds = []
+        off = 0
+        for seg in self.segments:
+            bounds.append((off, seg))
+            off += seg.rows
+        for i, row in enumerate(rows):
+            row = int(row)
+            for start, seg in reversed(bounds):
+                if row >= start:
+                    self._load_segment(seg)
+                    out[i] = np.asarray(seg.vectors[row - start],
+                                        dtype=np.float32)
+                    break
+        return out
+
     # -- search -----------------------------------------------------------------
+
+    def _n_pad(self) -> int:
+        store = self._device_store
+        arr = store[0] if isinstance(store, tuple) else store
+        return int(arr.shape[0])
+
+    def _scan_fn(self, k_eff: int):
+        """Compiled (store, queries, valid) -> (scores, ids), cached per
+        (rows, k). Single-device uses the hierarchical exact selection;
+        multi-device wraps it in the shard_map all-gather merge."""
+        key = (self._n_pad(), k_eff, self.store_dtype)
+        fn = self._topk_fns.get(key)
+        if fn is not None:
+            return fn
+
+        from functools import partial
+        if self.store_dtype == "int8":
+            from sema_tpu.ops.quant import int8_topk_scores
+
+            def local_fn(store, queries, valid, k):
+                return int8_topk_scores(store[0], store[1], queries, valid, k)
+        else:
+            from sema_tpu.ops.hier_topk import batched_topk_scores_hier
+            local_fn = batched_topk_scores_hier
+
+        if self.mesh is not None:
+            from sema_tpu.parallel.sharded_topk import make_sharded_topk
+            fn = make_sharded_topk(
+                self.mesh, self._n_pad(), k_eff, axis=self.index_axis,
+                local_fn=local_fn, store_specs=self._store_specs)
+        else:
+            fn = jax.jit(partial(local_fn, k=k_eff))
+        self._topk_fns[key] = fn
+        return fn
+
+    def search_batch(self, query_vecs: np.ndarray, k: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched scan: (Q, dim) queries → (scores (Q,k'), ids (Q,k')).
+
+        int8 mode scans for ``rescore_k`` candidates and re-ranks them at
+        full precision from the host originals (BASELINE config 4)."""
+        store, valid = self.device_arrays()
+        quantized = self.store_dtype == "int8"
+        k_scan = min(max(k, self.rescore_k) if quantized else k,
+                     self._n_pad())
+        fn = self._scan_fn(k_scan)
+        q = jnp.asarray(query_vecs, dtype=jnp.float32)
+        scores, idx = fn(store, q, valid)
+        scores, idx = np.asarray(scores), np.asarray(idx)
+
+        if quantized:
+            from sema_tpu.ops.quant import rescore_exact
+            out_s = np.full((len(query_vecs), k), -np.inf, dtype=np.float32)
+            out_i = np.zeros((len(query_vecs), k), dtype=np.int32)
+            for qi in range(len(query_vecs)):
+                keep = np.isfinite(scores[qi])
+                ids = idx[qi][keep]
+                if len(ids) == 0:
+                    continue
+                full = self.rows_at(ids)
+                s, ii = rescore_exact(full, np.asarray(query_vecs[qi]),
+                                      ids, k)
+                out_s[qi, :len(s)] = s
+                out_i[qi, :len(s)] = ii
+            return out_s, out_i
+        return scores, idx
 
     def search(self, query_vec: np.ndarray, k: int
                ) -> List[Tuple[Chunk, float]]:
@@ -319,28 +422,11 @@ class VectorStore:
         makes result ordering meaningful."""
         if self.live_rows == 0:
             return []
-        store, valid = self.device_arrays()
-        k_eff = min(k, int(store.shape[0]))
-
-        key = (int(store.shape[0]), k_eff)
-        fn = self._topk_fns.get(key)
-        if fn is None:
-            if self.mesh is not None:
-                from sema_tpu.parallel.sharded_topk import make_sharded_topk
-                fn = make_sharded_topk(self.mesh, int(store.shape[0]), k_eff,
-                                       axis=self.index_axis)
-            else:
-                from functools import partial
-                from sema_tpu.ops.topk import batched_topk_scores
-                fn = jax.jit(partial(batched_topk_scores, k=k_eff))
-            self._topk_fns[key] = fn
-
-        q = jnp.asarray(query_vec, dtype=jnp.float32)[None, :]
-        scores, idx = fn(store, q, valid)
-        scores = np.asarray(scores)[0]
-        idx = np.asarray(idx)[0]
+        k_eff = min(k, self.live_rows)
+        scores, idx = self.search_batch(
+            np.asarray(query_vec, dtype=np.float32)[None, :], k_eff)
         out: List[Tuple[Chunk, float]] = []
-        for s, i in zip(scores, idx):
+        for s, i in zip(scores[0], idx[0]):
             if not np.isfinite(s):
                 continue  # masked/padded rows ranked past the live ones
             out.append((self.chunk_at(int(i)), float(s)))

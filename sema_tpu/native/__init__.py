@@ -5,13 +5,13 @@ delegates to native Rust crates (SURVEY.md §2 native inventory):
 
 - gitignore-aware directory crawl (≙ ``ignore`` crate, crawler/mod.rs),
 - parallel byte-window chunker (≙ rayon + processor.rs),
-- xxh3-128 content hashing (≙ xxhash-rust, storage/mod.rs:72-94),
-- BM25 inverted text index (≙ tantivy, text_indexer.rs).
+- xxh3-128 content hashing (≙ xxhash-rust, storage/mod.rs:72-94).
 
-Bindings use ctypes against a plain C ABI (pybind11 is not available in this
-environment). Importing this package raises ImportError when the library has
-not been built (``make -C native``); callers fall back to the pure-Python
-implementations.
+Bindings use ctypes against a plain C ABI with length-prefixed binary
+payloads (pybind11 is not available in this environment). Importing this
+package raises ImportError when the library has not been built
+(``make -C native``); callers fall back to the pure-Python implementations,
+which are the semantic oracles the native code is tested against.
 """
 
 from sema_tpu.native.bindings import (

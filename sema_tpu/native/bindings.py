@@ -1,14 +1,16 @@
 """ctypes bindings for libsema_native.so (built from /native).
 
-Raises ImportError at import time if the shared library is absent, so that
-``from sema_tpu.native import ...`` can be used as a feature probe.
+Wire format: every native call returns a malloc'd ``[u64 len][payload]``
+buffer freed with ``sema_free``. Payload layouts are documented alongside
+each wrapper. Raises ImportError at import time if the library is absent,
+so ``from sema_tpu.native import ...`` doubles as a feature probe.
 """
 
 from __future__ import annotations
 
 import ctypes
-import json
 import os
+import struct
 from pathlib import Path
 from typing import List
 
@@ -32,54 +34,85 @@ def lib_path() -> Path:
 
 _lib = ctypes.CDLL(str(lib_path()))
 
-# All native entry points exchange JSON over a simple C ABI:
-#   char* fn(const char* request_json)  — caller frees with sema_free.
-# JSON marshalling costs are negligible next to the file I/O these calls
-# wrap, and it keeps the ABI robust across compilers.
-for name in ("sema_crawl", "sema_chunk_files", "sema_hash_file"):
-    fn = getattr(_lib, name)
-    fn.argtypes = [ctypes.c_char_p]
-    fn.restype = ctypes.c_void_p
 _lib.sema_free.argtypes = [ctypes.c_void_p]
 _lib.sema_free.restype = None
+_lib.sema_hash_file.argtypes = [ctypes.c_char_p]
+_lib.sema_hash_file.restype = ctypes.c_void_p
+_lib.sema_chunk_files.argtypes = [ctypes.c_char_p, ctypes.c_int]
+_lib.sema_chunk_files.restype = ctypes.c_void_p
+_lib.sema_crawl.argtypes = [
+    ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+    ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p]
+_lib.sema_crawl.restype = ctypes.c_void_p
 
 
-def _call(name: str, request: dict):
-    raw = getattr(_lib, name)(json.dumps(request).encode("utf-8"))
-    if not raw:
-        raise RuntimeError(f"native {name} returned NULL")
+def _take(ptr) -> bytes:
+    if not ptr:
+        raise RuntimeError("native call returned NULL")
     try:
-        payload = ctypes.string_at(raw).decode("utf-8")
+        (n,) = struct.unpack_from("<Q", ctypes.string_at(ptr, 8))
+        return ctypes.string_at(ptr + 8, n)
     finally:
-        _lib.sema_free(raw)
-    out = json.loads(payload)
-    if "error" in out:
-        raise RuntimeError(f"native {name}: {out['error']}")
+        _lib.sema_free(ptr)
+
+
+def hash_file_native(path: str) -> str:
+    """xxh3-128 unpadded lowercase hex; empty string if unreadable."""
+    out = _take(_lib.sema_hash_file(str(path).encode())).decode()
+    if not out:
+        raise OSError(f"native hash failed for {path}")
     return out
 
 
 def crawl_native(root: str, config: CrawlerConfig) -> List[str]:
-    out = _call("sema_crawl", {
-        "root": root,
-        "max_file_size": config.max_file_size,
-        "follow_symlinks": config.follow_symlinks,
-        "include_hidden": config.include_hidden,
-        "file_extensions": list(config.file_extensions),
-        "exclude_patterns": list(config.exclude_patterns),
-        "ignore_gitignore": config.ignore_gitignore,
-    })
-    return out["files"]
+    payload = _take(_lib.sema_crawl(
+        str(root).encode(),
+        config.max_file_size,
+        int(config.follow_symlinks),
+        int(config.include_hidden),
+        int(config.ignore_gitignore),
+        "\n".join(config.file_extensions).encode(),
+        "\n".join(config.exclude_patterns).encode()))
+    text = payload.decode("utf-8", "surrogateescape")
+    return [p for p in text.split("\n") if p]
 
 
-def chunk_files_native(files: List[str]) -> List[Chunk]:
-    out = _call("sema_chunk_files", {"files": files})
-    return [
-        Chunk(id=c["id"], file_path=Path(c["file_path"]),
-              start_line=c["start_line"], end_line=c["end_line"],
-              content=c["content"])
-        for c in out["chunks"]
-    ]
+def chunk_files_native(files: List[str], n_threads: int = 0) -> List[Chunk]:
+    """Parallel chunking; payload is
+    u32 count then per chunk: str path, u32 ordinal, u64 start, u64 end,
+    str content (str = u32 length + utf8 bytes)."""
+    payload = _take(_lib.sema_chunk_files(
+        "\n".join(str(f) for f in files).encode(), n_threads))
+    off = 0
 
+    def u32():
+        nonlocal off
+        (v,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        return v
 
-def hash_file_native(path: str) -> str:
-    return _call("sema_hash_file", {"path": path})["hash"]
+    def u64():
+        nonlocal off
+        (v,) = struct.unpack_from("<Q", payload, off)
+        off += 8
+        return v
+
+    def s():
+        nonlocal off
+        n = u32()
+        v = payload[off:off + n]
+        off += n
+        return v
+
+    count = u32()
+    chunks: List[Chunk] = []
+    for _ in range(count):
+        path = s().decode()
+        ordinal = u32()
+        start_line = u64()
+        end_line = u64()
+        content = s().decode()
+        chunks.append(Chunk(
+            id=f"{path}:{ordinal}", file_path=Path(path),
+            start_line=start_line, end_line=end_line, content=content))
+    return chunks

@@ -21,7 +21,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+# plain float so importing this module never initializes a backend
+NEG_INF = float("-inf")
 
 
 def batched_topk_scores(store: jax.Array, queries: jax.Array,

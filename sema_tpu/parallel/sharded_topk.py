@@ -26,10 +26,9 @@ from sema_tpu.ops.topk import batched_topk_scores
 
 
 def _local_then_merge(store_shard, queries, valid_shard, *, k: int,
-                      axis: str, shard_rows: int):
+                      axis: str, shard_rows: int, local_fn):
     """Runs per-chip under shard_map."""
-    local_scores, local_idx = batched_topk_scores(
-        store_shard, queries, valid_shard, k)
+    local_scores, local_idx = local_fn(store_shard, queries, valid_shard, k)
     # globalize row ids
     shard_id = jax.lax.axis_index(axis)
     local_idx = local_idx + shard_id * shard_rows
@@ -49,26 +48,35 @@ def _local_then_merge(store_shard, queries, valid_shard, *, k: int,
 
 
 def make_sharded_topk(mesh: Mesh, total_rows: int, k: int,
-                      axis: str = "index"):
+                      axis: str = "index", local_fn=None,
+                      store_specs=None):
     """Compile a (store, queries, valid) -> (scores, indices) function with
     the store and validity mask sharded over ``axis`` and queries replicated.
 
     ``total_rows`` must be divisible by the axis size (the store pads its
     row count to a shard multiple and masks the padding).
+
+    ``local_fn(store_shard, queries, valid_shard, k)`` is the per-chip scan
+    (default: the bf16 exact scan); ``store`` may be any pytree (e.g. the
+    int8 path's (values, scales)) with matching ``store_specs``.
     """
     c = mesh.shape[axis]
     if total_rows % c:
         raise ValueError(f"rows {total_rows} not divisible by {c} shards")
     shard_rows = total_rows // c
 
-    fn = partial(_local_then_merge, k=k, axis=axis, shard_rows=shard_rows)
-    other = [a for a in mesh.axis_names if a != axis]
-    spec_sharded_rows = P(axis, None)
+    if local_fn is None:
+        local_fn = batched_topk_scores
+    if store_specs is None:
+        store_specs = P(axis, None)
+
+    fn = partial(_local_then_merge, k=k, axis=axis, shard_rows=shard_rows,
+                 local_fn=local_fn)
     spec_replicated = P(None, None)
 
     mapped = shard_map(
         fn, mesh=mesh,
-        in_specs=(spec_sharded_rows, spec_replicated, P(axis)),
+        in_specs=(store_specs, spec_replicated, P(axis)),
         out_specs=(spec_replicated, spec_replicated),
         # after all_gather every chip holds identical candidates and computes
         # the same merge — replication is real but not VMA-inferable

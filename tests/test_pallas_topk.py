@@ -1,0 +1,82 @@
+"""Pallas fused top-k scan vs the XLA oracle (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sema_tpu.ops.pallas_topk import pallas_topk
+from sema_tpu.ops.topk import batched_topk_scores
+
+
+def _data(n, d=128, q=4, seed=0):
+    rng = np.random.default_rng(seed)
+    store = rng.standard_normal((n, d)).astype(np.float32)
+    store /= np.linalg.norm(store, axis=1, keepdims=True)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    return store, queries
+
+
+@pytest.mark.parametrize("k", [1, 10])
+@pytest.mark.parametrize("tile_n", [128, 512])
+def test_matches_oracle(k, tile_n):
+    store, queries = _data(1024)
+    valid = np.ones(1024, bool)
+    ps, pi = pallas_topk(jnp.asarray(store), jnp.asarray(queries),
+                         jnp.asarray(valid), k, tile_n=tile_n,
+                         interpret=True)
+    ns, ni = batched_topk_scores(jnp.asarray(store), jnp.asarray(queries),
+                                 jnp.asarray(valid), k)
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(ns), atol=1e-5)
+    for i in range(queries.shape[0]):
+        assert set(np.asarray(pi)[i].tolist()) == \
+            set(np.asarray(ni)[i].tolist())
+
+
+def test_masked_and_cross_tile():
+    store, queries = _data(512, q=1)
+    valid = np.ones(512, bool)
+    # best matches planted in different tiles; one tombstoned
+    store[10] = queries[0]
+    store[300] = queries[0] * 0.999
+    store[450] = queries[0] * 0.998
+    valid[300] = False
+    ps, pi = pallas_topk(jnp.asarray(store), jnp.asarray(queries),
+                         jnp.asarray(valid), 2, tile_n=128, interpret=True)
+    ids = np.asarray(pi)[0].tolist()
+    assert ids[0] == 10 and 300 not in ids and 450 in ids
+
+
+def test_duplicate_scores_distinct_rows():
+    """Ties must yield k distinct rows, not the same row k times."""
+    d = 128
+    store = np.zeros((256, d), dtype=np.float32)
+    q = np.zeros((1, d), dtype=np.float32)
+    q[0, 0] = 1.0
+    for r in (3, 77, 130, 200):
+        store[r, 0] = 1.0  # four identical perfect matches
+    valid = np.ones(256, bool)
+    ps, pi = pallas_topk(jnp.asarray(store), jnp.asarray(q),
+                         jnp.asarray(valid), 4, tile_n=128, interpret=True)
+    assert set(np.asarray(pi)[0].tolist()) == {3, 77, 130, 200}
+
+
+def test_bf16_store():
+    store, queries = _data(256, q=2)
+    valid = np.ones(256, bool)
+    ps, pi = pallas_topk(jnp.asarray(store, dtype=jnp.bfloat16),
+                         jnp.asarray(queries), jnp.asarray(valid), 5,
+                         tile_n=128, interpret=True)
+    ns, ni = batched_topk_scores(
+        jnp.asarray(store, dtype=jnp.bfloat16), jnp.asarray(queries),
+        jnp.asarray(valid), 5)
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(ns), atol=1e-2)
+
+
+def test_indivisible_tile_rejected():
+    store, queries = _data(100)
+    with pytest.raises(ValueError, match="multiple"):
+        pallas_topk(jnp.asarray(store), jnp.asarray(queries),
+                    jnp.ones(100, bool), 5, tile_n=64, interpret=True)
