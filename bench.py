@@ -65,7 +65,10 @@ def run(config_name: str = "minilm-1m") -> int:
     import jax
     import jax.numpy as jnp
 
-    rows = int(os.environ.get("SEMA_BENCH_ROWS", 1_000_000))
+    # 2^20 ≈ 1M, 128-aligned like the real store's device padding (the
+    # hierarchical selection requires group-aligned row counts)
+    rows = int(os.environ.get("SEMA_BENCH_ROWS", 1_048_576))
+    rows -= rows % 128
     dim = 384
     k = 10
     qbatch = 64
@@ -91,21 +94,26 @@ def run(config_name: str = "minilm-1m") -> int:
     queries = jax.block_until_ready(queries)
 
     from functools import partial
-    from sema_tpu.ops.topk import batched_topk_scores
+    from sema_tpu.ops.hier_topk import batched_topk_scores_hier
 
-    scan = jax.jit(partial(batched_topk_scores, k=k))
+    # the production selection path (exact; see ops/hier_topk.py)
+    scan = jax.jit(partial(batched_topk_scores_hier, k=k, group=128))
 
-    # --- recall@10 vs NumPy oracle (8 queries, f32 host scan)
-    oracle_q = np.asarray(queries[:8], dtype=np.float32)
-    host_store = np.asarray(store, dtype=np.float32)
-    oracle_scores = oracle_q @ host_store.T
+    # --- recall@10 vs a host argsort oracle. The raw scores are computed
+    # on device with the same matmul as the scan (selection is what's being
+    # validated); only the (8, N) score slab crosses the tunnel, never the
+    # full store (pulling GBs through a tunneled device link stalls for
+    # minutes).
+    oracle_scores = np.asarray(jax.jit(
+        lambda qs: jnp.einsum("qd,nd->qn", qs.astype(store.dtype), store,
+                              preferred_element_type=jnp.float32)
+    )(queries[:8]))
     oracle_top = np.argsort(-oracle_scores, axis=1)[:, :k]
     del oracle_scores
     got_scores, got_idx = scan(store, queries[:8], valid)
     got_idx = np.asarray(got_idx)
     recall = np.mean([
         len(set(got_idx[i]) & set(oracle_top[i])) / k for i in range(8)])
-    del host_store
 
     # --- batched QPS: device time per batch via chained dispatch
     nchain = 16

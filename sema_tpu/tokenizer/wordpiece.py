@@ -200,6 +200,49 @@ class HashTokenizer:
         return ids, [1] * len(ids)
 
 
+class HFTokenizerBackend:
+    """Production tokenizer: the ``tokenizers`` Rust core (the same library
+    the reference links, embeddings.rs:20) wrapped with our encode
+    semantics. Used automatically when a vocab is available;
+    ``SEMA_TPU_PURE_TOKENIZER=1`` forces the pure-Python implementation
+    (which is the parity oracle in tests)."""
+
+    def __init__(self, vocab: Dict[str, int], lowercase: bool = True):
+        from tokenizers import Tokenizer, models, normalizers, pre_tokenizers
+
+        self._tok = Tokenizer(models.WordPiece(
+            vocab, unk_token=UNK, max_input_chars_per_word=100))
+        self._tok.normalizer = normalizers.BertNormalizer(lowercase=lowercase)
+        self._tok.pre_tokenizer = pre_tokenizers.BertPreTokenizer()
+        self.vocab = vocab
+        self.pad_id = vocab.get(PAD, 0)
+        self.unk_id = vocab.get(UNK, 1)
+        self.cls_id = vocab.get(CLS, 2)
+        self.sep_id = vocab.get(SEP, 3)
+
+    def _finish(self, ids: List[int], max_length: int):
+        ids = [self.cls_id] + ids + [self.sep_id]
+        ids = ids[:max_length]
+        return ids, [1] * len(ids)
+
+    def encode(self, text: str, max_length: int):
+        return self._finish(self._tok.encode(text).ids, max_length)
+
+    def encode_batch(self, texts: List[str], max_length: int):
+        encs = self._tok.encode_batch(texts)
+        return [self._finish(e.ids, max_length) for e in encs]
+
+
+def _wrap_vocab(vocab: Dict[str, int], lowercase: bool = True):
+    """Pick the fast Rust backend when available, else pure Python."""
+    if os.environ.get("SEMA_TPU_PURE_TOKENIZER"):
+        return WordPieceTokenizer(vocab, lowercase=lowercase)
+    try:
+        return HFTokenizerBackend(vocab, lowercase=lowercase)
+    except ImportError:
+        return WordPieceTokenizer(vocab, lowercase=lowercase)
+
+
 def _hf_cache_snapshot(repo: str) -> Optional[Path]:
     cache = Path(os.environ.get(
         "HF_HOME", Path.home() / ".cache" / "huggingface")) / "hub"
@@ -224,19 +267,22 @@ def load_tokenizer(vocab_size: int, hf_repo: str = "",
                     p = p / name
                     break
         if p.name == "tokenizer.json":
-            return WordPieceTokenizer.from_tokenizer_json(p), "local"
+            ref = WordPieceTokenizer.from_tokenizer_json(p)
+            return _wrap_vocab(ref.vocab, ref.lowercase), "local"
         if p.exists():
-            return WordPieceTokenizer.from_vocab_file(p), "local"
+            ref = WordPieceTokenizer.from_vocab_file(p)
+            return _wrap_vocab(ref.vocab, ref.lowercase), "local"
         raise FileNotFoundError(f"tokenizer not found: {path}")
 
     if hf_repo:
         snap = _hf_cache_snapshot(hf_repo)
         if snap is not None:
-            if (snap / "tokenizer.json").exists():
-                return (WordPieceTokenizer.from_tokenizer_json(
-                    snap / "tokenizer.json"), "hf-cache")
-            if (snap / "vocab.txt").exists():
-                return (WordPieceTokenizer.from_vocab_file(
-                    snap / "vocab.txt"), "hf-cache")
+            for name in ("tokenizer.json", "vocab.txt"):
+                if (snap / name).exists():
+                    loader = (WordPieceTokenizer.from_tokenizer_json
+                              if name == "tokenizer.json"
+                              else WordPieceTokenizer.from_vocab_file)
+                    ref = loader(snap / name)
+                    return _wrap_vocab(ref.vocab, ref.lowercase), "hf-cache"
 
     return HashTokenizer(vocab_size), "hash"

@@ -102,3 +102,31 @@ def test_parity_vs_hf_tokenizers():
         got = ours.tokenize(text)
         want = hf.encode(text).tokens
         assert got == want, f"{text!r}: {got} != {want}"
+
+
+def test_hf_backend_matches_pure():
+    """The production Rust backend and the pure-Python oracle produce
+    identical encodings (specials + hard truncation included)."""
+    pytest.importorskip("tokenizers")
+    from sema_tpu.tokenizer.wordpiece import HFTokenizerBackend
+    hf = HFTokenizerBackend(VOCAB)
+    py = WordPieceTokenizer(VOCAB)
+    cases = ["The quick brown fox jumps over the lazy dog!",
+             "unaffable, unaffable... UNAFFABLE",
+             "", "a b c 1 11"]
+    for text in cases:
+        for max_len in (4, 16, 64):
+            assert hf.encode(text, max_len) == py.encode(text, max_len)
+    batch = hf.encode_batch(cases, 16)
+    assert batch == [py.encode(t, 16) for t in cases]
+
+
+def test_load_tokenizer_from_vocab_file(tmp_path):
+    from sema_tpu.tokenizer import load_tokenizer
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(VOCAB_TOKENS) + "\n")
+    tok, source = load_tokenizer(100, path=str(tmp_path))
+    assert source == "local"
+    ids, _ = tok.encode("hello world", 8)
+    assert ids == [VOCAB["[CLS]"], VOCAB["hello"], VOCAB["world"],
+                   VOCAB["[SEP]"]]
