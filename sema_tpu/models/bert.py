@@ -22,7 +22,8 @@ Parameter tree (all arrays; layer-stacked leaves have leading dim L):
     embeddings:
       word (V,H)  position (P,H)  token_type (2,H)  ln_scale (H,)  ln_bias (H,)
     layers:
-      q_w k_w v_w (L,H,H)      q_b k_b v_b (L,H)
+      qkv_w (L,H,3H)           qkv_b (L,3H)     [q|k|v fused at load time —
+                                one MXU dispatch instead of three small ones]
       attn_out_w (L,H,H)       attn_out_b (L,H)
       attn_ln_scale attn_ln_bias (L,H)
       ffn_in_w (L,H,I)         ffn_in_b (L,I)
@@ -62,15 +63,14 @@ def _attention(x: jax.Array, layer: Params, mask_bias: jax.Array,
     b, s, h = x.shape
     hd = h // num_heads
 
-    def proj(w, bias):
-        y = jnp.einsum("bsh,hd->bsd", x, w.astype(x.dtype),
-                       preferred_element_type=jnp.float32)
-        y = (y + bias.astype(jnp.float32)).astype(x.dtype)
+    qkv = jnp.einsum("bsh,hm->bsm", x, layer["qkv_w"].astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    qkv = (qkv + layer["qkv_b"].astype(jnp.float32)).astype(x.dtype)
+
+    def heads(y):
         return y.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
 
-    q = proj(layer["q_w"], layer["q_b"])
-    k = proj(layer["k_w"], layer["k_b"])
-    v = proj(layer["v_w"], layer["v_b"])
+    q, k, v = (heads(y) for y in jnp.split(qkv, 3, axis=-1))
 
     scores = jnp.einsum("bnqd,bnkd->bnqk", q, k,
                         preferred_element_type=jnp.float32)

@@ -27,14 +27,8 @@ import numpy as np
 
 from sema_tpu.models.registry import EncoderSpec
 
-# (our leaf name, HF suffix, transpose?)
+# (our leaf name, HF suffix, transpose?) — q/k/v are fused post-load
 _LAYER_LEAVES = [
-    ("q_w", "attention.self.query.weight", True),
-    ("q_b", "attention.self.query.bias", False),
-    ("k_w", "attention.self.key.weight", True),
-    ("k_b", "attention.self.key.bias", False),
-    ("v_w", "attention.self.value.weight", True),
-    ("v_b", "attention.self.value.bias", False),
     ("attn_out_w", "attention.output.dense.weight", True),
     ("attn_out_b", "attention.output.dense.bias", False),
     ("attn_ln_scale", "attention.output.LayerNorm.weight", False),
@@ -75,12 +69,24 @@ def from_hf_tensors(tensors: Dict[str, np.ndarray], spec: EncoderSpec,
            for ours, hf in _EMB_LEAVES}
 
     layers: Dict[str, list] = {ours: [] for ours, _, _ in _LAYER_LEAVES}
+    layers["qkv_w"] = []
+    layers["qkv_b"] = []
     for i in range(spec.num_layers):
         for ours, suffix, transpose in _LAYER_LEAVES:
             w = get(f"encoder.layer.{i}.{suffix}")
             if transpose:
                 w = w.T
             layers[ours].append(np.asarray(w))
+        # fuse q|k|v: torch Linear weights are (out, in) → transpose to
+        # (in, out) then concatenate along out → (H, 3H)
+        qkv_w = np.concatenate([
+            np.asarray(get(f"encoder.layer.{i}.attention.self.{p}.weight")).T
+            for p in ("query", "key", "value")], axis=1)
+        qkv_b = np.concatenate([
+            np.asarray(get(f"encoder.layer.{i}.attention.self.{p}.bias"))
+            for p in ("query", "key", "value")])
+        layers["qkv_w"].append(qkv_w)
+        layers["qkv_b"].append(qkv_b)
     stacked = {k: jnp.asarray(np.stack(v), dtype=param_dtype)
                for k, v in layers.items()}
     return {"embeddings": emb, "layers": stacked}
@@ -105,8 +111,7 @@ def random_params(spec: EncoderSpec, seed: int = 0,
         "ln_bias": jnp.zeros((H,), param_dtype),
     }
     shapes = {
-        "q_w": (L, H, H), "q_b": (L, H), "k_w": (L, H, H), "k_b": (L, H),
-        "v_w": (L, H, H), "v_b": (L, H),
+        "qkv_w": (L, H, 3 * H), "qkv_b": (L, 3 * H),
         "attn_out_w": (L, H, H), "attn_out_b": (L, H),
         "ffn_in_w": (L, H, I), "ffn_in_b": (L, I),
         "ffn_out_w": (L, I, H), "ffn_out_b": (L, H),

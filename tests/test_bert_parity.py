@@ -115,11 +115,11 @@ def test_random_params_deterministic():
     spec = get_spec("test-tiny")
     a = random_params(spec, seed=7)
     b = random_params(spec, seed=7)
-    assert np.array_equal(np.asarray(a["layers"]["q_w"]),
-                          np.asarray(b["layers"]["q_w"]))
+    assert np.array_equal(np.asarray(a["layers"]["qkv_w"]),
+                          np.asarray(b["layers"]["qkv_w"]))
     c = random_params(spec, seed=8)
-    assert not np.array_equal(np.asarray(a["layers"]["q_w"]),
-                              np.asarray(c["layers"]["q_w"]))
+    assert not np.array_equal(np.asarray(a["layers"]["qkv_w"]),
+                              np.asarray(c["layers"]["qkv_w"]))
 
 
 def test_cls_pooling():
