@@ -29,7 +29,7 @@ from sema_tpu.config import (Config, ConfigManager, apply_cli_overrides,
                              data_dir)
 from sema_tpu.types import CrawlerConfig
 
-SUBCOMMANDS = {"index", "query", "tui", "bench"}
+SUBCOMMANDS = {"index", "query", "tui", "bench", "serve"}
 
 
 def _add_crawl_flags(p: argparse.ArgumentParser) -> None:
@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
     bench.add_argument("--config", default="minilm-10k",
                        help="benchmark config name")
     _add_model_flags(bench)
+
+    serve = sub.add_parser("serve", help="HTTP search daemon over the index")
+    serve.add_argument("--host", default="127.0.0.1")
+    serve.add_argument("--port", type=int, default=7700)
+    _add_model_flags(serve)
 
     return p
 
@@ -249,11 +254,19 @@ def _apply_platform_override() -> None:
         jax.config.update("jax_platforms", platform)
 
 
+def cmd_serve(args) -> int:
+    from sema_tpu.search.http_server import serve_forever
+    config = load_config(args)
+    mgr = make_index_manager(config)
+    serve_forever(mgr, host=args.host, port=args.port)
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = parse_args(argv)
     _apply_platform_override()
     cmd = {"index": cmd_index, "query": cmd_query, "tui": cmd_tui,
-           "bench": cmd_bench}[args.command or "tui"]
+           "bench": cmd_bench, "serve": cmd_serve}[args.command or "tui"]
     return cmd(args)
 
 

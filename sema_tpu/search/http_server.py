@@ -1,0 +1,147 @@
+"""HTTP serving daemon — ``sema-tpu serve``.
+
+The reference is TUI-only (SURVEY.md §1: "no headless/index-only or
+query-only mode"). Production serving needs a long-lived process that keeps
+the model and the device-resident store warm and multiplexes concurrent
+clients; this daemon exposes the search engine over HTTP using only the
+stdlib:
+
+    GET  /healthz              → {"status": "ok", rows, model}
+    GET  /search?q=...&k=10    → {"results": [{id, file_path, start_line,
+                                   end_line, score, content}], "took_ms": N}
+    POST /search               → same, JSON body {"q": ..., "k": ...}
+
+Semantic queries ride the :class:`QueryBatcher` so concurrent requests
+coalesce into one device dispatch (BASELINE config 5); ``'``-prefixed
+keyword queries answer from the host BM25 index directly.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from sema_tpu.search.server import QueryBatcher
+
+
+def _result_row(chunk, score: float) -> dict:
+    return {
+        "id": chunk.id, "file_path": str(chunk.file_path),
+        "start_line": chunk.start_line, "end_line": chunk.end_line,
+        "score": score, "content": chunk.content,
+    }
+
+
+class SearchService:
+    """Shared state behind the HTTP handlers (and reusable headlessly)."""
+
+    def __init__(self, index_manager, max_batch: int = 64,
+                 max_wait_ms: float = 2.0):
+        self.manager = index_manager
+        self.batcher = QueryBatcher(
+            index_manager.vector_store, max_batch=max_batch,
+            max_wait_ms=max_wait_ms)
+
+    def search(self, query: str, k: int):
+        query = query.strip()
+        if query.startswith("'"):
+            stripped = query[1:]
+            if not stripped:
+                return []
+            return self.manager.text_index.search(stripped, k)
+        qvec = self.manager.encoder.encode_query(query)
+        return self.batcher.search(qvec, k)
+
+    def stats(self) -> dict:
+        return {
+            "status": "ok",
+            "model": self.manager.encoder.spec.name,
+            "rows": self.manager.vector_store.live_rows,
+            "text_docs": self.manager.text_index.num_live_docs,
+        }
+
+    def close(self):
+        self.batcher.close()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: SearchService  # injected via the server class
+
+    def _send(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _handle_search(self, query: Optional[str], k: int) -> None:
+        if not query:
+            self._send(400, {"error": "missing query parameter 'q'"})
+            return
+        t0 = time.perf_counter()
+        try:
+            results = self.service.search(query, k)
+        except Exception as e:  # noqa: BLE001
+            self._send(500, {"error": str(e)})
+            return
+        self._send(200, {
+            "results": [_result_row(c, s) for c, s in results],
+            "took_ms": round((time.perf_counter() - t0) * 1e3, 3),
+        })
+
+    def do_GET(self):
+        url = urllib.parse.urlparse(self.path)
+        if url.path == "/healthz":
+            self._send(200, self.service.stats())
+            return
+        if url.path == "/search":
+            qs = urllib.parse.parse_qs(url.query)
+            query = (qs.get("q") or [None])[0]
+            try:
+                k = int((qs.get("k") or ["10"])[0])
+            except ValueError:
+                self._send(400, {"error": "k must be an integer"})
+                return
+            self._handle_search(query, max(1, min(k, 1000)))
+            return
+        self._send(404, {"error": f"unknown path {url.path}"})
+
+    def do_POST(self):
+        url = urllib.parse.urlparse(self.path)
+        if url.path != "/search":
+            self._send(404, {"error": f"unknown path {url.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(length) or b"{}")
+            query = payload.get("q")
+            k = int(payload.get("k", 10))
+        except (ValueError, json.JSONDecodeError):
+            self._send(400, {"error": "invalid JSON body"})
+            return
+        self._handle_search(query, max(1, min(k, 1000)))
+
+
+def make_server(service: SearchService, host: str = "127.0.0.1",
+                port: int = 7700) -> ThreadingHTTPServer:
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_forever(index_manager, host: str = "127.0.0.1", port: int = 7700):
+    service = SearchService(index_manager)
+    server = make_server(service, host, port)
+    print(f"serving on http://{host}:{server.server_address[1]} "
+          f"({service.stats()['rows']} vectors)")
+    try:
+        server.serve_forever()
+    finally:
+        service.close()

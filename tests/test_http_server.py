@@ -1,0 +1,117 @@
+"""HTTP serving daemon: endpoints, concurrency, error paths."""
+
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import pytest
+
+from sema_tpu.index import IndexManager
+from sema_tpu.models import Encoder, get_spec
+from sema_tpu.models.loader import random_params
+from sema_tpu.search.http_server import SearchService, make_server
+from sema_tpu.tokenizer import HashTokenizer
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("srv")
+    spec = get_spec("test-tiny")
+    enc = Encoder(spec, random_params(spec), HashTokenizer(spec.vocab_size),
+                  batch_size=8)
+    mgr = IndexManager(tmp / "data", enc)
+
+    tree = tmp / "tree"
+    tree.mkdir()
+    (tree / "auth.py").write_text(
+        "def verify_token(jwt):\n    return decode_and_check(jwt)\n" * 4)
+    (tree / "cache.md").write_text(
+        "# LRU cache eviction policy\nleast recently used entries drop\n" * 4)
+    mgr.process_and_index_files(sorted(tree.glob("*")))
+
+    service = SearchService(mgr, max_batch=4, max_wait_ms=2)
+    httpd = make_server(service, host="127.0.0.1", port=0)  # ephemeral port
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base
+    httpd.shutdown()
+    service.close()
+
+
+def get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server):
+    status, body = get(f"{server}/healthz")
+    assert status == 200
+    assert body["status"] == "ok"
+    assert body["rows"] > 0
+    assert body["model"] == "test-tiny"
+
+
+def test_semantic_search_get(server):
+    status, body = get(f"{server}/search?q=token+verification&k=3")
+    assert status == 200
+    assert len(body["results"]) == 3
+    assert body["took_ms"] > 0
+    r = body["results"][0]
+    assert {"id", "file_path", "start_line", "end_line", "score",
+            "content"} <= set(r)
+
+
+def test_keyword_search_get(server):
+    status, body = get(f"{server}/search?q='eviction&k=10")
+    assert status == 200
+    assert body["results"]
+    assert all("cache.md" in r["file_path"] for r in body["results"])
+
+
+def test_post_search(server):
+    req = urllib.request.Request(
+        f"{server}/search", data=json.dumps({"q": "cache", "k": 2}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        body = json.loads(r.read())
+    assert len(body["results"]) <= 2
+
+
+def test_missing_query_400(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        get(f"{server}/search")
+    assert ei.value.code == 400
+
+
+def test_bad_k_400(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        get(f"{server}/search?q=x&k=banana")
+    assert ei.value.code == 400
+
+
+def test_unknown_path_404(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        get(f"{server}/nope")
+    assert ei.value.code == 404
+
+
+def test_concurrent_requests(server):
+    results = []
+    errors = []
+
+    def hit(i):
+        try:
+            results.append(get(f"{server}/search?q=query+number+{i}&k=1"))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors
+    assert len(results) == 16
+    assert all(s == 200 for s, _ in results)
