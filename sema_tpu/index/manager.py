@@ -29,7 +29,7 @@ from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from sema_tpu.index.text_index import TextIndex
+from sema_tpu.index.text_index import make_text_index
 from sema_tpu.index.vector_store import VectorStore
 from sema_tpu.ingest.chunker import process_files
 from sema_tpu.ingest.hashing import hash_file
@@ -47,7 +47,7 @@ class IndexManager:
             data_dir, dim=encoder.spec.dim, model=encoder.spec.name,
             store_dtype=store_dtype, mesh=mesh, index_axis=index_axis,
             rescore_k=rescore_k)
-        self.text_index = TextIndex(data_dir)
+        self.text_index = make_text_index(data_dir)
 
     # -- indexing ------------------------------------------------------------
 

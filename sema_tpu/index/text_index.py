@@ -189,3 +189,77 @@ class TextIndex:
 
     def close(self) -> None:
         self.commit()
+
+
+class NativeTextIndex:
+    """C++-backed BM25 index (≙ tantivy's role; SURVEY.md §2 native
+    inventory). Same interface and semantics as :class:`TextIndex`; the
+    test suite asserts identical rankings and scores against the Python
+    oracle. Persists to ``text_index/index.native.bin``."""
+
+    def __init__(self, data_dir: Path | str):
+        from sema_tpu.native.bindings import NativeTextIndexHandle
+        self.dir = Path(data_dir) / "text_index"
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._h = NativeTextIndexHandle()
+        self._dirty = False
+        if self._path.exists():
+            self._h.load(str(self._path))
+
+    @property
+    def _path(self) -> Path:
+        return self.dir / "index.native.bin"
+
+    @property
+    def num_live_docs(self) -> int:
+        return self._h.num_live()
+
+    def index_chunks(self, chunks: Sequence[Chunk]) -> None:
+        self._h.add((c.id, str(c.file_path), c.start_line, c.end_line,
+                     c.content) for c in chunks)
+        self._dirty = True
+        self.commit()
+
+    def remove_file_chunks(self, file_path) -> int:
+        removed = self._h.remove_file(str(file_path))
+        if removed:
+            self._dirty = True
+        return removed
+
+    def search(self, query: str, limit: int) -> List[Tuple[Chunk, float]]:
+        query = query.strip()
+        if not query:
+            return []
+        return [
+            (Chunk(id=i, file_path=Path(p), start_line=s, end_line=e,
+                   content=c), float(score))
+            for i, p, s, e, c, score in self._h.search(query, limit)]
+
+    def commit(self) -> None:
+        if self._dirty or not self._path.exists():
+            self._h.save(str(self._path))
+            self._dirty = False
+
+    def close(self) -> None:
+        self.commit()
+
+
+def make_text_index(data_dir: Path | str, backend: str = "auto"):
+    """Backend selection: 'native' (C++), 'python', or 'auto' (native when
+    built; SEMA_TPU_TEXT_BACKEND overrides). In auto mode an existing
+    on-disk index pins its backend — an index built by the Python backend
+    must not silently appear empty when the native library shows up later."""
+    backend = os.environ.get("SEMA_TPU_TEXT_BACKEND", backend)
+    if backend == "python":
+        return TextIndex(data_dir)
+    if backend == "auto":
+        tdir = Path(data_dir) / "text_index"
+        if (tdir / "index.json").exists() and \
+                not (tdir / "index.native.bin").exists():
+            return TextIndex(data_dir)
+    try:
+        return NativeTextIndex(data_dir)
+    except ImportError:
+        if backend == "native":
+            raise
+        return TextIndex(data_dir)

@@ -44,6 +44,24 @@ _lib.sema_crawl.argtypes = [
     ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
     ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p]
 _lib.sema_crawl.restype = ctypes.c_void_p
+_lib.sema_text_new.argtypes = []
+_lib.sema_text_new.restype = ctypes.c_void_p
+_lib.sema_text_free_index.argtypes = [ctypes.c_void_p]
+_lib.sema_text_free_index.restype = None
+_lib.sema_text_add.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                               ctypes.c_uint64]
+_lib.sema_text_add.restype = None
+_lib.sema_text_remove_file.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+_lib.sema_text_remove_file.restype = ctypes.c_uint64
+_lib.sema_text_num_live.argtypes = [ctypes.c_void_p]
+_lib.sema_text_num_live.restype = ctypes.c_uint64
+_lib.sema_text_search.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                  ctypes.c_uint32]
+_lib.sema_text_search.restype = ctypes.c_void_p
+_lib.sema_text_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+_lib.sema_text_save.restype = ctypes.c_int
+_lib.sema_text_load.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+_lib.sema_text_load.restype = ctypes.c_int
 
 
 def _take(ptr) -> bytes:
@@ -116,3 +134,80 @@ def chunk_files_native(files: List[str], n_threads: int = 0) -> List[Chunk]:
             id=f"{path}:{ordinal}", file_path=Path(path),
             start_line=start_line, end_line=end_line, content=content))
     return chunks
+
+
+class NativeTextIndexHandle:
+    """Thin RAII wrapper over the C++ BM25 index handle."""
+
+    def __init__(self):
+        self._h = _lib.sema_text_new()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            _lib.sema_text_free_index(self._h)
+            self._h = None
+
+    def add(self, docs) -> None:
+        """docs: iterable of (id, path, start_line, end_line, content)."""
+        docs = list(docs)
+        parts = [struct.pack("<I", len(docs))]
+        for doc_id, path, start, end, content in docs:
+            for s in (doc_id, path):
+                b = s.encode("utf-8")
+                parts.append(struct.pack("<I", len(b)))
+                parts.append(b)
+            parts.append(struct.pack("<QQ", start, end))
+            b = content.encode("utf-8")
+            parts.append(struct.pack("<I", len(b)))
+            parts.append(b)
+        blob = b"".join(parts)
+        _lib.sema_text_add(self._h, blob, len(blob))
+
+    def remove_file(self, path: str) -> int:
+        return _lib.sema_text_remove_file(self._h, str(path).encode())
+
+    def num_live(self) -> int:
+        return _lib.sema_text_num_live(self._h)
+
+    def search(self, query: str, limit: int):
+        payload = _take(_lib.sema_text_search(
+            self._h, query.encode("utf-8"), limit))
+        off = 0
+
+        def u32():
+            nonlocal off
+            (v,) = struct.unpack_from("<I", payload, off)
+            off += 4
+            return v
+
+        def u64():
+            nonlocal off
+            (v,) = struct.unpack_from("<Q", payload, off)
+            off += 8
+            return v
+
+        def s():
+            nonlocal off
+            n = u32()
+            v = payload[off:off + n].decode("utf-8")
+            off += n
+            return v
+
+        out = []
+        for _ in range(u32()):
+            doc_id, path = s(), s()
+            start, end = u64(), u64()
+            content = s()
+            (score,) = struct.unpack("<d", struct.pack("<Q", u64()))
+            out.append((doc_id, path, start, end, content, score))
+        return out
+
+    def save(self, path: str) -> None:
+        rc = _lib.sema_text_save(self._h, str(path).encode())
+        if rc != 0:
+            raise OSError(f"native text index save failed ({rc}): {path}")
+
+    def load(self, path: str) -> None:
+        rc = _lib.sema_text_load(self._h, str(path).encode())
+        if rc != 0:
+            raise OSError(f"native text index load failed ({rc}): {path}")

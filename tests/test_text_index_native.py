@@ -1,0 +1,136 @@
+"""Native (C++) BM25 index vs the Python oracle: identical rankings,
+scores, persistence, deletions. Skipped when the native lib isn't built."""
+
+import random
+import string
+from pathlib import Path
+
+import pytest
+
+pytest.importorskip("sema_tpu.native")
+
+from sema_tpu.index.text_index import (NativeTextIndex, TextIndex,  # noqa: E402
+                                       make_text_index)
+from sema_tpu.types import Chunk  # noqa: E402
+from tests.test_text_index import chunk  # noqa: E402
+
+
+def both(tmp_path):
+    return (NativeTextIndex(tmp_path / "n"), TextIndex(tmp_path / "p"))
+
+
+def assert_same_results(native, python, query, limit=10):
+    a = native.search(query, limit)
+    b = python.search(query, limit)
+    assert [(r[0].id, r[0].content) for r in a] == \
+        [(r[0].id, r[0].content) for r in b], query
+    for (_, sa), (_, sb) in zip(a, b):
+        assert sa == pytest.approx(sb, rel=1e-9), query
+
+
+CORPUS = [
+    "the cat sat on the mat",
+    "cat cat cat everywhere cats",
+    "dogs are great pets",
+    "a cat and a dog",
+    "foo_bar splits into two tokens",
+    "Ünïcödé Löwercase ÉTUDE étude",
+    "numbers 42 and 1337 matter",
+    "x" * 41 + " dropped longtoken kept",
+    "quick brown fox",
+    "brown quick fox",
+]
+
+
+@pytest.fixture()
+def indexes(tmp_path):
+    n, p = both(tmp_path)
+    chunks = [chunk(i, c) for i, c in enumerate(CORPUS)]
+    n.index_chunks(chunks)
+    p.index_chunks(chunks)
+    return n, p
+
+
+@pytest.mark.parametrize("query", [
+    "cat", "cat dog", "étude", "ÉTUDE", "foo bar", "42",
+    '"quick brown"', "nonexistentterm", "kept", "the",
+])
+def test_rankings_and_scores_match(indexes, query):
+    n, p = indexes
+    assert_same_results(n, p, query)
+
+
+def test_randomized_parity(tmp_path):
+    rng = random.Random(7)
+    vocab = ["".join(rng.choices(string.ascii_lowercase, k=rng.randint(2, 8)))
+             for _ in range(40)]
+    docs = [" ".join(rng.choices(vocab, k=rng.randint(3, 30)))
+            for _ in range(60)]
+    n, p = both(tmp_path)
+    chunks = [chunk(i, d, path=f"f{i % 7}.txt") for i, d in enumerate(docs)]
+    n.index_chunks(chunks)
+    p.index_chunks(chunks)
+    for _ in range(25):
+        q = " ".join(rng.choices(vocab, k=rng.randint(1, 3)))
+        assert_same_results(n, p, q, limit=20)
+
+
+def test_deletion_parity(indexes, tmp_path):
+    n, p = indexes
+    assert n.remove_file_chunks(Path("f.txt")) == \
+        p.remove_file_chunks(Path("f.txt"))
+    # everything was under f.txt → both now empty
+    assert n.num_live_docs == p.num_live_docs == 0
+    assert n.search("cat", 10) == []
+
+
+def test_deletion_recomputes_idf(tmp_path):
+    n, p = both(tmp_path)
+    chunks = [chunk(0, "shared words", path="a.txt"),
+              chunk(0, "shared words again", path="b.txt"),
+              chunk(0, "unrelated text", path="c.txt")]
+    n.index_chunks(chunks)
+    p.index_chunks(chunks)
+    n.remove_file_chunks(Path("a.txt"))
+    p.remove_file_chunks(Path("a.txt"))
+    assert_same_results(n, p, "shared")
+
+
+def test_native_persistence(tmp_path):
+    n = NativeTextIndex(tmp_path)
+    n.index_chunks([chunk(0, "durable content here")])
+    n.remove_file_chunks(Path("nope.txt"))
+    n.close()
+    n2 = NativeTextIndex(tmp_path)
+    assert n2.num_live_docs == 1
+    res = n2.search("durable", 10)
+    assert res[0][0].content == "durable content here"
+
+
+def test_native_persistence_tombstones(tmp_path):
+    n = NativeTextIndex(tmp_path)
+    n.index_chunks([chunk(0, "alpha", path="a.txt"),
+                    chunk(0, "beta", path="b.txt")])
+    n.remove_file_chunks(Path("a.txt"))
+    n.close()
+    n2 = NativeTextIndex(tmp_path)
+    assert n2.num_live_docs == 1
+    assert n2.search("alpha", 10) == []
+    assert len(n2.search("beta", 10)) == 1
+
+
+def test_make_text_index_backend_selection(tmp_path, monkeypatch):
+    assert isinstance(make_text_index(tmp_path / "a"), NativeTextIndex)
+    monkeypatch.setenv("SEMA_TPU_TEXT_BACKEND", "python")
+    assert isinstance(make_text_index(tmp_path / "b"), TextIndex)
+
+
+def test_auto_respects_existing_python_index(tmp_path):
+    """An index written by the Python backend keeps answering after the
+    native library becomes available (no silent empty results)."""
+    p = TextIndex(tmp_path)
+    p.index_chunks([chunk(0, "legacy data survives")])
+    p.close()
+    idx = make_text_index(tmp_path)
+    assert isinstance(idx, TextIndex)
+    assert len(idx.search("legacy", 10)) == 1
