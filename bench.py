@@ -65,6 +65,9 @@ def run(config_name: str = "minilm-1m") -> int:
     import jax
     import jax.numpy as jnp
 
+    from sema_tpu.utils.jaxcache import enable as enable_comp_cache
+    enable_comp_cache()  # compiles are minutes-long on 1-core hosts; cache them
+
     # 2^20 ≈ 1M, 128-aligned like the real store's device padding (the
     # hierarchical selection requires group-aligned row counts)
     rows = int(os.environ.get("SEMA_BENCH_ROWS", 1_048_576))

@@ -265,6 +265,8 @@ def cmd_serve(args) -> int:
 def main(argv: Optional[List[str]] = None) -> int:
     args = parse_args(argv)
     _apply_platform_override()
+    from sema_tpu.utils.jaxcache import enable as enable_comp_cache
+    enable_comp_cache()
     cmd = {"index": cmd_index, "query": cmd_query, "tui": cmd_tui,
            "bench": cmd_bench, "serve": cmd_serve}[args.command or "tui"]
     return cmd(args)

@@ -90,9 +90,9 @@ class VectorStore:
         self.index_axis = index_axis
         self.segments: List[_Segment] = []
         self.file_hashes: Dict[str, str] = {}
-        self._device_store = None     # (N_pad, dim) jax array
-        self._device_valid = None     # (N_pad,) bool
-        self._topk_fns: Dict[Tuple[int, int], callable] = {}
+        self._buckets = None          # list of device bucket dicts
+        self._valid_dirty = False     # tombstones pending mask re-upload
+        self._topk_fns: Dict[Tuple[int, int, str], callable] = {}
         self._load()
 
     # -- persistence ----------------------------------------------------------
@@ -195,7 +195,7 @@ class VectorStore:
         seg = _Segment(name=name, rows=len(chunks), vectors=vectors, meta=meta)
         self.segments.append(seg)
         self._save_manifest()
-        self._invalidate_device()
+        self._invalidate_device(tail_only=True)
 
     def remove_file_chunks(self, file_path) -> int:
         """Tombstone every row belonging to ``file_path``
@@ -210,7 +210,7 @@ class VectorStore:
                     removed += 1
         if removed:
             self._save_manifest()
-            self._invalidate_device()
+            self._valid_dirty = True   # masks re-upload lazily; vectors stay
         return removed
 
     def _maybe_compact(self) -> None:
@@ -252,66 +252,142 @@ class VectorStore:
         self._invalidate_device()
 
     # -- device placement -------------------------------------------------------
+    #
+    # The device copy of the store is a list of BUCKETS. A bucket covers a
+    # contiguous run of segments; once its row count crosses the seal
+    # threshold it is SEALED and never re-uploaded — streaming appends only
+    # rebuild the (small) tail bucket, and tombstones only re-upload the
+    # affected buckets' boolean validity masks (1 bit of HBM traffic per
+    # row, not the vectors). This is the answer to SURVEY.md §7's
+    # "incremental mutation of a device-resident sharded matrix" hard part.
+    #
+    # Bucket row counts are padded to a shard-aligned power-of-two-ish size
+    # so the number of distinct compiled scan shapes stays logarithmic in
+    # the store size.
 
-    def _invalidate_device(self) -> None:
-        self._device_store = None
-        self._device_valid = None
-        self._topk_fns.clear()
+    SEAL_ROWS = 262_144
+
+    def _invalidate_device(self, tail_only: bool = False) -> None:
+        if tail_only and self._buckets:
+            # drop unsealed trailing buckets; sealed ones stay resident
+            self._buckets = [b for b in self._buckets if b["sealed"]]
+        else:
+            self._buckets = None
+        # compiled scan fns are keyed by shape and stay valid across
+        # rebuilds; no need to clear self._topk_fns
 
     def _shards(self) -> int:
         if self.mesh is None:
             return 1
         return self.mesh.shape[self.index_axis]
 
-    def _build_device(self) -> None:
-        """Concatenate live segments into the padded device matrix.
+    def _align(self) -> int:
+        # shards × 128: group-aligned for hierarchical selection per shard,
+        # tile-aligned for the MXU
+        return self._shards() * 128
 
-        Rows are padded to a multiple of shards × 128 so every shard is
-        group-aligned for the hierarchical top-k selection (group=128) and
-        tile-aligned for the MXU. In int8 mode the device gets (values i8,
-        scales f32) per-row-quantized from the persisted originals.
-        """
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        shards = self._shards()
-        n = self.total_rows
-        align = shards * 128
+    def _pad_rows(self, n: int) -> int:
+        align = self._align()
         n_pad = max(((n + align - 1) // align) * align, align)
+        # round up to the next power of two of `align` units to bound the
+        # set of compiled shapes
+        units = (n_pad + align - 1) // align
+        pow2 = 1
+        while pow2 < units:
+            pow2 *= 2
+        return pow2 * align
 
-        host = np.zeros((n_pad, self.dim), dtype=self.np_dtype)
+    def _put(self, x, spec):
+        from jax.sharding import NamedSharding
+        if self.mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+    def _bucket_valid_host(self, seg_range, n_pad: int) -> np.ndarray:
         valid = np.zeros((n_pad,), dtype=bool)
         off = 0
-        for seg in self.segments:
-            self._load_segment(seg)
-            host[off:off + seg.rows] = seg.vectors
+        for seg in self.segments[seg_range[0]:seg_range[1]]:
             v = np.ones((seg.rows,), dtype=bool)
             if seg.deleted:
                 v[sorted(seg.deleted)] = False
             valid[off:off + seg.rows] = v
             off += seg.rows
+        return valid
+
+    def _build_bucket(self, seg_range, row_offset: int, sealed: bool) -> dict:
+        from jax.sharding import PartitionSpec as P
+
+        rows = sum(s.rows for s in self.segments[seg_range[0]:seg_range[1]])
+        n_pad = self._pad_rows(rows)
+        host = np.zeros((n_pad, self.dim), dtype=self.np_dtype)
+        off = 0
+        for seg in self.segments[seg_range[0]:seg_range[1]]:
+            self._load_segment(seg)
+            host[off:off + seg.rows] = seg.vectors
+            off += seg.rows
+        valid = self._bucket_valid_host(seg_range, n_pad)
 
         axis = self.index_axis
-
-        def put(x, spec):
-            if self.mesh is None:
-                return jnp.asarray(x)
-            return jax.device_put(x, NamedSharding(self.mesh, spec))
-
         if self.store_dtype == "int8":
             from sema_tpu.ops.quant import quantize_rows
             qvals, scales = quantize_rows(host.astype(np.float32))
-            self._device_store = (put(qvals, P(axis, None)),
-                                  put(scales, P(axis)))
+            store = (self._put(qvals, P(axis, None)),
+                     self._put(scales, P(axis)))
             self._store_specs = (P(axis, None), P(axis))
         else:
-            self._device_store = put(host, P(axis, None))
+            store = self._put(host, P(axis, None))
             self._store_specs = P(axis, None)
-        self._device_valid = put(valid, P(axis))
+        return {
+            "store": store,
+            "valid": self._put(valid, P(axis)),
+            "n_pad": n_pad, "rows": rows,
+            "seg_range": tuple(seg_range), "row_offset": row_offset,
+            "sealed": sealed,
+        }
+
+    def _build_device(self) -> None:
+        """(Re)build missing buckets; sealed buckets are reused as-is."""
+        existing = {b["seg_range"]: b for b in (self._buckets or [])}
+        buckets = []
+        seg_start = 0
+        row_offset = 0
+        n_segs = len(self.segments)
+        while seg_start < n_segs:
+            # grow a bucket until it crosses the seal threshold
+            rows = 0
+            seg_end = seg_start
+            while seg_end < n_segs and rows < self.SEAL_ROWS:
+                rows += self.segments[seg_end].rows
+                seg_end += 1
+            is_last = seg_end == n_segs
+            sealed = rows >= self.SEAL_ROWS or not is_last
+            key = (seg_start, seg_end)
+            bucket = existing.get(key)
+            if bucket is None or bucket["sealed"] != sealed:
+                bucket = self._build_bucket(key, row_offset, sealed)
+            elif self._valid_dirty:
+                # tombstones changed: re-upload only the boolean mask
+                from jax.sharding import PartitionSpec as P
+                bucket["valid"] = self._put(
+                    self._bucket_valid_host(key, bucket["n_pad"]),
+                    P(self.index_axis))
+            buckets.append(bucket)
+            row_offset += rows
+            seg_start = seg_end
+        self._buckets = buckets
+        self._valid_dirty = False
+
+    def device_buckets(self):
+        if self._buckets is None or self._valid_dirty:
+            self._build_device()
+        return self._buckets
 
     def device_arrays(self):
-        if self._device_store is None:
-            self._build_device()
-        return self._device_store, self._device_valid
+        """Single-bucket view (kept for tests/tools); the serving path is
+        :meth:`device_buckets`."""
+        buckets = self.device_buckets()
+        assert len(buckets) == 1, "store spans multiple device buckets"
+        return buckets[0]["store"], buckets[0]["valid"]
 
     # -- row id → chunk ---------------------------------------------------------
 
@@ -348,16 +424,11 @@ class VectorStore:
 
     # -- search -----------------------------------------------------------------
 
-    def _n_pad(self) -> int:
-        store = self._device_store
-        arr = store[0] if isinstance(store, tuple) else store
-        return int(arr.shape[0])
-
-    def _scan_fn(self, k_eff: int):
+    def _scan_fn(self, n_pad: int, k_eff: int):
         """Compiled (store, queries, valid) -> (scores, ids), cached per
         (rows, k). Single-device uses the hierarchical exact selection;
         multi-device wraps it in the shard_map all-gather merge."""
-        key = (self._n_pad(), k_eff, self.store_dtype)
+        key = (n_pad, k_eff, self.store_dtype)
         fn = self._topk_fns.get(key)
         if fn is not None:
             return fn
@@ -375,7 +446,7 @@ class VectorStore:
         if self.mesh is not None:
             from sema_tpu.parallel.sharded_topk import make_sharded_topk
             fn = make_sharded_topk(
-                self.mesh, self._n_pad(), k_eff, axis=self.index_axis,
+                self.mesh, n_pad, k_eff, axis=self.index_axis,
                 local_fn=local_fn, store_specs=self._store_specs)
         else:
             fn = jax.jit(partial(local_fn, k=k_eff))
@@ -386,16 +457,34 @@ class VectorStore:
                      ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched scan: (Q, dim) queries → (scores (Q,k'), ids (Q,k')).
 
-        int8 mode scans for ``rescore_k`` candidates and re-ranks them at
-        full precision from the host originals (BASELINE config 4)."""
-        store, valid = self.device_arrays()
+        Each device bucket is scanned with its own compiled executable; the
+        per-bucket candidate sets (tiny) merge on host. int8 mode scans for
+        ``rescore_k`` candidates and re-ranks them at full precision from
+        the host originals (BASELINE config 4)."""
+        buckets = self.device_buckets()
         quantized = self.store_dtype == "int8"
-        k_scan = min(max(k, self.rescore_k) if quantized else k,
-                     self._n_pad())
-        fn = self._scan_fn(k_scan)
         q = jnp.asarray(query_vecs, dtype=jnp.float32)
-        scores, idx = fn(store, q, valid)
-        scores, idx = np.asarray(scores), np.asarray(idx)
+
+        all_scores = []
+        all_idx = []
+        pending = []
+        for b in buckets:
+            k_scan = min(max(k, self.rescore_k) if quantized else k,
+                         b["n_pad"])
+            fn = self._scan_fn(b["n_pad"], k_scan)
+            pending.append((b, fn(b["store"], q, b["valid"])))
+        for b, (s, i) in pending:  # dispatch all, then sync
+            all_scores.append(np.asarray(s))
+            all_idx.append(np.asarray(i) + b["row_offset"])
+        scores = np.concatenate(all_scores, axis=1)
+        idx = np.concatenate(all_idx, axis=1)
+        if len(buckets) > 1 or scores.shape[1] > k:
+            order = np.argsort(-scores, axis=1, kind="stable")
+            k_keep = min(max(k, self.rescore_k) if quantized else k,
+                         scores.shape[1])
+            order = order[:, :k_keep]
+            scores = np.take_along_axis(scores, order, axis=1)
+            idx = np.take_along_axis(idx, order, axis=1)
 
         if quantized:
             from sema_tpu.ops.quant import rescore_exact

@@ -127,13 +127,27 @@ class Encoder:
             return np.zeros((0, self.spec.dim), dtype=np.float32)
         B = self.batch_size
         out = np.empty((n, self.spec.dim), dtype=np.float32)
+
+        # software pipeline: jax dispatch is async, so tokenizing batch i+1
+        # on the host overlaps with the device computing batch i; only the
+        # final np.asarray fetch blocks. Keeps the MXU fed from a single
+        # host thread (SURVEY.md §7: host↔device streaming hard part).
+        pending = None  # (device_embeddings, offset, batch_len)
+
+        def drain(p):
+            emb, off_, len_ = p
+            out[off_:off_ + len_] = np.asarray(emb)[:len_]
+            if progress is not None:
+                progress(min(off_ + len_, n), n)
+
         for off in range(0, n, B):
             batch = list(texts[off:off + B])
             ids, mask = self.tokenize_batch(batch, pad_to=B)
             emb = self.embed_ids(jnp.asarray(ids), jnp.asarray(mask))
-            out[off:off + len(batch)] = np.asarray(emb)[:len(batch)]
-            if progress is not None:
-                progress(min(off + len(batch), n), n)
+            if pending is not None:
+                drain(pending)
+            pending = (emb, off, len(batch))
+        drain(pending)
         return out
 
     def encode_query(self, text: str) -> np.ndarray:

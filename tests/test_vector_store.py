@@ -144,3 +144,60 @@ def test_mesh_sharded_store(tmp_path):
     # device store must actually be sharded over the index axis
     dev_store, _ = store.device_arrays()
     assert len(dev_store.sharding.device_set) == 8
+
+
+class TestBucketedDevice:
+    """Streaming mutation: appends rebuild only the tail bucket; tombstones
+    re-upload only masks (SURVEY.md §7 hard part)."""
+
+    def test_multi_bucket_search(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(VectorStore, "SEAL_ROWS", 100)
+        store = make_store(tmp_path)
+        for s in range(4):
+            cs, vecs = chunks_and_vecs(80, path=f"f{s}.txt", seed=s)
+            store.add_chunks(cs, vecs)
+            store._last = vecs
+        buckets = store.device_buckets()
+        assert len(buckets) >= 2
+        # hits found across buckets with correct global ids
+        cs0, v0 = chunks_and_vecs(80, path="f0.txt", seed=0)
+        res = store.search(v0[17], k=1)
+        assert res[0][0].id == "f0.txt:17"
+        res = store.search(store._last[33], k=1)
+        assert res[0][0].id == "f3.txt:33"
+
+    def test_sealed_buckets_reused_on_append(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(VectorStore, "SEAL_ROWS", 100)
+        store = make_store(tmp_path)
+        cs, vecs = chunks_and_vecs(150, path="a.txt", seed=1)
+        store.add_chunks(cs, vecs)
+        first = store.device_buckets()
+        sealed_ids = [id(b["store"]) for b in first if b["sealed"]]
+        assert sealed_ids
+        cs2, vecs2 = chunks_and_vecs(50, path="b.txt", seed=2)
+        store.add_chunks(cs2, vecs2)
+        second = store.device_buckets()
+        # the sealed device arrays are the same objects (no re-upload)
+        reused = [id(b["store"]) for b in second if b["sealed"]]
+        assert sealed_ids[0] in reused
+
+    def test_tombstone_keeps_store_arrays(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(VectorStore, "SEAL_ROWS", 100)
+        store = make_store(tmp_path)
+        cs, vecs = chunks_and_vecs(150, path="a.txt", seed=1)
+        store.add_chunks(cs, vecs)
+        cs2, vecs2 = chunks_and_vecs(60, path="b.txt", seed=2)
+        store.add_chunks(cs2, vecs2)
+        before = [id(b["store"]) for b in store.device_buckets()]
+        store.remove_file_chunks(Path("b.txt"))
+        after_buckets = store.device_buckets()
+        after = [id(b["store"]) for b in after_buckets]
+        assert before == after  # vectors untouched, only masks refreshed
+        res = store.search(vecs2[10], k=3)
+        assert all(str(r[0].file_path) == "a.txt" for r in res)
+
+    def test_pad_rows_growth_bounded(self, tmp_path):
+        store = make_store(tmp_path)
+        sizes = {store._pad_rows(n) for n in range(1, 5000)}
+        # power-of-two ladder: few distinct compiled shapes
+        assert len(sizes) <= 7
