@@ -107,12 +107,14 @@ def run(config_name: str = "minilm-1m") -> int:
     # validated); only the (8, N) score slab crosses the tunnel, never the
     # full store (pulling GBs through a tunneled device link stalls for
     # minutes).
+    print("# stage: oracle scoring", file=sys.stderr, flush=True)
     oracle_scores = np.asarray(jax.jit(
         lambda qs: jnp.einsum("qd,nd->qn", qs.astype(store.dtype), store,
                               preferred_element_type=jnp.float32)
     )(queries[:8]))
     oracle_top = np.argsort(-oracle_scores, axis=1)[:, :k]
     del oracle_scores
+    print("# stage: scan compile + recall check", file=sys.stderr, flush=True)
     got_scores, got_idx = scan(store, queries[:8], valid)
     got_idx = np.asarray(got_idx)
     recall = np.mean([
@@ -125,11 +127,13 @@ def run(config_name: str = "minilm-1m") -> int:
         q / jnp.linalg.norm(q, axis=1, keepdims=True)
         for q in [jax.random.normal(kk, (qbatch, dim), dtype=jnp.float32)
                   for kk in kq2]])
+    print("# stage: batched QPS measurement", file=sys.stderr, flush=True)
     per_batch_dev = _measure_device(
         lambda qs: scan(store, qs, valid), qsets)
     qps = qbatch / per_batch_dev
 
     # --- single-query device p50 (chained) + e2e p50 (incl. dispatch RTT)
+    print("# stage: single-query p50", file=sys.stderr, flush=True)
     singles = qsets[:, :1, :]
     p50_single_dev = _measure_device(
         lambda q1: scan(store, q1, valid), singles)
@@ -148,6 +152,7 @@ def run(config_name: str = "minilm-1m") -> int:
     ids = jnp.asarray(rng.integers(0, spec.vocab_size, (ebatch, seq)),
                       dtype=jnp.int32)
     emask = jnp.ones((ebatch, seq), dtype=jnp.int32)
+    print("# stage: encoder throughput", file=sys.stderr, flush=True)
     efwd = jax.jit(partial(embed_fn, spec=spec, compute_dtype=jnp.bfloat16))
     p50_embed, _ = _measure(efwd, params, ids, emask, warmup=2, iters=5)
     chunks_per_sec = ebatch / p50_embed

@@ -1,0 +1,85 @@
+"""Two-level top-k merge for multi-slice (ICI + DCN) deployments.
+
+BASELINE config 5 (100M vectors on v5p-32) spans multiple TPU slices: chips
+within a slice talk over ICI (fast), slices talk over DCN (slow). A flat
+``all_gather`` over all chips moves every chip's candidates over DCN. The
+two-level merge reduces DCN traffic by a factor of the slice size:
+
+1. each chip scans its shard → (Q, k) local candidates;
+2. ``all_gather`` + merge *within* the slice over ICI → per-slice top-k;
+3. ``all_gather`` of only the slice winners over DCN → global top-k.
+
+DCN bytes per query batch: n_slices · Q · k · 8 instead of
+n_chips · Q · k · 8.
+
+The mesh is (slice, index): axis "slice" maps across slices (DCN), axis
+"index" within a slice (ICI). Store rows are sharded over BOTH axes — row
+blocks striped slice-major.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from sema_tpu.ops.topk import batched_topk_scores
+
+
+def _merge_axis(scores, idx, k: int, axis: str):
+    """all_gather (Q,k) candidates over ``axis`` and reduce to top-k."""
+    g_scores = jax.lax.all_gather(scores, axis)     # (c, Q, k)
+    g_idx = jax.lax.all_gather(idx, axis)
+    c, q, kk = g_scores.shape
+    cand_s = jnp.transpose(g_scores, (1, 0, 2)).reshape(q, c * kk)
+    cand_i = jnp.transpose(g_idx, (1, 0, 2)).reshape(q, c * kk)
+    top_s, pos = jax.lax.top_k(cand_s, k)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    return top_s, top_i
+
+
+def _two_level(store_shard, queries, valid_shard, *, k: int,
+               slice_axis: str, index_axis: str, shard_rows: int,
+               local_fn):
+    local_scores, local_idx = local_fn(store_shard, queries, valid_shard, k)
+    # globalize: rows are laid out slice-major then chip-major
+    slice_id = jax.lax.axis_index(slice_axis)
+    chip_id = jax.lax.axis_index(index_axis)
+    chips_per_slice = jax.lax.axis_size(index_axis)
+    shard_id = slice_id * chips_per_slice + chip_id
+    local_idx = local_idx + shard_id * shard_rows
+
+    # level 1: merge within the slice (ICI)
+    s, i = _merge_axis(local_scores, local_idx, k, index_axis)
+    # level 2: merge slice winners (DCN)
+    return _merge_axis(s, i, k, slice_axis)
+
+
+def make_multislice_topk(mesh: Mesh, total_rows: int, k: int,
+                         slice_axis: str = "slice",
+                         index_axis: str = "index",
+                         local_fn=None, store_specs=None):
+    """Compile the two-level merged exact top-k over a (slice, index) mesh."""
+    n_shards = mesh.shape[slice_axis] * mesh.shape[index_axis]
+    if total_rows % n_shards:
+        raise ValueError(
+            f"rows {total_rows} not divisible by {n_shards} shards")
+    shard_rows = total_rows // n_shards
+
+    if local_fn is None:
+        local_fn = batched_topk_scores
+    if store_specs is None:
+        store_specs = P((slice_axis, index_axis), None)
+
+    fn = partial(_two_level, k=k, slice_axis=slice_axis,
+                 index_axis=index_axis, shard_rows=shard_rows,
+                 local_fn=local_fn)
+    mapped = shard_map(
+        fn, mesh=mesh,
+        in_specs=(store_specs, P(None, None), P((slice_axis, index_axis))),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False)  # replication after the final gather is real
+    return jax.jit(mapped)
