@@ -84,6 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
     query.add_argument("--json", action="store_true", help="JSON output")
     query.add_argument("--group", action="store_true",
                        help="group results by file (TUI behavior)")
+    query.add_argument("--trace", metavar="DIR", default=None,
+                       help="capture a jax.profiler trace into DIR")
     _add_model_flags(query)
 
     bench = sub.add_parser("bench", help="run the standard benchmark")
@@ -146,6 +148,11 @@ def make_index_manager(config: Config, metrics=None):
     from sema_tpu.models import Encoder
     from sema_tpu.parallel.mesh import default_mesh
 
+    if metrics is None and os.environ.get("SEMA_TPU_LOG"):
+        from sema_tpu.utils.metrics import Metrics
+        metrics = Metrics(log_stream=open(
+            os.environ["SEMA_TPU_LOG"], "a", buffering=1))
+
     mesh = default_mesh()
     encoder = Encoder.from_config(config.model, mesh=mesh,
                                   data_axis="index")
@@ -196,10 +203,17 @@ def cmd_index(args) -> int:
 
 
 def cmd_query(args) -> int:
+    import contextlib
+
     config = load_config(args)
     mgr = make_index_manager(config)
+    tracer = contextlib.nullcontext()
+    if getattr(args, "trace", None):
+        from sema_tpu.utils.metrics import trace
+        tracer = trace(args.trace)
     t0 = time.perf_counter()
-    results = mgr.search(args.text, args.limit)
+    with tracer:
+        results = mgr.search(args.text, args.limit)
     dt = time.perf_counter() - t0
 
     if args.group:

@@ -162,7 +162,8 @@ class TuiApp:
         if len(query.strip()) <= 2:        # app.rs:165
             self.engine.clear_search()
             return
-        self.engine.execute_search(query)
+        self.engine.execute_search(
+            query, limit=self.config.index.result_limit)
         first = self.engine.search_results[0] if self.engine.search_results else None
         if first is not None:
             self.engine.update_current_file_content(first.chunk.file_path)
