@@ -118,7 +118,13 @@ class VectorStore:
                 f"model={self.model!r} dim={self.dim}. Re-index with "
                 f"`sema-tpu index --reindex` or switch the model back.")
         if m.get("store_dtype") != self.store_dtype:
-            # store dtype is a storage detail; honor what's on disk
+            # the on-disk format wins (switching requires a re-index);
+            # surface it so a config change isn't silently ignored
+            import sys
+            print(f"Warning: index at {self.dir} uses store_dtype="
+                  f"{m['store_dtype']!r}; ignoring configured "
+                  f"{self.store_dtype!r} (re-index to switch)",
+                  file=sys.stderr)
             self.store_dtype = m["store_dtype"]
             self.np_dtype = _STORE_DTYPES[self.store_dtype]
         for seg in m["segments"]:
