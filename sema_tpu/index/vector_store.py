@@ -471,12 +471,18 @@ class VectorStore:
         quantized = self.store_dtype == "int8"
         q = jnp.asarray(query_vecs, dtype=jnp.float32)
 
+        # round the scanned k up to a small class ladder so callers with
+        # different k share one compiled executable (compiles are expensive;
+        # extra candidates are a few KB)
+        k_want = max(k, self.rescore_k) if quantized else k
+        k_class = next((c for c in (16, 64, 256, 1024) if c >= k_want),
+                       k_want)
+
         all_scores = []
         all_idx = []
         pending = []
         for b in buckets:
-            k_scan = min(max(k, self.rescore_k) if quantized else k,
-                         b["n_pad"])
+            k_scan = min(k_class, b["n_pad"])
             fn = self._scan_fn(b["n_pad"], k_scan)
             pending.append((b, fn(b["store"], q, b["valid"])))
         for b, (s, i) in pending:  # dispatch all, then sync
