@@ -41,24 +41,56 @@ def _measure(fn, *args, warmup=2, iters=10):
     return float(np.median(times)), times
 
 
+def _rtt_floor():
+    """Median dispatch round-trip of a trivial cached op (tunnel overhead)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8, 128), jnp.float32)
+    jax.block_until_ready(f(x))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
 def _measure_device(fn_one, xs, warmup=1, reps=3):
     """Per-iteration device time with host dispatch amortized away: run all
     of ``xs`` inside one jitted lax.map dispatch and divide. On tunneled
     TPU setups (axon) a single dispatch RTT is ~30 ms, which would swamp
-    sub-ms kernels measured per-call."""
+    sub-ms kernels measured per-call.
+
+    Falls back to per-call wall time minus the measured dispatch RTT when
+    the chained program fails to compile (remote compilers have been seen
+    dropping large programs)."""
     import jax
-    import jax.numpy as jnp
 
     n = xs.shape[0]
-    mapped = jax.jit(lambda xs_: jax.lax.map(fn_one, xs_))
-    for _ in range(warmup):
-        jax.block_until_ready(mapped(xs))
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(mapped(xs))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / n
+    try:
+        mapped = jax.jit(lambda xs_: jax.lax.map(fn_one, xs_))
+        for _ in range(warmup):
+            jax.block_until_ready(mapped(xs))
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(mapped(xs))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times)) / n
+    except Exception as e:  # noqa: BLE001 — remote compile flakiness
+        print(f"# chained measurement failed ({type(e).__name__}); "
+              "falling back to per-call minus RTT", file=sys.stderr,
+              flush=True)
+        rtt = _rtt_floor()
+        jax.block_until_ready(fn_one(xs[0]))
+        times = []
+        for i in range(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn_one(xs[i % xs.shape[0]]))
+            times.append(time.perf_counter() - t0)
+        return max(float(np.median(times)) - rtt, 1e-6)
 
 
 def run(config_name: str = "minilm-1m") -> int:
@@ -130,7 +162,8 @@ def run(config_name: str = "minilm-1m") -> int:
         len(set(got_idx[i]) & set(plant_ids[i])) / k for i in range(n_probe)])
 
     # --- batched QPS: device time per batch via chained dispatch
-    nchain = 16
+    # (small chain: very large chained programs choke remote compilers)
+    nchain = 4
     kq2 = jax.random.split(kq, nchain)
     qsets = jnp.stack([
         q / jnp.linalg.norm(q, axis=1, keepdims=True)
