@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -93,6 +94,10 @@ class VectorStore:
         self._buckets = None          # list of device bucket dicts
         self._valid_dirty = False     # tombstones pending mask re-upload
         self._topk_fns: Dict[Tuple[int, int, str], callable] = {}
+        # streaming re-index runs concurrently with serving (QueryBatcher /
+        # HTTP daemon threads); mutations and bucket (re)builds serialize
+        # behind this lock, searches take a consistent bucket snapshot
+        self._lock = threading.RLock()
         self._load()
 
     # -- persistence ----------------------------------------------------------
@@ -199,9 +204,10 @@ class VectorStore:
             for row in meta:
                 f.write(json.dumps(row) + "\n")
         seg = _Segment(name=name, rows=len(chunks), vectors=vectors, meta=meta)
-        self.segments.append(seg)
-        self._save_manifest()
-        self._invalidate_device(tail_only=True)
+        with self._lock:
+            self.segments.append(seg)
+            self._save_manifest()
+            self._invalidate_device(tail_only=True)
 
     def remove_file_chunks(self, file_path) -> int:
         """Tombstone every row belonging to ``file_path``
@@ -215,8 +221,9 @@ class VectorStore:
                     seg.deleted.add(i)
                     removed += 1
         if removed:
-            self._save_manifest()
-            self._valid_dirty = True   # masks re-upload lazily; vectors stay
+            with self._lock:
+                self._save_manifest()
+                self._valid_dirty = True   # masks re-upload lazily
         return removed
 
     def _maybe_compact(self) -> None:
@@ -384,9 +391,10 @@ class VectorStore:
         self._valid_dirty = False
 
     def device_buckets(self):
-        if self._buckets is None or self._valid_dirty:
-            self._build_device()
-        return self._buckets
+        with self._lock:
+            if self._buckets is None or self._valid_dirty:
+                self._build_device()
+            return list(self._buckets)  # snapshot for lock-free searching
 
     def device_arrays(self):
         """Single-bucket view (kept for tests/tools); the serving path is

@@ -70,3 +70,45 @@ def test_error_propagates(store):
             b.search(np.zeros(999, dtype=np.float32), k=1)  # wrong dim
     finally:
         b.close()
+
+
+def test_streaming_reindex_while_serving(store):
+    """Concurrent appends + tombstones while queries are in flight
+    (BASELINE config 5: streaming re-index under load)."""
+    import numpy as np
+    from pathlib import Path
+    from tests.test_vector_store import chunks_and_vecs
+
+    b = QueryBatcher(store, max_batch=8, max_wait_ms=2)
+    stop = threading.Event()
+    errors = []
+
+    def mutate():
+        i = 0
+        while not stop.is_set():
+            cs, vecs = chunks_and_vecs(20, path=f"new{i}.txt", seed=100 + i)
+            store.add_chunks(cs, vecs)
+            store.remove_file_chunks(Path(f"new{i - 1}.txt"))
+            i += 1
+
+    def query(worker):
+        try:
+            for j in range(10):
+                res = b.search(store._test_vecs[(worker * 10 + j) % 300], k=1)
+                assert res, "no results under streaming mutation"
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    mut = threading.Thread(target=mutate)
+    workers = [threading.Thread(target=query, args=(w,)) for w in range(4)]
+    mut.start()
+    try:
+        for t in workers:
+            t.start()
+        for t in workers:
+            t.join(timeout=60)
+    finally:
+        stop.set()
+        mut.join(timeout=10)
+        b.close()
+    assert not errors, errors
