@@ -27,7 +27,6 @@ import time
 from pathlib import Path
 from typing import Callable, List, Optional, Sequence, Tuple
 
-import numpy as np
 
 from sema_tpu.index.text_index import make_text_index
 from sema_tpu.index.vector_store import VectorStore

@@ -34,7 +34,6 @@ Parameter tree (all arrays; layer-stacked leaves have leading dim L):
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Any, Dict
 
 import jax

@@ -16,7 +16,7 @@ path (embeddings.rs:26-58, lance_indexer.rs:59-73):
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

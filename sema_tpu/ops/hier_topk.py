@@ -22,8 +22,6 @@ the serving path; ops/topk.py remains the oracle in tests.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -23,9 +23,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
-from sema_tpu.types import AppState, Chunk, SearchResult, UIMode
+from sema_tpu.types import AppState, SearchResult, UIMode
 
 SEARCH_RESULTS_LIMIT = 50          # engine.rs:11
 MIN_QUERY_CHARS = 3                # app.rs:165 rejects len <= 2

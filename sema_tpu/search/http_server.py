@@ -19,7 +19,6 @@ keyword queries answer from the host BM25 index directly.
 from __future__ import annotations
 
 import json
-import threading
 import time
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer

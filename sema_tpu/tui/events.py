@@ -22,8 +22,7 @@ Parity notes:
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
 
 from sema_tpu.types import UIMode
 

@@ -7,9 +7,8 @@ AppState, UIMode, Chunk, FileIndex, SearchResult) as Python dataclasses.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import List
 
 
 @dataclass(frozen=True)
