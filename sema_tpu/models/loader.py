@@ -138,26 +138,41 @@ def _hf_cache_snapshot(repo: str) -> Optional[Path]:
     return candidates[-1] if candidates else None
 
 
+def _load_tensor_file(path: Path) -> Dict[str, np.ndarray]:
+    """Read model.safetensors or a torch pytorch_model.bin."""
+    if path.suffix == ".safetensors":
+        from safetensors.numpy import load_file
+        return load_file(path)
+    import torch  # torch-format checkpoint
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.numpy() for k, v in state.items()}
+
+
+_WEIGHT_FILES = ("model.safetensors", "pytorch_model.bin")
+
+
 def load_params(spec: EncoderSpec, weights_path: str = "",
                 param_dtype=jnp.float32, seed: int = 0):
     """Resolve weights per the priority order above.
 
     Returns (params, source) where source ∈ {"local", "hf-cache", "random"}.
     """
-    from safetensors.numpy import load_file
-
     if weights_path:
-        st = Path(weights_path)
-        if st.is_dir():
-            st = st / "model.safetensors"
-        if not st.exists():
-            raise FileNotFoundError(f"weights not found: {st}")
-        return from_hf_tensors(load_file(st), spec, param_dtype), "local"
+        p = Path(weights_path)
+        candidates = ([p / n for n in _WEIGHT_FILES] if p.is_dir() else [p])
+        for c in candidates:
+            if c.exists():
+                return (from_hf_tensors(_load_tensor_file(c), spec,
+                                        param_dtype), "local")
+        raise FileNotFoundError(f"no weights found under: {weights_path}")
 
     if spec.hf_repo:
         snap = _hf_cache_snapshot(spec.hf_repo)
-        if snap is not None and (snap / "model.safetensors").exists():
-            tensors = load_file(snap / "model.safetensors")
-            return from_hf_tensors(tensors, spec, param_dtype), "hf-cache"
+        if snap is not None:
+            for name in _WEIGHT_FILES:
+                if (snap / name).exists():
+                    return (from_hf_tensors(
+                        _load_tensor_file(snap / name), spec, param_dtype),
+                        "hf-cache")
 
     return random_params(spec, seed=seed, param_dtype=param_dtype), "random"

@@ -132,3 +132,36 @@ def test_cls_pooling():
     ref = np.asarray(hidden)[:, 0, :]
     ref = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_load_params_from_local_torch_checkpoint(tmp_path,
+                                                 torch_model_and_params):
+    """--weights pointing at a dir with pytorch_model.bin loads correctly."""
+    spec, model, params = torch_model_and_params
+    torch.save(model.state_dict(), tmp_path / "pytorch_model.bin")
+    from sema_tpu.models.loader import load_params
+    loaded, source = load_params(spec, weights_path=str(tmp_path))
+    assert source == "local"
+    np.testing.assert_array_equal(
+        np.asarray(loaded["layers"]["qkv_w"]),
+        np.asarray(params["layers"]["qkv_w"]))
+
+
+def test_load_params_from_local_safetensors(tmp_path, torch_model_and_params):
+    spec, model, params = torch_model_and_params
+    from safetensors.torch import save_file
+    save_file({k: v.contiguous() for k, v in model.state_dict().items()},
+              tmp_path / "model.safetensors")
+    from sema_tpu.models.loader import load_params
+    loaded, source = load_params(spec, weights_path=str(tmp_path))
+    assert source == "local"
+    np.testing.assert_allclose(
+        np.asarray(loaded["embeddings"]["word"]),
+        np.asarray(params["embeddings"]["word"]))
+
+
+def test_load_params_missing_raises(tmp_path):
+    from sema_tpu.models.loader import load_params
+    spec = get_spec("test-tiny")
+    with pytest.raises(FileNotFoundError):
+        load_params(spec, weights_path=str(tmp_path / "nope"))
