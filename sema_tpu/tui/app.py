@@ -294,8 +294,16 @@ class TuiApp:
                     content, sel.chunk.file_path,
                     self.engine.file_preview_scroll_offset,
                     body_h - 2, self.engine.current_search_query)
-                for i, spans in enumerate(lines):
-                    self._put_spans(win, 1 + i, left_w + 1, spans, right_w - 2)
+                row = 1
+                for spans in lines:
+                    for wrapped in rd.wrap_spans(spans, right_w - 2):
+                        if row > body_h - 2:
+                            break
+                        self._put_spans(win, row, left_w + 1, wrapped,
+                                        right_w - 2)
+                        row += 1
+                    if row > body_h - 2:
+                        break
             else:
                 self._box(win, 0, left_w, body_h, right_w, " Preview ",
                           self.engine.ui_mode is UIMode.FILE_PREVIEW)

@@ -220,6 +220,27 @@ def _syntax_lines(content: str, file_path: Path) -> List[List[Span]]:
     return out
 
 
+def wrap_spans(spans: List[Span], width: int) -> List[List[Span]]:
+    """Soft-wrap one spans-line into display rows of at most ``width``
+    columns (≙ ratatui Paragraph Wrap{trim:false}, ui.rs:260)."""
+    if width <= 0:
+        return [spans]
+    rows: List[List[Span]] = [[]]
+    used = 0
+    for text, style in spans:
+        while text:
+            space = width - used
+            if space == 0:
+                rows.append([])
+                used = 0
+                space = width
+            piece = text[:space]
+            rows[-1].append((piece, style))
+            used += len(piece)
+            text = text[space:]
+    return rows
+
+
 def preview_lines(content: str, file_path: Path, scroll_offset: int,
                   visible_lines: int, search_query: str) -> List[List[Span]]:
     """ui.rs:285-438: numbered, scrolled, syntax+term highlighted lines."""

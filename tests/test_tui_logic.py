@@ -245,3 +245,13 @@ def test_preview_scroll_clamped():
     lines = rd.preview_lines("one\ntwo\n", Path("f.txt"), 999, 10, "")
     assert len(lines) == 1
     assert "two" in "".join(t for t, _ in lines[0])
+
+
+def test_wrap_spans():
+    spans = [("0123456789", rd.S_DEFAULT), ("abcde", rd.S_KW)]
+    rows = rd.wrap_spans(spans, 6)
+    assert rows == [[("012345", rd.S_DEFAULT)],
+                    [("6789", rd.S_DEFAULT), ("ab", rd.S_KW)],
+                    [("cde", rd.S_KW)]]
+    # width larger than content → single row, styles preserved
+    assert rd.wrap_spans(spans, 99) == [spans]
