@@ -41,56 +41,27 @@ def _measure(fn, *args, warmup=2, iters=10):
     return float(np.median(times)), times
 
 
-def _rtt_floor():
-    """Median dispatch round-trip of a trivial cached op (tunnel overhead)."""
-    import jax
-    import jax.numpy as jnp
+def _measure_device(fn_one, xs, n_calls: int = 64):
+    """Sustained device time per call via pipelined async dispatch.
 
-    f = jax.jit(lambda x: x + 1)
-    x = jnp.zeros((8, 128), jnp.float32)
-    jax.block_until_ready(f(x))
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(x))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
-
-
-def _measure_device(fn_one, xs, warmup=1, reps=3):
-    """Per-iteration device time with host dispatch amortized away: run all
-    of ``xs`` inside one jitted lax.map dispatch and divide. On tunneled
-    TPU setups (axon) a single dispatch RTT is ~30 ms, which would swamp
-    sub-ms kernels measured per-call.
-
-    Falls back to per-call wall time minus the measured dispatch RTT when
-    the chained program fails to compile (remote compilers have been seen
-    dropping large programs)."""
+    Dispatch ``n_calls`` executions back-to-back (cycling over the input
+    pool ``xs`` so no call is a cache hit) and fetch only the final result:
+    PJRT executions on one device serialize in stream order, so the total
+    wall time covers every call while the dispatch/tunnel round-trip (tens
+    of ms on tunneled hosts) overlaps with device execution. No extra
+    program is compiled (remote compilers have been seen dropping large
+    chained lax.map programs, and per-call-minus-RTT goes negative when
+    RTT ≈ e2e)."""
     import jax
 
-    n = xs.shape[0]
-    try:
-        mapped = jax.jit(lambda xs_: jax.lax.map(fn_one, xs_))
-        for _ in range(warmup):
-            jax.block_until_ready(mapped(xs))
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(mapped(xs))
-            times.append(time.perf_counter() - t0)
-        return float(np.median(times)) / n
-    except Exception as e:  # noqa: BLE001 — remote compile flakiness
-        print(f"# chained measurement failed ({type(e).__name__}); "
-              "falling back to per-call minus RTT", file=sys.stderr,
-              flush=True)
-        rtt = _rtt_floor()
-        jax.block_until_ready(fn_one(xs[0]))
-        times = []
-        for i in range(n):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn_one(xs[i % xs.shape[0]]))
-            times.append(time.perf_counter() - t0)
-        return max(float(np.median(times)) - rtt, 1e-6)
+    # warm + establish the pipeline
+    jax.block_until_ready(fn_one(xs[0]))
+    t0 = time.perf_counter()
+    out = None
+    for i in range(n_calls):
+        out = fn_one(xs[i % xs.shape[0]])
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_calls
 
 
 def run(config_name: str = "minilm-1m") -> int:
@@ -161,26 +132,25 @@ def run(config_name: str = "minilm-1m") -> int:
     recall = np.mean([
         len(set(got_idx[i]) & set(plant_ids[i])) / k for i in range(n_probe)])
 
-    # --- batched QPS: device time per batch via chained dispatch
-    # (small chain: very large chained programs choke remote compilers)
-    nchain = 4
-    kq2 = jax.random.split(kq, nchain)
+    # --- batched QPS: sustained device time per batch (pipelined dispatch)
+    npool = 4
+    kq2 = jax.random.split(kq, npool)
     qsets = jnp.stack([
         q / jnp.linalg.norm(q, axis=1, keepdims=True)
         for q in [jax.random.normal(kk, (qbatch, dim), dtype=jnp.float32)
                   for kk in kq2]])
     print("# stage: batched QPS measurement", file=sys.stderr, flush=True)
     per_batch_dev = _measure_device(
-        lambda qs: scan(store, qs, valid), qsets)
+        lambda qs: scan(store, qs, valid), qsets, n_calls=64)
     qps = qbatch / per_batch_dev
 
-    # --- single-query device p50 (chained) + e2e p50 (incl. dispatch RTT)
+    # --- single-query device p50 (pipelined) + e2e p50 (incl. dispatch RTT)
     print("# stage: single-query p50", file=sys.stderr, flush=True)
-    singles = qsets[:, :1, :]
+    singles = jnp.asarray(qsets[:, :1, :])
     p50_single_dev = _measure_device(
-        lambda q1: scan(store, q1, valid), singles)
+        lambda q1: scan(store, q1, valid), singles, n_calls=32)
     p50_ms = p50_single_dev * 1e3
-    p50_e2e, _ = _measure(scan, store, queries[:1], valid)
+    p50_e2e, _ = _measure(scan, store, queries[:1], valid, iters=5)
 
     # --- encoder throughput (chunks/sec/chip), MiniLM bf16 batch 256
     from sema_tpu.models import get_spec
@@ -196,7 +166,10 @@ def run(config_name: str = "minilm-1m") -> int:
     emask = jnp.ones((ebatch, seq), dtype=jnp.int32)
     print("# stage: encoder throughput", file=sys.stderr, flush=True)
     efwd = jax.jit(partial(embed_fn, spec=spec, compute_dtype=jnp.bfloat16))
-    p50_embed, _ = _measure(efwd, params, ids, emask, warmup=2, iters=5)
+    idsets = jnp.stack([ids, jnp.roll(ids, 1, axis=0),
+                        jnp.roll(ids, 2, axis=0), jnp.roll(ids, 3, axis=0)])
+    p50_embed = _measure_device(
+        lambda ii: efwd(params, ii, emask), idsets, n_calls=16)
     chunks_per_sec = ebatch / p50_embed
 
     target_p50_ms = 10.0  # BASELINE.json north-star serving target
