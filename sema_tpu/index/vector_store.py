@@ -456,6 +456,17 @@ class VectorStore:
         else:
             from sema_tpu.ops.hier_topk import batched_topk_scores_hier
             local_fn = batched_topk_scores_hier
+            # single-device TPU bf16 stores use the Pallas fused scan (no
+            # (Q,N) score round-trip to HBM; threshold-screened merge) when
+            # shapes allow; SEMA_TPU_SCAN_BACKEND=hier|pallas overrides
+            backend = os.environ.get("SEMA_TPU_SCAN_BACKEND", "auto")
+            use_pallas = (
+                backend != "hier" and self.mesh is None
+                and jax.default_backend() == "tpu"
+                and n_pad % 2048 == 0 and k_eff <= 128)
+            if backend == "pallas" or use_pallas:
+                from sema_tpu.ops.pallas_topk import pallas_topk_scores
+                local_fn = partial(pallas_topk_scores, tile_n=2048)
 
         if self.mesh is not None:
             from sema_tpu.parallel.sharded_topk import make_sharded_topk
@@ -483,7 +494,7 @@ class VectorStore:
         # different k share one compiled executable (compiles are expensive;
         # extra candidates are a few KB)
         k_want = max(k, self.rescore_k) if quantized else k
-        k_class = next((c for c in (16, 64, 256, 1024) if c >= k_want),
+        k_class = next((c for c in (16, 64, 128, 1024) if c >= k_want),
                        k_want)
 
         all_scores = []

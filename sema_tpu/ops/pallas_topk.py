@@ -57,34 +57,43 @@ def _scan_kernel(q_ref, store_ref, valid_ref, out_s_ref, out_i_ref,
     base = row0 + jax.lax.broadcasted_iota(
         jnp.int32, scores.shape, 1)                 # global row ids
 
-    # compose candidates in aligned scratch: [running K_PAD | tile TILE_N]
-    cand_s[:, :K_PAD] = run_s[:]
-    cand_i[:, :K_PAD] = run_i[:]
-    cand_s[:, K_PAD:] = scores
-    cand_i[:, K_PAD:] = base
+    # threshold screen: the running top-k is stored rank-descending, so
+    # column k-1 holds each query's current k-th best. A tile with no
+    # score above any query's threshold cannot change the result — skip
+    # its merge entirely (one cheap pass instead of k).
+    thr = run_s[:, k - 1:k]                         # (Q, 1)
+    tile_best = jnp.max(scores - thr)               # scalar
 
-    s = cand_s[:]
-    ids = cand_i[:]
-    m = s.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (qn, m), 1)
-    out_col = jax.lax.broadcasted_iota(jnp.int32, (qn, K_PAD), 1)
-    big = jnp.int32(2**30)
+    @pl.when(tile_best > 0)
+    def _():
+        # compose candidates in aligned scratch: [running K_PAD | TILE_N]
+        cand_s[:, :K_PAD] = run_s[:]
+        cand_i[:, :K_PAD] = run_i[:]
+        cand_s[:, K_PAD:] = scores
+        cand_i[:, K_PAD:] = base
 
-    new_s = jnp.full((qn, K_PAD), NEG, jnp.float32)
-    new_i = jnp.zeros((qn, K_PAD), jnp.int32)
-    for j in range(k):
-        best = jnp.max(s, axis=1, keepdims=True)            # (Q, 1)
-        is_best = s == best
-        sel_col = jnp.min(jnp.where(is_best, col, big), axis=1,
-                          keepdims=True)                    # first tie
-        onehot = col == sel_col
-        idx = jnp.sum(jnp.where(onehot, ids, 0), axis=1,
-                      keepdims=True)                        # (Q, 1)
-        new_s = jnp.where(out_col == j, best, new_s)
-        new_i = jnp.where(out_col == j, idx, new_i)
-        s = jnp.where(onehot, NEG, s)
-    run_s[:] = new_s
-    run_i[:] = new_i
+        s = cand_s[:]
+        ids = cand_i[:]
+        m = s.shape[1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (qn, m), 1)
+        out_col = jax.lax.broadcasted_iota(jnp.int32, (qn, K_PAD), 1)
+        big = jnp.int32(2**30)
+
+        new_s = jnp.full((qn, K_PAD), NEG, jnp.float32)
+        new_i = jnp.zeros((qn, K_PAD), jnp.int32)
+        for j in range(k):
+            best = jnp.max(s, axis=1, keepdims=True)        # (Q, 1)
+            is_best = s == best
+            sel_col = jnp.min(jnp.where(is_best, col, big), axis=1,
+                              keepdims=True)                # first tie
+            onehot = col == sel_col
+            idx = jnp.sum(jnp.where(onehot, ids, 0), axis=1,
+                          keepdims=True)                    # (Q, 1)
+            new_s = jnp.where(out_col == j, best, new_s)
+            new_i = jnp.where(out_col == j, idx, new_i)
+            s = jnp.where(onehot, NEG, s)
+        run_s[:] = new_s
+        run_i[:] = new_i
 
     @pl.when(i == n_tiles - 1)
     def _():
