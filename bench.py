@@ -104,8 +104,16 @@ def run(config_name: str = "minilm-1m") -> int:
     from functools import partial
     from sema_tpu.ops.hier_topk import batched_topk_scores_hier
 
-    # the production selection path (exact; see ops/hier_topk.py)
-    scan = jax.jit(partial(batched_topk_scores_hier, k=k, group=128))
+    # measure the production selection path: threshold-screened Pallas scan
+    # on TPU (what VectorStore picks single-device), hier XLA elsewhere
+    if jax.default_backend() == "tpu" and rows % 2048 == 0:
+        from sema_tpu.ops.pallas_topk import pallas_topk_scores
+        scan = jax.jit(partial(pallas_topk_scores, k=k, tile_n=2048))
+        scan_name = "pallas"
+    else:
+        scan = jax.jit(partial(batched_topk_scores_hier, k=k, group=128))
+        scan_name = "hier"
+    print(f"# scan backend: {scan_name}", file=sys.stderr, flush=True)
 
     # --- recall@10 via planted winners: known rows are overwritten with
     # scaled copies of each probe query (cosine 0.90..0.99 — random 384-d
