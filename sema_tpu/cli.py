@@ -153,7 +153,13 @@ def make_index_manager(config: Config, metrics=None):
         metrics = Metrics(log_stream=open(
             os.environ["SEMA_TPU_LOG"], "a", buffering=1))
 
-    mesh = default_mesh()
+    if config.mesh.shape:
+        from sema_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(shape=config.mesh.shape,
+                         axis_names=(config.mesh.data_axis,
+                                     config.mesh.index_axis))
+    else:
+        mesh = default_mesh()
     encoder = Encoder.from_config(config.model, mesh=mesh,
                                   data_axis="index")
     if encoder.weights_source == "random":

@@ -38,7 +38,8 @@ class Encoder:
     def __init__(self, spec: EncoderSpec, params, tokenizer,
                  max_length: Optional[int] = None, batch_size: int = 256,
                  compute_dtype=jnp.bfloat16,
-                 mesh: Optional[Mesh] = None, data_axis: str = "data"):
+                 mesh: Optional[Mesh] = None, data_axis: str = "data",
+                 model_axis: Optional[str] = None):
         self.spec = spec
         self.params = params
         self.tokenizer = tokenizer
@@ -47,16 +48,24 @@ class Encoder:
         self.compute_dtype = compute_dtype
         self.mesh = mesh
         self.data_axis = data_axis
+        self.model_axis = model_axis
 
         fn = partial(bert.embed, spec=spec, compute_dtype=compute_dtype)
         if mesh is not None:
             data_sharding = NamedSharding(mesh, P(data_axis, None))
-            replicated = NamedSharding(mesh, P())
-            self._embed = jax.jit(
-                fn,
-                in_shardings=(replicated, data_sharding, data_sharding),
-                out_shardings=data_sharding)
-            self.params = jax.device_put(self.params, replicated)
+            if model_axis is not None:
+                # tensor parallelism (Megatron layout via GSPMD) composed
+                # with batch data parallelism (models/tp.py)
+                from sema_tpu.models.tp import shard_params_tp
+                self.params = shard_params_tp(self.params, mesh, model_axis)
+                self._embed = jax.jit(fn, out_shardings=data_sharding)
+            else:
+                replicated = NamedSharding(mesh, P())
+                self._embed = jax.jit(
+                    fn,
+                    in_shardings=(replicated, data_sharding, data_sharding),
+                    out_shardings=data_sharding)
+                self.params = jax.device_put(self.params, replicated)
             self._dp = mesh.shape[data_axis]
         else:
             self._embed = jax.jit(fn)
