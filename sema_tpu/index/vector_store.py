@@ -191,21 +191,23 @@ class VectorStore:
         if len(chunks) == 0:
             return
         assert embeddings.shape == (len(chunks), self.dim), embeddings.shape
-        name = f"seg-{len(self.segments):06d}-{self.total_rows:09d}"
-        vec_path, meta_path = self._seg_paths(name)
         vectors = np.ascontiguousarray(embeddings, dtype=self.np_dtype)
-        vectors.tofile(vec_path)
         meta = [{
             "id": c.id, "file_path": str(c.file_path),
             "start_line": c.start_line, "end_line": c.end_line,
             "content": c.content,
         } for c in chunks]
-        with open(meta_path, "w") as f:
-            for row in meta:
-                f.write(json.dumps(row) + "\n")
-        seg = _Segment(name=name, rows=len(chunks), vectors=vectors, meta=meta)
         with self._lock:
-            self.segments.append(seg)
+            # name derives from segment count — must be claimed under the
+            # lock or concurrent writers could overwrite each other's files
+            name = f"seg-{len(self.segments):06d}-{self.total_rows:09d}"
+            vec_path, meta_path = self._seg_paths(name)
+            vectors.tofile(vec_path)
+            with open(meta_path, "w") as f:
+                for row in meta:
+                    f.write(json.dumps(row) + "\n")
+            self.segments.append(_Segment(
+                name=name, rows=len(chunks), vectors=vectors, meta=meta))
             self._save_manifest()
             self._invalidate_device(tail_only=True)
 
@@ -214,14 +216,14 @@ class VectorStore:
         (≙ lance_indexer.rs:234-250 delete)."""
         target = str(file_path)
         removed = 0
-        for seg in self.segments:
-            self._load_segment(seg)
-            for i, row in enumerate(seg.meta):
-                if row["file_path"] == target and i not in seg.deleted:
-                    seg.deleted.add(i)
-                    removed += 1
-        if removed:
-            with self._lock:
+        with self._lock:
+            for seg in self.segments:
+                self._load_segment(seg)
+                for i, row in enumerate(seg.meta):
+                    if row["file_path"] == target and i not in seg.deleted:
+                        seg.deleted.add(i)
+                        removed += 1
+            if removed:
                 self._save_manifest()
                 self._valid_dirty = True   # masks re-upload lazily
         return removed

@@ -201,3 +201,31 @@ class TestBucketedDevice:
         sizes = {store._pad_rows(n) for n in range(1, 5000)}
         # power-of-two ladder: few distinct compiled shapes
         assert len(sizes) <= 7
+
+
+def test_compaction_twice(tmp_path):
+    """Repeated compactions keep names and files coherent."""
+    store = make_store(tmp_path)
+    cs1, v1 = chunks_and_vecs(80, path="a.txt", seed=1)
+    cs2, v2 = chunks_and_vecs(20, path="b.txt", seed=2)
+    store.add_chunks(cs1, v1)
+    store.add_chunks(cs2, v2)
+    store.remove_file_chunks(Path("a.txt"))
+    store.close()
+
+    s2 = make_store(tmp_path)              # compaction #1
+    cs3, v3 = chunks_and_vecs(60, path="c.txt", seed=3)
+    s2.add_chunks(cs3, v3)
+    s2.remove_file_chunks(Path("b.txt"))
+    s2.remove_file_chunks(Path("c.txt"))   # most rows dead again
+    s2.close()
+
+    s3 = make_store(tmp_path)              # compaction #2 → empty
+    assert s3.live_rows == 0
+    cs4, v4 = chunks_and_vecs(10, path="d.txt", seed=4)
+    s3.add_chunks(cs4, v4)
+    res = s3.search(v4[5], k=1)
+    assert res[0][0].id == "d.txt:5"
+    s3.close()
+    s4 = make_store(tmp_path)
+    assert s4.live_rows == 10
