@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="sema-tpu",
         description="Semantic File Search — TPU-native semantic + keyword "
                     "search in local files")
+    # version parity with the reference's clap metadata (cli/args.rs:9)
+    from sema_tpu import __version__
+    p.add_argument("--version", action="version",
+                   version=f"sema-tpu {__version__}")
     sub = p.add_subparsers(dest="command")
 
     tui = sub.add_parser("tui", help="interactive TUI (default)")
@@ -104,7 +108,9 @@ def build_parser() -> argparse.ArgumentParser:
 def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     argv = list(sys.argv[1:] if argv is None else argv)
     # reference behavior: bare `sema-tpu [DIR] [flags]` runs the TUI
-    if not argv or argv[0] not in SUBCOMMANDS and not argv[0] in ("-h", "--help"):
+    passthrough = ("-h", "--help", "--version")
+    if not argv or (argv[0] not in SUBCOMMANDS
+                    and argv[0] not in passthrough):
         argv = ["tui"] + argv
     return build_parser().parse_args(argv)
 
