@@ -137,6 +137,14 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
 
 def serve_forever(index_manager, host: str = "127.0.0.1", port: int = 7700):
     service = SearchService(index_manager)
+    # warm the query path before accepting traffic: first dispatch in a
+    # process pays executable load + param placement (seconds even with the
+    # persistent compile cache)
+    if index_manager.vector_store.live_rows:
+        try:
+            service.search("warmup", 1)
+        except Exception:  # noqa: BLE001 — warmup is best-effort
+            pass
     server = make_server(service, host, port)
     print(f"serving on http://{host}:{server.server_address[1]} "
           f"({service.stats()['rows']} vectors)")

@@ -149,6 +149,13 @@ class TuiApp:
             mgr.process_and_index_files(
                 files, progress=lambda *_: self._pump(stdscr))
             self.engine.index_manager = mgr
+            # warm the query path so the first Enter answers fast (first
+            # dispatch pays executable load + param placement)
+            try:
+                if mgr.vector_store.live_rows:
+                    mgr.search("warmup", 1)
+            except Exception:  # noqa: BLE001 — warmup is best-effort
+                pass
         except TuiApp._QuitDuringIndex:
             raise
         except Exception as e:  # noqa: BLE001
