@@ -240,12 +240,15 @@ uint8_t* sema_text_search(void* h, const char* query_utf8, uint32_t limit) {
     if (!phrases.empty()) {
         std::vector<std::vector<std::string>> ptoks;
         for (auto& p : phrases) ptoks.push_back(tokenize(p));
+        // sentinel-wrapped join: '\x00' on BOTH sides of every token so a
+        // phrase term never matches a substring of a longer token ("bar"
+        // must not match "barometer"); identical to the Python oracle
         auto has_phrases = [&](const Doc& d) {
             auto toks = tokenize(d.content);
-            std::string joined;
+            std::string joined(1, '\x00');
             for (auto& t : toks) { joined += t; joined += '\x00'; }
             for (auto& pt : ptoks) {
-                std::string needle;
+                std::string needle(1, '\x00');
                 for (auto& t : pt) { needle += t; needle += '\x00'; }
                 if (joined.find(needle) == std::string::npos) return false;
             }

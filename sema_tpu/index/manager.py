@@ -125,8 +125,16 @@ class IndexManager:
                 return []
             with self.metrics.timer("text_search"):
                 return self.text_index.search(stripped, limit)
-        with self.metrics.timer("embed_query"):
-            qvec = self.encoder.encode_query(query)
+        try:
+            with self.metrics.timer("embed_query"):
+                qvec = self.encoder.encode_query(query)
+        except Exception as e:  # noqa: BLE001 — parity: degrade, don't fail
+            # embed-failure fallback: the reference degrades a failed query
+            # embedding to a substring scan (lance_indexer.rs:143-148)
+            print(f"Warning: query embedding failed ({e}); falling back "
+                  "to substring scan", file=sys.stderr)
+            with self.metrics.timer("fallback_search"):
+                return self.vector_store.substring_scan(query, limit)
         with self.metrics.timer("vector_search"):
             return self.vector_store.search(qvec, limit)
 

@@ -170,10 +170,15 @@ class TextIndex:
 
         if phrases:
             def has_phrases(doc) -> bool:
+                # sentinel-wrapped join: every token is bounded by \x00 on
+                # BOTH sides so a phrase term can never match a substring of
+                # a longer token ("bar" must not match "barometer"); the
+                # native backend uses the identical convention
                 toks = tokenize(doc["content"])
-                joined = "\x00".join(toks)
+                joined = "\x00" + "\x00".join(toks) + "\x00"
                 return all(
-                    "\x00".join(tokenize(p)) in joined for p in phrases)
+                    ("\x00" + "\x00".join(tokenize(p)) + "\x00") in joined
+                    for p in phrases)
             scores = {d: s for d, s in scores.items()
                       if has_phrases(self.docs[d])}
 

@@ -394,7 +394,13 @@ class VectorStore:
 
     def device_buckets(self):
         with self._lock:
-            if self._buckets is None or self._valid_dirty:
+            # rebuild when buckets are missing, stale, or don't cover every
+            # segment — after _invalidate_device(tail_only=True) the sealed
+            # prefix survives but the trailing segments have no bucket yet
+            covered = bool(self._buckets) and (
+                self._buckets[-1]["seg_range"][1] == len(self.segments))
+            if (self.segments and not covered) or self._valid_dirty \
+                    or self._buckets is None:
                 self._build_device()
             return list(self._buckets)  # snapshot for lock-free searching
 
@@ -490,11 +496,16 @@ class VectorStore:
         the host originals (BASELINE config 4)."""
         buckets = self.device_buckets()
         quantized = self.store_dtype == "int8"
+        if not buckets:  # empty store: nothing to scan
+            return (np.full((len(query_vecs), k), -np.inf, dtype=np.float32),
+                    np.zeros((len(query_vecs), k), dtype=np.int32))
         q = jnp.asarray(query_vecs, dtype=jnp.float32)
 
-        # round the scanned k up to a small class ladder so callers with
-        # different k share one compiled executable (compiles are expensive;
-        # extra candidates are a few KB)
+        # round the scanned k up to the class ladder (16, 64, 128, 1024) so
+        # callers with different k share one compiled executable (compiles
+        # are expensive; extra candidates are a few KB). 64 covers the
+        # TUI's limit-50, 128 covers the default rescore_k=100 and is the
+        # Pallas kernel's K_PAD ceiling; >128 falls to the XLA path.
         k_want = max(k, self.rescore_k) if quantized else k
         k_class = next((c for c in (16, 64, 128, 1024) if c >= k_want),
                        k_want)
@@ -535,6 +546,31 @@ class VectorStore:
                 out_i[qi, :len(s)] = ii
             return out_s, out_i
         return scores, idx
+
+    def substring_scan(self, query: str, limit: int
+                       ) -> List[Tuple[Chunk, float]]:
+        """Degraded-mode fallback: host substring scan over chunk content
+        (≙ the reference's ``LIKE '%q%'`` fallback when query embedding
+        fails, lance_indexer.rs:143-148). Case-sensitive like SQL LIKE with
+        binary collation; scores are the constant 1.0 the reference returns
+        for semantic hits (storage/mod.rs:123)."""
+        out: List[Tuple[Chunk, float]] = []
+        with self._lock:
+            segs = list(self.segments)
+        for seg in segs:
+            self._load_segment(seg)
+            for i, row in enumerate(seg.meta):
+                if i in seg.deleted:
+                    continue
+                if query in row["content"]:
+                    out.append((Chunk(
+                        id=row["id"], file_path=Path(row["file_path"]),
+                        start_line=row["start_line"],
+                        end_line=row["end_line"],
+                        content=row["content"]), 1.0))
+                    if len(out) >= limit:
+                        return out
+        return out
 
     def search(self, query_vec: np.ndarray, k: int
                ) -> List[Tuple[Chunk, float]]:

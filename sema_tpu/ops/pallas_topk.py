@@ -159,7 +159,13 @@ def pallas_topk(store: jax.Array, queries: jax.Array, valid: jax.Array,
         raise ValueError(f"k={k} exceeds the kernel's K_PAD={K_PAD}")
     out_s, out_i = _pallas_topk_padded(store, queries, valid, k, tile_n,
                                        interpret)
-    return out_s[:, :k], out_i[:, :k]
+    # normalize the masked-slot contract to match the XLA paths: inside the
+    # kernel invalid/padded rows carry the finite sentinel NEG (Mosaic
+    # embeds it literally); consumers filter masked slots with isfinite, so
+    # map sentinel survivors back to true -inf before returning
+    out_s = out_s[:, :k]
+    out_s = jnp.where(out_s <= NEG, -jnp.inf, out_s)
+    return out_s, out_i[:, :k]
 
 
 def pallas_topk_scores(store, queries, valid, k, tile_n: int = 2048,

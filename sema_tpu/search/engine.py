@@ -28,7 +28,9 @@ from typing import Dict, List, Optional
 from sema_tpu.types import AppState, SearchResult, UIMode
 
 SEARCH_RESULTS_LIMIT = 50          # engine.rs:11
-MIN_QUERY_CHARS = 3                # app.rs:165 rejects len <= 2
+MIN_QUERY_BYTES = 3                # app.rs:165 rejects query.trim().len() <= 2
+                                   # (Rust str::len counts UTF-8 BYTES, so a
+                                   # 1-char CJK query passes the gate there)
 PREVIEW_MAX_BYTES = 1_048_576      # engine.rs:186
 
 
@@ -82,7 +84,7 @@ class Engine:
                        limit: int = SEARCH_RESULTS_LIMIT) -> None:
         """engine.rs:102-154 with the app.rs:165 length gate folded in."""
         query = query.strip()
-        if len(query) < MIN_QUERY_CHARS:
+        if len(query.encode("utf-8")) < MIN_QUERY_BYTES:
             return
         self.search_error = None
         self.current_search_query = query

@@ -3,9 +3,12 @@
 Parity:
 
 - startup sequence crawl → index inline before the event loop, with the
-  status screen redrawn between states (app.rs:72-86). Indexing runs in a
-  background thread here so the spinner actually animates (the reference
-  blocks the UI during indexing; its spinner only moves between states);
+  status screen redrawn between states (app.rs:72-86). Indexing runs on the
+  MAIN thread here — dispatching JAX work from a short-lived secondary
+  thread can wedge the device (see docs/PERF.md) — with pump callbacks from
+  the pipeline driving spinner redraws, so the spinner animates anyway (the
+  reference blocks the UI during indexing; its spinner only moves between
+  states);
 - 100 ms event poll + 100 ms spinner tick (app.rs:23-24, 88-105);
 - key routing per tui/events.py; search via Engine; ≤2-char queries clear
   (app.rs:164-168);

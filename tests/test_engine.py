@@ -52,9 +52,18 @@ def test_group_results_tiebreak_deterministic():
 def test_execute_search_short_query_rejected():
     mgr = FakeManager([sr("a.py", 1, 1.0)])
     eng = Engine(index_manager=mgr)
-    eng.execute_search("ab")  # app.rs:165: <= 2 chars
+    eng.execute_search("ab")  # app.rs:165: <= 2 BYTES
     assert mgr.calls == []
     assert eng.search_results == []
+
+
+def test_execute_search_gate_counts_utf8_bytes():
+    """app.rs:165 gates on query.trim().len() — UTF-8 bytes in Rust — so a
+    single CJK character (3 bytes) passes while two ASCII chars don't."""
+    mgr = FakeManager([sr("a.py", 1, 1.0)])
+    eng = Engine(index_manager=mgr)
+    eng.execute_search("中")  # 1 char, 3 UTF-8 bytes → accepted
+    assert mgr.calls == [("中", SEARCH_RESULTS_LIMIT)]
 
 
 def test_execute_search_populates_and_switches_mode():

@@ -91,6 +91,25 @@ def test_missing_files_skipped(tmp_path, tree, encoder):
     mgr.close()
 
 
+def test_query_embed_failure_falls_back_to_substring(tmp_path, tree,
+                                                     encoder, monkeypatch):
+    """Embed-failure fallback (≙ lance_indexer.rs:143-148): a failed query
+    embedding degrades to a host substring scan instead of erroring."""
+    mgr = make_mgr(tmp_path, encoder)
+    mgr.process_and_index_files(sorted(tree.glob("*")))
+
+    def boom(*a, **kw):
+        raise RuntimeError("device lost")
+    monkeypatch.setattr(mgr.encoder, "encode_query", boom)
+    results = mgr.search("sockets", limit=10)
+    assert results  # degraded, not empty
+    assert all("sockets" in c.content for c, _ in results)
+    assert all(s == 1.0 for _, s in results)  # constant score, like the ref
+    # case-sensitive, like SQL LIKE with binary collation
+    assert mgr.search("SOCKETS", limit=10) == []
+    mgr.close()
+
+
 def test_crash_retry_semantics(tmp_path, tree, encoder, monkeypatch):
     """Hash recorded only after successful indexing → failed files retried
     (storage/mod.rs:62-66)."""

@@ -75,6 +75,23 @@ def test_bf16_store():
     np.testing.assert_allclose(np.asarray(ps), np.asarray(ns), atol=1e-2)
 
 
+def test_masked_slots_return_true_neg_inf():
+    """Contract parity with the XLA paths (advisor r1, medium): when k
+    exceeds the live rows, the dead slots must come back as -inf (which
+    np.isfinite filters), not the kernel's internal finite sentinel."""
+    store, queries = _data(128, q=2)
+    valid = np.zeros(128, bool)
+    valid[:3] = True  # only 3 live rows, ask for 8
+    ps, pi = pallas_topk(jnp.asarray(store), jnp.asarray(queries),
+                         jnp.asarray(valid), 8, tile_n=128, interpret=True)
+    ps = np.asarray(ps)
+    assert np.all(np.isfinite(ps[:, :3]))
+    assert np.all(np.isneginf(ps[:, 3:]))
+    ns, _ = batched_topk_scores(jnp.asarray(store), jnp.asarray(queries),
+                                jnp.asarray(valid), 8)
+    np.testing.assert_allclose(ps[:, :3], np.asarray(ns)[:, :3], atol=1e-5)
+
+
 def test_indivisible_tile_rejected():
     store, queries = _data(100)
     with pytest.raises(ValueError, match="multiple"):

@@ -60,6 +60,26 @@ def test_rankings_and_scores_match(indexes, query):
     assert_same_results(n, p, query)
 
 
+def test_phrase_substring_of_token_parity(tmp_path):
+    """A phrase term must match whole tokens only, identically in both
+    backends (advisor r1: separator conventions diverged — 'foo "bar"'
+    matched 'foo barometer' in Python but not native)."""
+    n, p = both(tmp_path)
+    docs = ["foo barometer pressure", "foo bar baz", "barometer foo bar"]
+    chunks = [chunk(i, c) for i, c in enumerate(docs)]
+    n.index_chunks(chunks)
+    p.index_chunks(chunks)
+    for query in ['foo "bar"', '"bar"', '"foo bar"', '"barometer"',
+                  '"ometer"', 'pressure "foo barometer"']:
+        assert_same_results(n, p, query)
+    # and the semantics are right, not merely consistent: "bar" must not
+    # match inside "barometer"
+    hits = p.search('"bar"', 10)
+    assert {h[0].content for h in hits} == {docs[1], docs[2]}
+    hits_n = n.search('"bar"', 10)
+    assert {h[0].content for h in hits_n} == {docs[1], docs[2]}
+
+
 def test_randomized_parity(tmp_path):
     rng = random.Random(7)
     vocab = ["".join(rng.choices(string.ascii_lowercase, k=rng.randint(2, 8)))

@@ -120,6 +120,36 @@ def test_k_larger_than_store(tmp_path):
     assert len(results) == 3  # padding rows filtered
 
 
+def test_search_then_append_then_search(tmp_path):
+    """Regression (advisor r1, high): tail-only device invalidation after
+    add_chunks left a bucket list that no longer covered the new segments;
+    the follow-up search crashed (empty bucket list) or silently missed the
+    freshly-added rows — the streaming re-index-while-serving path."""
+    store = make_store(tmp_path)
+    cs1, v1 = chunks_and_vecs(20, path="a.txt", seed=1)
+    store.add_chunks(cs1, v1)
+    assert store.search(v1[3], k=1)[0][0].id == "a.txt:3"
+    cs2, v2 = chunks_and_vecs(20, path="b.txt", seed=2)
+    store.add_chunks(cs2, v2)        # drops the (unsealed) tail bucket
+    res = store.search(v2[7], k=1)   # must cover the new segment
+    assert res[0][0].id == "b.txt:7"
+    buckets = store.device_buckets()
+    assert buckets and buckets[-1]["seg_range"][1] == len(store.segments)
+
+
+def test_k_class_sharing_boundary(tmp_path):
+    """k values map onto the (16, 64, 128, 1024) class ladder; callers
+    within a class share one compiled scan."""
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(300)
+    store.add_chunks(cs, vecs)
+    store.search(vecs[0], k=17)
+    store.search(vecs[0], k=64)      # same class (64) — no new compile
+    assert len(store._topk_fns) == 1
+    store.search(vecs[0], k=65)      # crosses into class 128
+    assert len(store._topk_fns) == 2
+
+
 def test_incremental_reindex_flow(tmp_path):
     """delete-then-reindex keeps ids coherent (storage/mod.rs:42-47)."""
     store = make_store(tmp_path)
@@ -180,6 +210,25 @@ class TestBucketedDevice:
         # the sealed device arrays are the same objects (no re-upload)
         reused = [id(b["store"]) for b in second if b["sealed"]]
         assert sealed_ids[0] in reused
+        # and the rebuilt bucket list covers every segment: the appended
+        # rows are searchable (advisor r1: identity alone let a stale
+        # bucket list pass)
+        assert second[-1]["seg_range"][1] == len(store.segments)
+        res = store.search(vecs2[10], k=1)
+        assert res[0][0].id == "b.txt:10"
+
+    def test_search_append_search_with_sealed_prefix(self, tmp_path,
+                                                     monkeypatch):
+        monkeypatch.setattr(VectorStore, "SEAL_ROWS", 100)
+        store = make_store(tmp_path)
+        cs, vecs = chunks_and_vecs(150, path="a.txt", seed=1)
+        store.add_chunks(cs, vecs)
+        assert store.search(vecs[0], k=1)[0][0].id == "a.txt:0"
+        cs2, vecs2 = chunks_and_vecs(50, path="b.txt", seed=2)
+        store.add_chunks(cs2, vecs2)
+        # previously: sealed prefix remained, tail coverage silently missing
+        res = store.search(vecs2[10], k=1)
+        assert res[0][0].id == "b.txt:10"
 
     def test_tombstone_keeps_store_arrays(self, tmp_path, monkeypatch):
         monkeypatch.setattr(VectorStore, "SEAL_ROWS", 100)
