@@ -29,7 +29,7 @@ from sema_tpu.config import (Config, ConfigManager, apply_cli_overrides,
                              data_dir)
 from sema_tpu.types import CrawlerConfig
 
-SUBCOMMANDS = {"index", "query", "tui", "bench", "serve"}
+SUBCOMMANDS = {"index", "query", "tui", "bench", "serve", "doctor"}
 
 
 def _add_crawl_flags(p: argparse.ArgumentParser) -> None:
@@ -101,6 +101,13 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--host", default="127.0.0.1")
     serve.add_argument("--port", type=int, default=7700)
     _add_model_flags(serve)
+
+    doctor = sub.add_parser(
+        "doctor", help="environment + semantic-quality self-check")
+    _add_model_flags(doctor)
+    doctor.add_argument("--skip-quality", action="store_true",
+                        help="only report environment, skip the canned-"
+                             "corpus retrieval gate")
 
     return p
 
@@ -280,6 +287,56 @@ def _apply_platform_override() -> None:
         jax.config.update("jax_platforms", platform)
 
 
+def cmd_doctor(args) -> int:
+    """Self-check: environment, weight resolution, semantic quality.
+
+    The quality gate (sema_tpu/quality.py) is the runnable proof of the
+    capability the reference gets from its HF download
+    (embeddings.rs:93-103): with real weights it must rank every canned
+    paraphrase query's document at position 1.
+    """
+    import jax
+
+    from sema_tpu.models import Encoder
+
+    config = load_config(args)
+    print(f"jax backend      : {jax.default_backend()} "
+          f"({jax.device_count()} device(s))")
+    try:
+        import sema_tpu.native.bindings  # noqa: F401
+        print("native extension : built (crawler/chunker/xxh3/BM25 in C++)")
+    except ImportError:
+        print("native extension : NOT built — run `make -C native` "
+              "(pure-Python fallbacks active)")
+
+    encoder = Encoder.from_config(config.model)
+    print(f"model            : {encoder.spec.name} "
+          f"({encoder.spec.dim}-d, {encoder.spec.num_layers} layers)")
+    print(f"weights          : {encoder.weights_source}")
+    print(f"tokenizer        : {encoder.tokenizer_source}")
+
+    if args.skip_quality:
+        return 0
+    from sema_tpu.quality import run_quality_gate
+    report = run_quality_gate(encoder)
+    if not report.ran:
+        print(f"quality gate     : SKIPPED — {report.reason}")
+        return 1
+    print(f"quality gate     : {report.correct_at_1}/{report.total} "
+          f"queries ranked their document #1")
+    for query, expected, got in report.failures:
+        print(f"  MISS  {query!r}: expected {expected}, got {got}")
+    if report.fixture_min_cosine is not None:
+        print(f"fixture vectors  : {report.fixture_checked} checked, "
+              f"min cosine {report.fixture_min_cosine:.6f} "
+              f"(gate ≥ 0.999)")
+    else:
+        print("fixture vectors  : no fixture file (generate with "
+              "tools/fetch_weights.py --make-fixtures)")
+    print(f"RESULT           : {'PASS' if report.passed else 'FAIL'}")
+    return 0 if report.passed else 1
+
+
 def cmd_serve(args) -> int:
     from sema_tpu.search.http_server import serve_forever
     config = load_config(args)
@@ -294,7 +351,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     from sema_tpu.utils.jaxcache import enable as enable_comp_cache
     enable_comp_cache()
     cmd = {"index": cmd_index, "query": cmd_query, "tui": cmd_tui,
-           "bench": cmd_bench, "serve": cmd_serve}[args.command or "tui"]
+           "bench": cmd_bench, "serve": cmd_serve,
+           "doctor": cmd_doctor}[args.command or "tui"]
     return cmd(args)
 
 
