@@ -165,20 +165,77 @@ def run(config_name: str = "minilm-1m") -> int:
     from sema_tpu.models.bert import embed as embed_fn
     from sema_tpu.models.loader import random_params
 
-    spec = get_spec("minilm-l6")
-    params = random_params(spec, seed=0)
-    ebatch, seq = 256, 256
-    rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(0, spec.vocab_size, (ebatch, seq)),
-                      dtype=jnp.int32)
-    emask = jnp.ones((ebatch, seq), dtype=jnp.int32)
-    print("# stage: encoder throughput", file=sys.stderr, flush=True)
-    efwd = jax.jit(partial(embed_fn, spec=spec, compute_dtype=jnp.bfloat16))
-    idsets = jnp.stack([ids, jnp.roll(ids, 1, axis=0),
-                        jnp.roll(ids, 2, axis=0), jnp.roll(ids, 3, axis=0)])
-    p50_embed = _measure_device(
-        lambda ii: efwd(params, ii, emask), idsets, n_calls=16)
-    chunks_per_sec = ebatch / p50_embed
+    def encoder_rate(model: str, ebatch: int, seq: int, n_calls: int = 16):
+        spec = get_spec(model)
+        params = random_params(spec, seed=0)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, spec.vocab_size, (ebatch, seq)),
+                          dtype=jnp.int32)
+        emask = jnp.ones((ebatch, seq), dtype=jnp.int32)
+        efwd = jax.jit(partial(embed_fn, spec=spec,
+                               compute_dtype=jnp.bfloat16))
+        idsets = jnp.stack([ids, jnp.roll(ids, 1, axis=0),
+                            jnp.roll(ids, 2, axis=0), jnp.roll(ids, 3, axis=0)])
+        p50 = _measure_device(lambda ii: efwd(params, ii, emask), idsets,
+                              n_calls=n_calls)
+        del params
+        return ebatch / p50
+
+    print("# stage: encoder throughput (minilm 256tok)", file=sys.stderr,
+          flush=True)
+    # SEMA_BENCH_EBATCH shrinks the encoder batch for CPU smoke runs (the
+    # full 256×256-token batch is ~1.7 TFLOP/call — minutes on 1 CPU core)
+    ebatch = int(os.environ.get("SEMA_BENCH_EBATCH", 256))
+    chunks_per_sec = encoder_rate("minilm-l6", ebatch, 256,
+                                  n_calls=16 if ebatch >= 256 else 4)
+
+    # ladder extras are TPU evidence; on CPU smoke runs the e5-base forward
+    # alone takes minutes/core (force with SEMA_BENCH_EXTRAS=1)
+    extras_on = (jax.default_backend() == "tpu"
+                 or bool(os.environ.get("SEMA_BENCH_EXTRAS"))) \
+        and not os.environ.get("SEMA_BENCH_SKIP_EXTRAS")
+    ladder = {}
+    if extras_on:
+        # BASELINE ladder rungs beyond the flagship (BASELINE.md):
+        # short-bucket MiniLM (the length-bucketed indexing path,
+        # encoder.py BUCKETS), e5-base 768-d (config 3), int8 scan
+        # (config 4's quantized candidate scan at 1024-d)
+        print("# stage: encoder minilm seq128 bucket", file=sys.stderr,
+              flush=True)
+        ladder["embed_minilm_seq128_chunks_per_sec"] = round(
+            encoder_rate("minilm-l6", 512, 128), 1)
+        print("# stage: encoder e5-base 768d", file=sys.stderr, flush=True)
+        ladder["embed_e5_base_768d_chunks_per_sec"] = round(
+            encoder_rate("e5-base", 128, 256), 1)
+
+        print("# stage: int8 scan 1024d", file=sys.stderr, flush=True)
+        from sema_tpu.ops.quant import int8_topk_scores
+        rows8 = min(rows, 524_288)
+        dim8 = 1024
+        k8 = 100  # rescore_k candidate scan (config 4)
+
+        @jax.jit
+        def make_int8(key):
+            x = jax.random.normal(key, (rows8, dim8), dtype=jnp.float32)
+            x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+            s = jnp.max(jnp.abs(x), axis=1) / 127.0
+            q = jnp.clip(jnp.round(x / s[:, None]), -127, 127).astype(jnp.int8)
+            return q, s
+
+        qvals, qscales = jax.block_until_ready(make_int8(ks))
+        valid8 = jnp.ones((rows8,), dtype=bool)
+        q8batch = 64
+        q8sets = jnp.stack([
+            q / jnp.linalg.norm(q, axis=1, keepdims=True)
+            for q in [jax.random.normal(kk, (q8batch, dim8),
+                                        dtype=jnp.float32)
+                      for kk in jax.random.split(kq, 4)]])
+        scan8 = jax.jit(partial(int8_topk_scores, k=k8))
+        t8 = _measure_device(
+            lambda qs: scan8(qvals, qscales, qs, valid8), q8sets, n_calls=32)
+        ladder["int8_scan_qps_524k_1024d_k100"] = round(q8batch / t8, 1)
+        ladder["int8_scan_rows"] = rows8
+        del qvals, qscales
 
     target_p50_ms = 10.0  # BASELINE.json north-star serving target
     # a single query can never cost more than a full batch; when the
@@ -198,6 +255,7 @@ def run(config_name: str = "minilm-1m") -> int:
             "batch_p50_ms_device": round(per_batch_dev * 1e3, 3),
             "embed_chunks_per_sec_per_chip": round(chunks_per_sec, 1),
             "rows": rows, "dim": dim, "device": str(dev),
+            **ladder,
         },
     }
     assert recall == 1.0, f"exact scan must have recall 1.0, got {recall}"

@@ -34,6 +34,7 @@ Parameter tree (all arrays; layer-stacked leaves have leading dim L):
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict
 
 import jax
@@ -44,6 +45,21 @@ from sema_tpu.models.registry import EncoderSpec
 Params = Dict[str, Any]
 
 LN_EPS = 1e-12  # BERT default
+
+
+def resolve_attn_impl(impl: str = "auto") -> str:
+    """'fused' (Pallas, ops/fused_attention.py) or 'xla'.
+
+    auto → fused on TPU, xla elsewhere (the fused kernel runs in interpret
+    mode off-TPU — correct but slow, so it's opt-in there).
+    ``SEMA_TPU_ATTN`` overrides.
+    """
+    impl = os.environ.get("SEMA_TPU_ATTN", impl)
+    if impl == "auto":
+        impl = "fused" if jax.default_backend() == "tpu" else "xla"
+    if impl not in ("fused", "xla"):
+        raise ValueError(f"unknown attention impl {impl!r}")
+    return impl
 
 
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
@@ -57,51 +73,79 @@ def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
 
 
 def _attention(x: jax.Array, layer: Params, mask_bias: jax.Array,
-               num_heads: int) -> jax.Array:
-    """Multi-head self-attention, f32 softmax, MXU matmuls."""
+               num_heads: int, attn_impl: str = "xla") -> jax.Array:
+    """Multi-head self-attention, f32 softmax, MXU matmuls.
+
+    ``mask_bias`` is (b, s) f32: 0 where attended, -1e9 where padded.
+    ``attn_impl``: 'xla' materializes (b, n, s, s) scores in HBM; 'fused'
+    keeps them in VMEM (ops/fused_attention.py) — the encoder's dominant
+    HBM-traffic saving at batch×256-token shapes.
+    """
     b, s, h = x.shape
     hd = h // num_heads
 
+    # epilogue dtype: MXU accumulation is f32 internally either way; in
+    # bf16 compute mode the output is rounded once at the MXU boundary and
+    # biases/residuals ride in bf16 — halves the activation HBM traffic
+    # (measured: 82→96 TF/s on the linear path). f32 compute keeps exact
+    # f32 epilogues for the torch-parity suite.
+    acc = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+
     qkv = jnp.einsum("bsh,hm->bsm", x, layer["qkv_w"].astype(x.dtype),
-                     preferred_element_type=jnp.float32)
-    qkv = (qkv + layer["qkv_b"].astype(jnp.float32)).astype(x.dtype)
+                     preferred_element_type=acc)
+    qkv = (qkv + layer["qkv_b"].astype(acc)).astype(x.dtype)
 
     def heads(y):
         return y.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
 
     q, k, v = (heads(y) for y in jnp.split(qkv, 3, axis=-1))
 
-    scores = jnp.einsum("bnqd,bnkd->bnqk", q, k,
-                        preferred_element_type=jnp.float32)
-    scores = scores / math.sqrt(hd) + mask_bias  # (b,1,1,s) broadcast
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-
-    ctx = jnp.einsum("bnqk,bnkd->bnqd", probs, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if attn_impl == "fused":
+        from sema_tpu.ops.fused_attention import fused_attention
+        ctx = fused_attention(
+            q, k, v, mask_bias, scale=1.0 / math.sqrt(hd),
+            interpret=jax.default_backend() != "tpu")
+    else:
+        # softmax dtype follows the compute dtype: in bf16 mode the whole
+        # score→softmax chain stays bf16, halving its HBM traffic (scores
+        # are the largest activation at (b, n, s, s)); measured embedding
+        # cosine vs the f32-softmax path: 1.000000 (docs/PERF.md). f32
+        # compute keeps the exact f32 softmax for torch parity.
+        scores = jnp.einsum("bnqd,bnkd->bnqk", q, k,
+                            preferred_element_type=acc)
+        scores = (scores / jnp.asarray(math.sqrt(hd), acc)
+                  + mask_bias[:, None, None, :].astype(acc))
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bnqk,bnkd->bnqd", probs, v,
+                         preferred_element_type=acc).astype(x.dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
 
+    acc = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     out = jnp.einsum("bsh,hd->bsd", ctx, layer["attn_out_w"].astype(x.dtype),
-                     preferred_element_type=jnp.float32)
-    out = out + layer["attn_out_b"].astype(jnp.float32)
+                     preferred_element_type=acc)
+    out = out + layer["attn_out_b"].astype(acc)
     return out.astype(x.dtype)
 
 
 def _ffn(x: jax.Array, layer: Params) -> jax.Array:
+    acc = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     up = jnp.einsum("bsh,hi->bsi", x, layer["ffn_in_w"].astype(x.dtype),
-                    preferred_element_type=jnp.float32)
-    up = jax.nn.gelu(up + layer["ffn_in_b"].astype(jnp.float32),
-                     approximate=False)
+                    preferred_element_type=acc)
+    # GELU stays in f32: erf is numerically touchy in bf16 and the
+    # elementwise up-cast→gelu→down-cast chain fuses into one VPU pass
+    up = jax.nn.gelu((up + layer["ffn_in_b"].astype(acc))
+                     .astype(jnp.float32), approximate=False)
     down = jnp.einsum("bsi,ih->bsh", up.astype(x.dtype),
                       layer["ffn_out_w"].astype(x.dtype),
-                      preferred_element_type=jnp.float32)
-    down = down + layer["ffn_out_b"].astype(jnp.float32)
+                      preferred_element_type=acc)
+    down = down + layer["ffn_out_b"].astype(acc)
     return down.astype(x.dtype)
 
 
 def encoder_layer(x: jax.Array, layer: Params, mask_bias: jax.Array,
-                  num_heads: int) -> jax.Array:
+                  num_heads: int, attn_impl: str = "xla") -> jax.Array:
     """One post-LN BERT block."""
-    attn = _attention(x, layer, mask_bias, num_heads)
+    attn = _attention(x, layer, mask_bias, num_heads, attn_impl=attn_impl)
     x = layer_norm(x + attn, layer["attn_ln_scale"], layer["attn_ln_bias"])
     ffn = _ffn(x, layer)
     x = layer_norm(x + ffn, layer["ffn_ln_scale"], layer["ffn_ln_bias"])
@@ -110,7 +154,8 @@ def encoder_layer(x: jax.Array, layer: Params, mask_bias: jax.Array,
 
 def bert_forward(params: Params, input_ids: jax.Array,
                  attention_mask: jax.Array, spec: EncoderSpec,
-                 compute_dtype=jnp.float32) -> jax.Array:
+                 compute_dtype=jnp.float32,
+                 attn_impl: str = "xla") -> jax.Array:
     """Token-level hidden states (batch, seq, hidden).
 
     ``input_ids``/``attention_mask`` are (batch, seq) int32. token_type_ids
@@ -127,10 +172,11 @@ def bert_forward(params: Params, input_ids: jax.Array,
     x = x.astype(compute_dtype)
 
     # additive mask: 0 where attended, -1e9 (f32) where padded
-    mask_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
+    mask_bias = (1.0 - attention_mask.astype(jnp.float32)) * -1e9  # (b, s)
 
     def body(h, layer):
-        return encoder_layer(h, layer, mask_bias, spec.num_heads), None
+        return encoder_layer(h, layer, mask_bias, spec.num_heads,
+                             attn_impl=attn_impl), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     return x
@@ -158,9 +204,11 @@ def cls_pool_normalize(hidden: jax.Array, attention_mask: jax.Array) -> jax.Arra
 
 
 def embed(params: Params, input_ids: jax.Array, attention_mask: jax.Array,
-          spec: EncoderSpec, compute_dtype=jnp.float32) -> jax.Array:
+          spec: EncoderSpec, compute_dtype=jnp.float32,
+          attn_impl: str = "xla") -> jax.Array:
     """Full sentence-embedding forward: encoder → pooling → L2. (batch, dim) f32."""
-    hidden = bert_forward(params, input_ids, attention_mask, spec, compute_dtype)
+    hidden = bert_forward(params, input_ids, attention_mask, spec,
+                          compute_dtype, attn_impl=attn_impl)
     if spec.pooling == "cls":
         return cls_pool_normalize(hidden, attention_mask)
     return mean_pool_normalize(hidden, attention_mask)

@@ -15,6 +15,7 @@ path (embeddings.rs:26-58, lance_indexer.rs:59-73):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Sequence, Tuple
 
@@ -50,7 +51,14 @@ class Encoder:
         self.data_axis = data_axis
         self.model_axis = model_axis
 
-        fn = partial(bert.embed, spec=spec, compute_dtype=compute_dtype)
+        # attention impl: the fused Pallas kernel (ops/fused_attention.py)
+        # under TP would be an opaque custom call GSPMD can't partition —
+        # TP keeps the XLA path; DP runs per-chip under shard_map where
+        # the kernel is legal as-is.
+        self.attn_impl = bert.resolve_attn_impl(
+            "xla" if model_axis is not None else "auto")
+        fn = partial(bert.embed, spec=spec, compute_dtype=compute_dtype,
+                     attn_impl=self.attn_impl)
         if mesh is not None:
             data_sharding = NamedSharding(mesh, P(data_axis, None))
             if model_axis is not None:
@@ -60,11 +68,17 @@ class Encoder:
                 self.params = shard_params_tp(self.params, mesh, model_axis)
                 self._embed = jax.jit(fn, out_shardings=data_sharding)
             else:
+                # pure data parallelism: explicit per-chip SPMD via
+                # shard_map (replicated params, batch-sharded inputs); no
+                # collectives — each chip embeds its batch shard
+                from jax import shard_map
                 replicated = NamedSharding(mesh, P())
-                self._embed = jax.jit(
-                    fn,
-                    in_shardings=(replicated, data_sharding, data_sharding),
-                    out_shardings=data_sharding)
+                mapped = shard_map(
+                    fn, mesh=mesh,
+                    in_specs=(P(), P(data_axis, None), P(data_axis, None)),
+                    out_specs=P(data_axis, None),
+                    check_vma=False)
+                self._embed = jax.jit(mapped)
                 self.params = jax.device_put(self.params, replicated)
             self._dp = mesh.shape[data_axis]
         else:
@@ -123,11 +137,29 @@ class Encoder:
         """(batch, dim) f32 L2-normalized embeddings for pre-tokenized input."""
         return self._embed(self.params, ids, mask)
 
+    # sequence-length bucket ladder: fixed so the set of compiled
+    # executables stays small (one per bucket). Most 1000-byte chunks
+    # tokenize well under the 256-token cap, and both the linear FLOPs
+    # (∝ S) and attention FLOPs (∝ S²) scale down with the bucket.
+    BUCKETS = (32, 64, 128, 256)
+
+    def _bucket_len(self, n: int) -> int:
+        for b in self.BUCKETS:
+            if n <= b <= self.max_length:
+                return b
+        return self.max_length
+
     def encode_texts(self, texts: Sequence[str],
                      progress=None) -> np.ndarray:
         """Embed any number of texts; returns (len(texts), dim) f32.
 
-        Streams fixed-shape batches through the single compiled executable.
+        Length-bucketed batching: each super-batch is tokenized on host,
+        grouped by padded sequence bucket (32/64/128/max), and streamed as
+        fixed-shape device batches — one compiled executable per bucket.
+        Shorter buckets carry proportionally more rows per batch so the
+        MXU stays filled. Output order matches input order (embeddings are
+        padding-invariant: masked attention + masked pooling).
+
         ``progress(done, total)`` is called after each device batch (feeds
         the TUI spinner / metrics).
         """
@@ -136,26 +168,54 @@ class Encoder:
             return np.zeros((0, self.spec.dim), dtype=np.float32)
         B = self.batch_size
         out = np.empty((n, self.spec.dim), dtype=np.float32)
+        bucketing = os.environ.get("SEMA_TPU_BUCKETS", "on") != "off"
 
-        # software pipeline: jax dispatch is async, so tokenizing batch i+1
-        # on the host overlaps with the device computing batch i; only the
-        # final np.asarray fetch blocks. Keeps the MXU fed from a single
-        # host thread (SURVEY.md §7: host↔device streaming hard part).
-        pending = None  # (device_embeddings, offset, batch_len)
+        # software pipeline: jax dispatch is async, so host tokenization of
+        # the next super-batch overlaps device compute; only result fetches
+        # block. (SURVEY.md §7: host↔device streaming hard part.)
+        done = 0
+        pending = None  # (device_embeddings, row_indices)
 
         def drain(p):
-            emb, off_, len_ = p
-            out[off_:off_ + len_] = np.asarray(emb)[:len_]
+            nonlocal done
+            emb, idxs = p
+            out[idxs] = np.asarray(emb)[:len(idxs)]
+            done += len(idxs)
             if progress is not None:
-                progress(min(off_ + len_, n), n)
+                progress(done, n)
 
-        for off in range(0, n, B):
-            batch = list(texts[off:off + B])
-            ids, mask = self.tokenize_batch(batch, pad_to=B)
-            emb = self.embed_ids(jnp.asarray(ids), jnp.asarray(mask))
-            if pending is not None:
-                drain(pending)
-            pending = (emb, off, len(batch))
+        SB = 8 * B  # super-batch: bucketing granularity
+        for soff in range(0, n, SB):
+            sb_texts = list(texts[soff:soff + SB])
+            encs = (self.tokenizer.encode_batch(sb_texts, self.max_length)
+                    if hasattr(self.tokenizer, "encode_batch")
+                    else [self.tokenizer.encode(t, self.max_length)
+                          for t in sb_texts])
+            buckets: dict = {}
+            for i, (tok_ids, _) in enumerate(encs):
+                blen = (self._bucket_len(len(tok_ids)) if bucketing
+                        else self.max_length)
+                buckets.setdefault(blen, []).append(i)
+            for blen in sorted(buckets):
+                idxs = buckets[blen]
+                # shorter sequences → proportionally larger batches (same
+                # token count per dispatch), rounded to the DP multiple
+                rows = B * (self.max_length // blen)
+                rows = max(self._dp, rows - rows % self._dp)
+                for boff in range(0, len(idxs), rows):
+                    chunk = idxs[boff:boff + rows]
+                    ids = np.full((rows, blen), self.tokenizer.pad_id,
+                                  dtype=np.int32)
+                    mask = np.zeros((rows, blen), dtype=np.int32)
+                    for r, i in enumerate(chunk):
+                        tok_ids, tok_mask = encs[i]
+                        k = min(len(tok_ids), blen)
+                        ids[r, :k] = tok_ids[:k]
+                        mask[r, :k] = tok_mask[:k]
+                    emb = self.embed_ids(jnp.asarray(ids), jnp.asarray(mask))
+                    if pending is not None:
+                        drain(pending)
+                    pending = (emb, np.asarray([soff + i for i in chunk]))
         drain(pending)
         return out
 

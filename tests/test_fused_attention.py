@@ -1,0 +1,75 @@
+"""Fused Pallas attention vs the XLA path (interpret mode on CPU)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sema_tpu.models import bert, get_spec
+from sema_tpu.models.loader import random_params
+from sema_tpu.ops.fused_attention import fused_attention
+
+
+def _ref_attention(q, k, v, mask_bias, scale):
+    scores = jnp.einsum("bnqd,bnkd->bnqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * scale + mask_bias[:, None, None, :]
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bnqk,bnkd->bnqd", probs, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@pytest.mark.parametrize("b,h,s,hd", [
+    (4, 4, 32, 32),     # minilm-like head dim
+    (2, 2, 64, 64),     # e5/gte head dim
+    (3, 2, 32, 32),     # batch not divisible by block_b
+])
+def test_matches_xla_reference(b, h, s, hd):
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, s, hd)),
+                           dtype=jnp.float32) for _ in range(3))
+    lengths = rng.integers(1, s + 1, size=b)
+    mask = (np.arange(s)[None, :] < lengths[:, None]).astype(np.float32)
+    bias = jnp.asarray((1.0 - mask) * -1e9)
+
+    scale = 1.0 / math.sqrt(hd)
+    got = fused_attention(q, k, v, bias, scale=scale, interpret=True)
+    want = _ref_attention(q, k, v, bias, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_full_embed_fused_vs_xla():
+    """End-to-end encoder forward: fused and XLA attention agree."""
+    spec = get_spec("test-tiny")
+    params = random_params(spec, seed=0)
+    rng = np.random.default_rng(1)
+    b, s = 4, 32
+    ids = jnp.asarray(rng.integers(0, spec.vocab_size, (b, s)), jnp.int32)
+    lengths = rng.integers(2, s + 1, size=b)
+    mask = jnp.asarray(
+        (np.arange(s)[None, :] < lengths[:, None]).astype(np.int32))
+
+    ours = bert.embed(params, ids, mask, spec, attn_impl="fused")
+    ref = bert.embed(params, ids, mask, spec, attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+    # embeddings are L2-normalized; cosine agreement is the product metric
+    cos = np.sum(np.asarray(ours) * np.asarray(ref), axis=1)
+    assert cos.min() > 0.99999
+
+
+def test_resolve_attn_impl(monkeypatch):
+    monkeypatch.delenv("SEMA_TPU_ATTN", raising=False)
+    # off-TPU auto resolves to xla
+    assert bert.resolve_attn_impl("auto") in ("fused", "xla")
+    if jax.default_backend() != "tpu":
+        assert bert.resolve_attn_impl("auto") == "xla"
+    monkeypatch.setenv("SEMA_TPU_ATTN", "fused")
+    assert bert.resolve_attn_impl("auto") == "fused"
+    monkeypatch.setenv("SEMA_TPU_ATTN", "bogus")
+    with pytest.raises(ValueError):
+        bert.resolve_attn_impl("auto")
