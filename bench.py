@@ -30,37 +30,46 @@ import numpy as np
 
 def _measure(fn, *args, warmup=2, iters=10):
     """End-to-end wall time per call (includes host dispatch)."""
-    import jax
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _fetch(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _fetch(fn(*args))
         times.append(time.perf_counter() - t0)
     return float(np.median(times)), times
+
+
+def _fetch(out):
+    """Force a real device→host copy of (a small leaf of) ``out``.
+
+    ``jax.block_until_ready`` can acknowledge EARLY through the axon
+    tunnel (measured: an impossible 0.18 ms/batch for a 537 MB scan whose
+    HBM floor is 0.65 ms); an explicit np.asarray of a result leaf cannot
+    complete before the computation that produced it."""
+    import jax
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(leaf if leaf.ndim == 0 else leaf[:1])
 
 
 def _measure_device(fn_one, xs, n_calls: int = 64):
     """Sustained device time per call via pipelined async dispatch.
 
     Dispatch ``n_calls`` executions back-to-back (cycling over the input
-    pool ``xs`` so no call is a cache hit) and fetch only the final result:
-    PJRT executions on one device serialize in stream order, so the total
-    wall time covers every call while the dispatch/tunnel round-trip (tens
-    of ms on tunneled hosts) overlaps with device execution. No extra
-    program is compiled (remote compilers have been seen dropping large
-    chained lax.map programs, and per-call-minus-RTT goes negative when
-    RTT ≈ e2e)."""
-    import jax
-
+    pool ``xs`` so no call is a cache hit) and fetch (np.asarray — see
+    ``_fetch``) only the final result: PJRT executions on one device
+    serialize in stream order, so the total wall time covers every call
+    while the dispatch/tunnel round-trip (tens of ms on tunneled hosts)
+    overlaps with device execution. No extra program is compiled (remote
+    compilers have been seen dropping large chained lax.map programs, and
+    per-call-minus-RTT goes negative when RTT ≈ e2e)."""
     # warm + establish the pipeline
-    jax.block_until_ready(fn_one(xs[0]))
+    _fetch(fn_one(xs[0]))
     t0 = time.perf_counter()
     out = None
     for i in range(n_calls):
         out = fn_one(xs[i % xs.shape[0]])
-    jax.block_until_ready(out)
+    _fetch(out)
     return (time.perf_counter() - t0) / n_calls
 
 
@@ -104,15 +113,19 @@ def run(config_name: str = "minilm-1m") -> int:
     from functools import partial
     from sema_tpu.ops.hier_topk import batched_topk_scores_hier
 
-    # measure the production selection path: threshold-screened Pallas scan
-    # on TPU (what VectorStore picks single-device), hier XLA elsewhere
+    # mirror the production auto dispatch (vector_store._scan_fn): the
+    # threshold-screened Pallas scan for large query batches, the XLA
+    # hierarchical scan for small ones (honest-fetch measurements in
+    # docs/PERF.md; the two are within ~2% at batch 256)
+    scan_hier = jax.jit(partial(batched_topk_scores_hier, k=k, group=128))
     if jax.default_backend() == "tpu" and rows % 2048 == 0:
         from sema_tpu.ops.pallas_topk import pallas_topk_scores
-        scan = jax.jit(partial(pallas_topk_scores, k=k, tile_n=2048))
-        scan_name = "pallas"
+        scan_batch = jax.jit(partial(pallas_topk_scores, k=k, tile_n=2048))
+        scan_name = "pallas(batch)+hier(single)"
     else:
-        scan = jax.jit(partial(batched_topk_scores_hier, k=k, group=128))
+        scan_batch = scan_hier
         scan_name = "hier"
+    scan = scan_batch
     print(f"# scan backend: {scan_name}", file=sys.stderr, flush=True)
 
     # --- recall@10 via planted winners: known rows are overwritten with
@@ -156,9 +169,9 @@ def run(config_name: str = "minilm-1m") -> int:
     print("# stage: single-query p50", file=sys.stderr, flush=True)
     singles = jnp.asarray(qsets[:, :1, :])
     p50_single_dev = _measure_device(
-        lambda q1: scan(store, q1, valid), singles, n_calls=32)
+        lambda q1: scan_hier(store, q1, valid), singles, n_calls=32)
     p50_ms = p50_single_dev * 1e3
-    p50_e2e, _ = _measure(scan, store, queries[:1], valid, iters=5)
+    p50_e2e, _ = _measure(scan_hier, store, queries[:1], valid, iters=5)
 
     # --- encoder throughput (chunks/sec/chip), MiniLM bf16 batch 256
     from sema_tpu.models import get_spec

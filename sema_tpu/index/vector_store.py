@@ -298,8 +298,13 @@ class VectorStore:
 
     def _align(self) -> int:
         # shards × 128: group-aligned for hierarchical selection per shard,
-        # tile-aligned for the MXU
-        return self._shards() * 128
+        # tile-aligned for the MXU. With an explicit pallas backend request
+        # the per-shard row count is padded to the fused kernel's tile
+        # (2048) so even small stores exercise it; large stores reach
+        # 2048-per-shard through the power-of-two ladder anyway.
+        unit = 2048 if os.environ.get(
+            "SEMA_TPU_SCAN_BACKEND") == "pallas" else 128
+        return self._shards() * unit
 
     def _pad_rows(self, n: int) -> int:
         align = self._align()
@@ -456,33 +461,73 @@ class VectorStore:
             return fn
 
         from functools import partial
+        # Backend choice (honest-fetch measurements, docs/PERF.md):
+        # - the XLA hierarchical scan wins small query batches (single
+        #   query: 6.1 vs 7.4 ms at 1M×384);
+        # - the Pallas fused scan (no (Q, N) score round-trip to HBM;
+        #   threshold-screened merge) edges ahead at large batches
+        #   (Q=256: 8.8 vs 9.0 ms) and stays eligible whenever each
+        #   device's shard is tile-aligned — single-device AND as the
+        #   per-shard local_fn under the shard_map merge.
+        # So auto mode dispatches on the query-batch size at call time;
+        # SEMA_TPU_SCAN_BACKEND=hier|pallas pins one backend (pallas
+        # off-TPU runs the kernel in interpret mode — tests only).
+        backend = os.environ.get("SEMA_TPU_SCAN_BACKEND", "auto")
+        shard_rows = n_pad // self._shards()
+        on_tpu = jax.default_backend() == "tpu"
+        pallas_ok = (
+            backend != "hier" and (on_tpu or backend == "pallas")
+            and shard_rows % 2048 == 0 and k_eff <= 128)
+
         if self.store_dtype == "int8":
             from sema_tpu.ops.quant import int8_topk_scores
 
-            def local_fn(store, queries, valid, k):
-                return int8_topk_scores(store[0], store[1], queries, valid, k)
+            def hier_fn(store, queries, valid, k):
+                return int8_topk_scores(store[0], store[1], queries,
+                                        valid, k)
+            # int8 scans run at k=rescore_k (≥100): the kernel's k-round
+            # merge loses to the XLA path there (13.8 vs 10.7 ms/64q at
+            # 524k×1024, honest fetch) — pallas only on explicit request
+            if pallas_ok and backend == "pallas":
+                from sema_tpu.ops.pallas_topk import pallas_topk_int8
+
+                def pallas_fn(store, queries, valid, k):
+                    return pallas_topk_int8(store[0], store[1], queries,
+                                            valid, k, tile_n=2048,
+                                            interpret=not on_tpu)
+            else:
+                pallas_fn = None
         else:
             from sema_tpu.ops.hier_topk import batched_topk_scores_hier
-            local_fn = batched_topk_scores_hier
-            # single-device TPU bf16 stores use the Pallas fused scan (no
-            # (Q,N) score round-trip to HBM; threshold-screened merge) when
-            # shapes allow; SEMA_TPU_SCAN_BACKEND=hier|pallas overrides
-            backend = os.environ.get("SEMA_TPU_SCAN_BACKEND", "auto")
-            use_pallas = (
-                backend != "hier" and self.mesh is None
-                and jax.default_backend() == "tpu"
-                and n_pad % 2048 == 0 and k_eff <= 128)
-            if backend == "pallas" or use_pallas:
+            hier_fn = batched_topk_scores_hier
+            if pallas_ok:
                 from sema_tpu.ops.pallas_topk import pallas_topk_scores
-                local_fn = partial(pallas_topk_scores, tile_n=2048)
+                pallas_fn = partial(pallas_topk_scores, tile_n=2048,
+                                    interpret=not on_tpu)
+            else:
+                pallas_fn = None
 
-        if self.mesh is not None:
-            from sema_tpu.parallel.sharded_topk import make_sharded_topk
-            fn = make_sharded_topk(
-                self.mesh, n_pad, k_eff, axis=self.index_axis,
-                local_fn=local_fn, store_specs=self._store_specs)
+        def compile_one(local_fn):
+            if self.mesh is not None:
+                from sema_tpu.parallel.sharded_topk import make_sharded_topk
+                return make_sharded_topk(
+                    self.mesh, n_pad, k_eff, axis=self.index_axis,
+                    local_fn=local_fn, store_specs=self._store_specs)
+            return jax.jit(partial(local_fn, k=k_eff))
+
+        if backend == "pallas" and pallas_fn is not None:
+            fn = compile_one(pallas_fn)
+        elif pallas_fn is None or backend == "hier":
+            fn = compile_one(hier_fn)
         else:
-            fn = jax.jit(partial(local_fn, k=k_eff))
+            # auto: per-call dispatch on query-batch size (both variants
+            # compile lazily on first use of their regime)
+            small = compile_one(hier_fn)
+            big = compile_one(pallas_fn)
+
+            def fn(store, queries, valid):
+                picked = big if queries.shape[0] >= 64 else small
+                return picked(store, queries, valid)
         self._topk_fns[key] = fn
         return fn
 

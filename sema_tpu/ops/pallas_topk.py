@@ -34,24 +34,18 @@ NEG = -3.0e38  # effectively -inf; plain float so kernels embed it literally
 K_PAD = 128    # lane-aligned width of the running top-k state
 
 
-def _scan_kernel(q_ref, store_ref, valid_ref, out_s_ref, out_i_ref,
-                 run_s, run_i, cand_s, cand_i, *, k: int, tile_n: int):
-    i = pl.program_id(0)
+def _merge_and_emit(scores, i, out_s_ref, out_i_ref,
+                    run_s, run_i, cand_s, cand_i, *, k: int, tile_n: int):
+    """Shared tail of both scan kernels: init running state, threshold
+    screen, k-round merge of this tile's (already masked) scores, and the
+    final-tile emit. ``scores`` is (Q, TILE_N) f32 with NEG in dead slots."""
     n_tiles = pl.num_programs(0)
-    qn = q_ref.shape[0]
+    qn = scores.shape[0]
 
     @pl.when(i == 0)
     def _():
         run_s[:] = jnp.full((qn, K_PAD), NEG, jnp.float32)
         run_i[:] = jnp.zeros((qn, K_PAD), jnp.int32)
-
-    q = q_ref[:]                                    # (Q, d)
-    tile = store_ref[:]                             # (TILE_N, d)
-    scores = jax.lax.dot_general(
-        q, tile, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)         # (Q, TILE_N)
-    vmask = valid_ref[:]                            # (1, TILE_N) 0/1 f32
-    scores = jnp.where(vmask > 0, scores, NEG)
 
     row0 = i * tile_n
     base = row0 + jax.lax.broadcasted_iota(
@@ -99,6 +93,40 @@ def _scan_kernel(q_ref, store_ref, valid_ref, out_s_ref, out_i_ref,
     def _():
         out_s_ref[:] = run_s[:]
         out_i_ref[:] = run_i[:]
+
+
+def _scan_kernel(q_ref, store_ref, valid_ref, out_s_ref, out_i_ref,
+                 run_s, run_i, cand_s, cand_i, *, k: int, tile_n: int):
+    i = pl.program_id(0)
+    q = q_ref[:]                                    # (Q, d)
+    tile = store_ref[:]                             # (TILE_N, d)
+    scores = jax.lax.dot_general(
+        q, tile, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (Q, TILE_N)
+    vmask = valid_ref[:]                            # (1, TILE_N) 0/1 f32
+    scores = jnp.where(vmask > 0, scores, NEG)
+    _merge_and_emit(scores, i, out_s_ref, out_i_ref,
+                    run_s, run_i, cand_s, cand_i, k=k, tile_n=tile_n)
+
+
+def _scan_kernel_int8(q_ref, store_ref, scale_ref, valid_ref,
+                      out_s_ref, out_i_ref,
+                      run_s, run_i, cand_s, cand_i, *, k: int, tile_n: int):
+    """int8 variant: int8×int8 MXU matmul with i32 accumulation, then
+    per-row f32 rescale (the per-QUERY scale is order-preserving and is
+    applied outside the kernel)."""
+    i = pl.program_id(0)
+    q = q_ref[:]                                    # (Q, d) int8
+    tile = store_ref[:]                             # (TILE_N, d) int8
+    raw = jax.lax.dot_general(
+        q, tile, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)           # (Q, TILE_N) i32
+    scales = scale_ref[:]                           # (1, TILE_N) f32
+    scores = raw.astype(jnp.float32) * scales
+    vmask = valid_ref[:]                            # (1, TILE_N) 0/1 f32
+    scores = jnp.where(vmask > 0, scores, NEG)
+    _merge_and_emit(scores, i, out_s_ref, out_i_ref,
+                    run_s, run_i, cand_s, cand_i, k=k, tile_n=tile_n)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
@@ -174,3 +202,76 @@ def pallas_topk_scores(store, queries, valid, k, tile_n: int = 2048,
     pads are expected to be pre-masked via ``valid``."""
     return pallas_topk(store, queries, valid, k, tile_n=tile_n,
                        interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def _pallas_topk_int8_padded(store_q, store_scale, qi, valid,
+                             k: int, tile_n: int, interpret: bool):
+    n, d = store_q.shape
+    qn = qi.shape[0]
+    grid = (n // tile_n,)
+
+    kernel = functools.partial(_scan_kernel_int8, k=k, tile_n=tile_n)
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qn, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qn, K_PAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, K_PAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qn, K_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((qn, K_PAD), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((qn, K_PAD), jnp.float32),
+            pltpu.VMEM((qn, K_PAD), jnp.int32),
+            pltpu.VMEM((qn, tile_n + K_PAD), jnp.float32),
+            pltpu.VMEM((qn, tile_n + K_PAD), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qi,
+      store_q,
+      store_scale.astype(jnp.float32).reshape(1, n),
+      valid.astype(jnp.float32).reshape(1, n))
+    return out_s, out_i
+
+
+def pallas_topk_int8(store_q: jax.Array, store_scale: jax.Array,
+                     queries: jax.Array, valid: jax.Array, k: int,
+                     tile_n: int = 2048, interpret: bool = False):
+    """Fused int8 scan: same contract as ops.quant.int8_topk_scores.
+
+    store_q:     (N, d) int8 (symmetric per-row quantization)
+    store_scale: (N,) f32 per-row scales
+    queries:     (Q, d) f32 — quantized per-query here (order-preserving)
+    valid:       (N,) bool
+    Returns approximate (scores (Q,k) f32, ids (Q,k) i32); masked slots are
+    -inf. Feed the ids to a full-precision rescore (BASELINE config 4).
+    """
+    from sema_tpu.ops.quant import quantize_query
+    n, d = store_q.shape
+    if n % tile_n:
+        raise ValueError(f"N={n} must be a multiple of tile_n={tile_n}")
+    if k > K_PAD:
+        raise ValueError(f"k={k} exceeds the kernel's K_PAD={K_PAD}")
+    qi, qscale = quantize_query(queries)
+    out_s, out_i = _pallas_topk_int8_padded(
+        store_q, store_scale, qi, valid, k, tile_n, interpret)
+    out_s = out_s[:, :k]
+    # normalize sentinels BEFORE the per-query rescale (scale is positive
+    # and per-query constant, so applying it post-merge preserves order)
+    out_s = jnp.where(out_s <= NEG, -jnp.inf, out_s * qscale[:, None])
+    return out_s, out_i[:, :k]

@@ -97,3 +97,54 @@ def test_indivisible_tile_rejected():
     with pytest.raises(ValueError, match="multiple"):
         pallas_topk(jnp.asarray(store), jnp.asarray(queries),
                     jnp.ones(100, bool), 5, tile_n=64, interpret=True)
+
+
+class TestInt8Kernel:
+    """Fused int8 scan vs the XLA int8 oracle (ops/quant.py)."""
+
+    def _quantized(self, n=512, d=128, q=4, seed=3):
+        from sema_tpu.ops.quant import quantize_rows
+        store, queries = _data(n, d=d, q=q, seed=seed)
+        qvals, scales = quantize_rows(store)
+        return (jnp.asarray(qvals), jnp.asarray(scales),
+                jnp.asarray(queries), store)
+
+    def test_matches_xla_int8(self):
+        from sema_tpu.ops.pallas_topk import pallas_topk_int8
+        from sema_tpu.ops.quant import int8_topk_scores
+        qvals, scales, queries, _ = self._quantized()
+        valid = jnp.ones(512, bool)
+        ps, pi = pallas_topk_int8(qvals, scales, queries, valid, 10,
+                                  tile_n=128, interpret=True)
+        ns, ni = int8_topk_scores(qvals, scales, queries, valid, 10)
+        np.testing.assert_allclose(np.asarray(ps), np.asarray(ns),
+                                   rtol=1e-5, atol=1e-6)
+        for i in range(queries.shape[0]):
+            assert set(np.asarray(pi)[i].tolist()) == \
+                set(np.asarray(ni)[i].tolist())
+
+    def test_masked_rows_and_neg_inf(self):
+        from sema_tpu.ops.pallas_topk import pallas_topk_int8
+        qvals, scales, queries, _ = self._quantized()
+        valid = np.zeros(512, bool)
+        valid[:5] = True
+        ps, pi = pallas_topk_int8(qvals, scales, queries,
+                                  jnp.asarray(valid), 8,
+                                  tile_n=128, interpret=True)
+        ps = np.asarray(ps)
+        assert np.all(np.isfinite(ps[:, :5]))
+        assert np.all(np.isneginf(ps[:, 5:]))
+        assert np.all(np.asarray(pi)[:, :5] < 5)
+
+    def test_candidates_contain_true_topk(self):
+        """The int8 scan's candidate set must contain the exact top-k so
+        the full-precision rescore restores recall 1.0 (config 4)."""
+        from sema_tpu.ops.pallas_topk import pallas_topk_int8
+        qvals, scales, queries, store = self._quantized(n=1024, q=2)
+        valid = jnp.ones(1024, bool)
+        ps, pi = pallas_topk_int8(qvals, scales, queries, valid, 100,
+                                  tile_n=128, interpret=True)
+        exact = np.asarray(store) @ np.asarray(queries).T
+        for i in range(2):
+            true10 = set(np.argsort(-exact[:, i])[:10].tolist())
+            assert true10 <= set(np.asarray(pi)[i].tolist())
