@@ -7,9 +7,19 @@ metadata stays on host.
 
 On-disk layout (``<data_dir>/vector_index/``)::
 
-    manifest.json        model/dim/dtype, segment table, tombstones
-    seg-000000.bin       raw row-major embeddings, store dtype
-    seg-000000.meta.jsonl  one chunk per line (id, path, lines, content)
+    manifest.json           model/dim/dtype, segment table, tombstones
+    seg-000000.bin          raw row-major embeddings, store dtype (memmapped)
+    seg-000000.meta.jsonl   one chunk per line (id, path, lines, content)
+    seg-000000.meta.idx     uint64 byte offsets of each jsonl line (+ end)
+    seg-000000.files.json   {file_path: [row ids]} for tombstoning
+
+Metadata access is offset-indexed: ``chunk_at``/``rows_at`` are O(log S)
+segment lookups plus one ``os.pread`` of a single line / one memmap row —
+no segment is ever fully resident on host, so a 100M-row store costs RAM
+proportional to what is actually touched, not to the corpus (the vectors'
+device copy is built bucket-by-bucket from the memmaps). The two sidecar
+files are derivable; indexes written before they existed are migrated by
+one streaming pass on first load.
 
 Design points:
 
@@ -36,7 +46,6 @@ from __future__ import annotations
 import json
 import os
 import threading
-from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -67,13 +76,126 @@ def _atomic_write_json(path: Path, obj) -> None:
     os.replace(tmp, path)
 
 
-@dataclass
 class _Segment:
-    name: str
-    rows: int
-    deleted: set = field(default_factory=set)   # row ids within segment
-    vectors: Optional[np.ndarray] = None        # (rows, dim) store dtype
-    meta: Optional[List[dict]] = None           # chunk metadata rows
+    """One immutable on-disk segment, accessed lazily.
+
+    Vectors are a read-only ``np.memmap`` (pages fault in on touch and can
+    be evicted — host RSS stays bounded at any store size). Chunk metadata
+    is read per row via the ``.meta.idx`` offset sidecar + ``os.pread``
+    (thread-safe, no shared seek position), never loaded wholesale."""
+
+    def __init__(self, dir: Path, name: str, rows: int, dim: int,
+                 np_dtype, deleted: Optional[set] = None):
+        self.dir = dir
+        self.name = name
+        self.rows = rows
+        self.dim = dim
+        self.np_dtype = np_dtype
+        self.deleted: set = deleted if deleted is not None else set()
+        self._vectors: Optional[np.memmap] = None
+        self._offsets: Optional[np.ndarray] = None  # (rows+1,) uint64
+        self._meta_fd: Optional[int] = None
+        self._file_rows: Optional[Dict[str, List[int]]] = None
+
+    # -- paths
+    @property
+    def vec_path(self) -> Path:
+        return self.dir / f"{self.name}.bin"
+
+    @property
+    def meta_path(self) -> Path:
+        return self.dir / f"{self.name}.meta.jsonl"
+
+    @property
+    def idx_path(self) -> Path:
+        return self.dir / f"{self.name}.meta.idx"
+
+    @property
+    def files_path(self) -> Path:
+        return self.dir / f"{self.name}.files.json"
+
+    def paths(self) -> List[Path]:
+        return [self.vec_path, self.meta_path, self.idx_path,
+                self.files_path]
+
+    # -- lazy accessors
+    @property
+    def vectors(self) -> np.ndarray:
+        if self._vectors is None:
+            self._vectors = np.memmap(
+                self.vec_path, dtype=self.np_dtype, mode="r",
+                shape=(self.rows, self.dim))
+        return self._vectors
+
+    def _ensure_sidecars(self) -> None:
+        """Build .meta.idx / .files.json for pre-sidecar indexes (one
+        streaming pass; atomic writes so a crash mid-migration retries)."""
+        if self.idx_path.exists() and self.files_path.exists():
+            return
+        offsets = [0]
+        file_rows: Dict[str, List[int]] = {}
+        with open(self.meta_path, "rb") as f:
+            for i, line in enumerate(f):
+                offsets.append(offsets[-1] + len(line))
+                path = json.loads(line)["file_path"]
+                file_rows.setdefault(path, []).append(i)
+        tmp = self.idx_path.with_suffix(".tmp")
+        np.asarray(offsets, dtype=np.uint64).tofile(tmp)
+        os.replace(tmp, self.idx_path)
+        _atomic_write_json(self.files_path, file_rows)
+
+    @property
+    def offsets(self) -> np.ndarray:
+        if self._offsets is None:
+            self._ensure_sidecars()
+            self._offsets = np.fromfile(self.idx_path, dtype=np.uint64)
+        return self._offsets
+
+    def file_rows(self) -> Dict[str, List[int]]:
+        if self._file_rows is None:
+            self._ensure_sidecars()
+            self._file_rows = json.loads(self.files_path.read_text())
+        return self._file_rows
+
+    def meta_row(self, i: int) -> dict:
+        off = self.offsets
+        start, end = int(off[i]), int(off[i + 1])
+        if self._meta_fd is None:
+            self._meta_fd = os.open(self.meta_path, os.O_RDONLY)
+        return json.loads(os.pread(self._meta_fd, end - start, start))
+
+    def iter_meta(self):
+        """Stream (row, dict) pairs without residency (substring scan,
+        compaction)."""
+        with open(self.meta_path, "rb") as f:
+            for i, line in enumerate(f):
+                yield i, json.loads(line)
+
+    def close(self) -> None:
+        if self._meta_fd is not None:
+            os.close(self._meta_fd)
+            self._meta_fd = None
+        self._vectors = None
+
+    @staticmethod
+    def write(dir: Path, name: str, dim: int, np_dtype,
+              vectors: np.ndarray, meta: Sequence[dict]) -> "_Segment":
+        """Write a fresh segment (vectors + jsonl + both sidecars)."""
+        seg = _Segment(dir, name, len(meta), dim, np_dtype)
+        np.ascontiguousarray(vectors, dtype=np_dtype).tofile(seg.vec_path)
+        offsets = [0]
+        file_rows: Dict[str, List[int]] = {}
+        with open(seg.meta_path, "wb") as f:
+            for i, row in enumerate(meta):
+                line = (json.dumps(row) + "\n").encode()
+                f.write(line)
+                offsets.append(offsets[-1] + len(line))
+                file_rows.setdefault(row["file_path"], []).append(i)
+        tmp = seg.idx_path.with_suffix(".tmp")
+        np.asarray(offsets, dtype=np.uint64).tofile(tmp)
+        os.replace(tmp, seg.idx_path)
+        _atomic_write_json(seg.files_path, file_rows)
+        return seg
 
 
 class VectorStore:
@@ -90,6 +212,7 @@ class VectorStore:
         self.mesh = mesh
         self.index_axis = index_axis
         self.segments: List[_Segment] = []
+        self._starts: Optional[np.ndarray] = None  # cumulative row offsets
         self.file_hashes: Dict[str, str] = {}
         self._buckets = None          # list of device bucket dicts
         self._valid_dirty = False     # tombstones pending mask re-upload
@@ -134,21 +257,9 @@ class VectorStore:
             self.np_dtype = _STORE_DTYPES[self.store_dtype]
         for seg in m["segments"]:
             self.segments.append(_Segment(
-                name=seg["name"], rows=seg["rows"],
-                deleted=set(seg.get("deleted", []))))
+                self.dir, seg["name"], seg["rows"], self.dim,
+                self.np_dtype, deleted=set(seg.get("deleted", []))))
         self._maybe_compact()
-
-    def _seg_paths(self, name: str) -> Tuple[Path, Path]:
-        return self.dir / f"{name}.bin", self.dir / f"{name}.meta.jsonl"
-
-    def _load_segment(self, seg: _Segment) -> None:
-        if seg.vectors is not None:
-            return
-        vec_path, meta_path = self._seg_paths(seg.name)
-        raw = np.fromfile(vec_path, dtype=self.np_dtype)
-        seg.vectors = raw.reshape(seg.rows, self.dim)
-        seg.meta = [json.loads(line) for line in
-                    meta_path.read_text().splitlines()]
 
     def _save_manifest(self) -> None:
         _atomic_write_json(self._manifest_path, {
@@ -191,7 +302,6 @@ class VectorStore:
         if len(chunks) == 0:
             return
         assert embeddings.shape == (len(chunks), self.dim), embeddings.shape
-        vectors = np.ascontiguousarray(embeddings, dtype=self.np_dtype)
         meta = [{
             "id": c.id, "file_path": str(c.file_path),
             "start_line": c.start_line, "end_line": c.end_line,
@@ -201,13 +311,9 @@ class VectorStore:
             # name derives from segment count — must be claimed under the
             # lock or concurrent writers could overwrite each other's files
             name = f"seg-{len(self.segments):06d}-{self.total_rows:09d}"
-            vec_path, meta_path = self._seg_paths(name)
-            vectors.tofile(vec_path)
-            with open(meta_path, "w") as f:
-                for row in meta:
-                    f.write(json.dumps(row) + "\n")
-            self.segments.append(_Segment(
-                name=name, rows=len(chunks), vectors=vectors, meta=meta))
+            self.segments.append(_Segment.write(
+                self.dir, name, self.dim, self.np_dtype, embeddings, meta))
+            self._starts = None
             self._save_manifest()
             self._invalidate_device(tail_only=True)
 
@@ -218,9 +324,10 @@ class VectorStore:
         removed = 0
         with self._lock:
             for seg in self.segments:
-                self._load_segment(seg)
-                for i, row in enumerate(seg.meta):
-                    if row["file_path"] == target and i not in seg.deleted:
+                # the per-segment file→rows sidecar makes this O(rows of
+                # the file), never a content read
+                for i in seg.file_rows().get(target, ()):
+                    if i not in seg.deleted:
                         seg.deleted.add(i)
                         removed += 1
             if removed:
@@ -233,36 +340,54 @@ class VectorStore:
         dead = total - self.live_rows
         if total == 0 or dead / total <= _COMPACT_DEAD_FRACTION:
             return
-        live_vecs: List[np.ndarray] = []
-        live_meta: List[dict] = []
-        old_files = []
-        for seg in self.segments:
-            self._load_segment(seg)
-            keep = [i for i in range(seg.rows) if i not in seg.deleted]
-            if keep:
-                live_vecs.append(seg.vectors[keep])
-                live_meta.extend(seg.meta[i] for i in keep)
-            old_files.extend(self._seg_paths(seg.name))
-        self.segments = []
-        if live_vecs:
-            vectors = np.concatenate(live_vecs, axis=0)
-            name = "seg-000000-000000000"
-            vec_path, meta_path = self._seg_paths(name)
-            # write under fresh names absent from the old manifest, then
-            # commit the manifest, then unlink the dead files
-            if vec_path in old_files:
-                name = "seg-compact"
-                vec_path, meta_path = self._seg_paths(name)
-            vectors.tofile(vec_path)
-            with open(meta_path, "w") as f:
-                for row in live_meta:
-                    f.write(json.dumps(row) + "\n")
-            self.segments = [_Segment(name=name, rows=len(live_meta),
-                                      vectors=vectors, meta=live_meta)]
+        old_segments = list(self.segments)
+        old_files = [p for s in old_segments for p in s.paths()]
+        # write under a fresh name absent from the old manifest, then
+        # commit the manifest, then unlink the dead files
+        name = "seg-000000-000000000"
+        if any(s.name == name for s in old_segments):
+            name = "seg-compact"
+        new_seg = _Segment(self.dir, name, 0, self.dim, self.np_dtype)
+        live = 0
+        offsets = [0]
+        file_rows: Dict[str, List[int]] = {}
+        # stream segment-by-segment: peak host memory is one segment's
+        # live rows (a fancy-indexed copy out of the memmap), not the store
+        with open(new_seg.vec_path, "wb") as vf, \
+                open(new_seg.meta_path, "wb") as mf:
+            for seg in old_segments:
+                keep = [i for i in range(seg.rows) if i not in seg.deleted]
+                if not keep:
+                    continue
+                np.ascontiguousarray(seg.vectors[keep]).tofile(vf)
+                keep_set = set(keep)
+                for i, row in seg.iter_meta():
+                    if i not in keep_set:
+                        continue
+                    line = (json.dumps(row) + "\n").encode()
+                    mf.write(line)
+                    offsets.append(offsets[-1] + len(line))
+                    file_rows.setdefault(
+                        row["file_path"], []).append(live)
+                    live += 1
+        if live:
+            tmp = new_seg.idx_path.with_suffix(".tmp")
+            np.asarray(offsets, dtype=np.uint64).tofile(tmp)
+            os.replace(tmp, new_seg.idx_path)
+            _atomic_write_json(new_seg.files_path, file_rows)
+            new_seg.rows = live
+            self.segments = [new_seg]
+        else:
+            for p in new_seg.paths():
+                p.unlink(missing_ok=True)
+            self.segments = []
+        self._starts = None
         self._save_manifest()
+        keep_paths = set(self.segments[0].paths()) if self.segments else set()
+        for seg in old_segments:
+            seg.close()
         for p in old_files:
-            if p.exists() and p not in self._seg_paths(
-                    self.segments[0].name if self.segments else ""):
+            if p.exists() and p not in keep_paths:
                 p.unlink()
         self._invalidate_device()
 
@@ -342,7 +467,6 @@ class VectorStore:
         host = np.zeros((n_pad, self.dim), dtype=self.np_dtype)
         off = 0
         for seg in self.segments[seg_range[0]:seg_range[1]]:
-            self._load_segment(seg)
             host[off:off + seg.rows] = seg.vectors
             off += seg.rows
         valid = self._bucket_valid_host(seg_range, n_pad)
@@ -418,35 +542,37 @@ class VectorStore:
 
     # -- row id → chunk ---------------------------------------------------------
 
+    def _seg_starts(self) -> np.ndarray:
+        """Cumulative row offsets, (S+1,), for O(log S) row→segment."""
+        if self._starts is None:
+            starts = np.zeros(len(self.segments) + 1, dtype=np.int64)
+            for i, s in enumerate(self.segments):
+                starts[i + 1] = starts[i] + s.rows
+            self._starts = starts
+        return self._starts
+
+    def _locate(self, row: int) -> Tuple[_Segment, int]:
+        starts = self._seg_starts()
+        if not (0 <= row < starts[-1]):
+            raise IndexError(row)
+        si = int(np.searchsorted(starts, row, side="right")) - 1
+        return self.segments[si], row - int(starts[si])
+
     def chunk_at(self, row: int) -> Chunk:
-        off = 0
-        for seg in self.segments:
-            if row < off + seg.rows:
-                self._load_segment(seg)
-                r = seg.meta[row - off]
-                return Chunk(id=r["id"], file_path=Path(r["file_path"]),
-                             start_line=r["start_line"],
-                             end_line=r["end_line"], content=r["content"])
-            off += seg.rows
-        raise IndexError(row)
+        seg, local = self._locate(int(row))
+        r = seg.meta_row(local)
+        return Chunk(id=r["id"], file_path=Path(r["file_path"]),
+                     start_line=r["start_line"],
+                     end_line=r["end_line"], content=r["content"])
 
     def rows_at(self, rows: np.ndarray) -> np.ndarray:
         """Gather original (full-precision) vectors for global row ids —
-        the host side of the int8 rescore pass."""
+        the host side of the int8 rescore pass. One memmap row read each;
+        nothing else pages in."""
         out = np.zeros((len(rows), self.dim), dtype=np.float32)
-        bounds = []
-        off = 0
-        for seg in self.segments:
-            bounds.append((off, seg))
-            off += seg.rows
         for i, row in enumerate(rows):
-            row = int(row)
-            for start, seg in reversed(bounds):
-                if row >= start:
-                    self._load_segment(seg)
-                    out[i] = np.asarray(seg.vectors[row - start],
-                                        dtype=np.float32)
-                    break
+            seg, local = self._locate(int(row))
+            out[i] = np.asarray(seg.vectors[local], dtype=np.float32)
         return out
 
     # -- search -----------------------------------------------------------------
@@ -603,8 +729,7 @@ class VectorStore:
         with self._lock:
             segs = list(self.segments)
         for seg in segs:
-            self._load_segment(seg)
-            for i, row in enumerate(seg.meta):
+            for i, row in seg.iter_meta():
                 if i in seg.deleted:
                     continue
                 if query in row["content"]:
@@ -640,3 +765,5 @@ class VectorStore:
     def close(self) -> None:
         self.save_file_hashes()
         self._save_manifest()
+        for seg in self.segments:
+            seg.close()
