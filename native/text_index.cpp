@@ -282,8 +282,171 @@ uint8_t* sema_text_search(void* h, const char* query_utf8, uint32_t limit) {
     return make_result(payload);
 }
 
-static const uint32_t kMagic = 0x53454D54;  // "SEMT"
+static const uint32_t kMagic = 0x53454D54;  // "SEMT" (legacy full snapshot)
+static const uint32_t kSegMagic = 0x53454D53;  // "SEMS" (immutable segment)
 static const uint32_t kVersion = 1;
+
+uint64_t sema_text_num_docs(void* h) {
+    return static_cast<TextIndex*>(h)->docs.size();
+}
+
+// Immutable segment holding docs [from, end): the incremental-commit unit
+// (≙ tantivy's segment files, reference text_indexer.rs:58-73 — a commit
+// writes only the new docs, never the whole index). Postings doc ids are
+// stored relative to `from`; per-term lists are appended in doc order, so
+// the >=from tail is found by binary search (O(vocab·log) per commit, not
+// O(total postings)).
+int sema_text_save_segment(void* h, const char* path, uint64_t from) {
+    auto* idx = static_cast<TextIndex*>(h);
+    if (from > idx->docs.size()) return -3;
+    std::string tmp = std::string(path) + ".tmp";
+    {
+        std::ofstream f(tmp, std::ios::binary | std::ios::trunc);
+        if (!f) return -1;
+        f.write((char*)&kSegMagic, 4);
+        f.write((char*)&kVersion, 4);
+        uint64_t n = idx->docs.size() - from;
+        f.write((char*)&n, 8);
+        for (size_t i = from; i < idx->docs.size(); i++) {
+            const Doc& d = idx->docs[i];
+            write_str(f, d.id);
+            write_str(f, d.path);
+            f.write((char*)&d.start_line, 8);
+            f.write((char*)&d.end_line, 8);
+            write_str(f, d.content);
+            f.write((char*)&idx->doc_len[i], 4);
+        }
+        // count terms with entries in the window first (format wants the
+        // term count up front)
+        uint64_t nterms = 0;
+        for (auto& [term, plist] : idx->postings) {
+            auto it = std::lower_bound(
+                plist.begin(), plist.end(), from,
+                [](const std::pair<uint32_t, uint32_t>& e, uint64_t v) {
+                    return e.first < v;
+                });
+            if (it != plist.end()) nterms++;
+        }
+        f.write((char*)&nterms, 8);
+        for (auto& [term, plist] : idx->postings) {
+            auto it = std::lower_bound(
+                plist.begin(), plist.end(), from,
+                [](const std::pair<uint32_t, uint32_t>& e, uint64_t v) {
+                    return e.first < v;
+                });
+            if (it == plist.end()) continue;
+            write_str(f, term);
+            uint64_t np = plist.end() - it;
+            f.write((char*)&np, 8);
+            for (; it != plist.end(); ++it) {
+                uint32_t rel = it->first - (uint32_t)from, tf = it->second;
+                f.write((char*)&rel, 4);
+                f.write((char*)&tf, 4);
+            }
+        }
+        if (!f) return -1;
+    }
+    return rename(tmp.c_str(), path) == 0 ? 0 : -1;
+}
+
+// Append a segment; doc ids rebase onto the current doc count (segments
+// must be loaded in manifest order).
+int sema_text_load_segment(void* h, const char* path) {
+    auto* idx = static_cast<TextIndex*>(h);
+    std::ifstream f(path, std::ios::binary);
+    if (!f) return -1;
+    uint32_t magic = 0, version = 0;
+    f.read((char*)&magic, 4);
+    f.read((char*)&version, 4);
+    if (magic != kSegMagic || version != kVersion) return -2;
+    uint64_t base = idx->docs.size(), n = 0;
+    f.read((char*)&n, 8);
+    for (uint64_t i = 0; i < n; i++) {
+        Doc d;
+        d.id = read_str(f);
+        d.path = read_str(f);
+        f.read((char*)&d.start_line, 8);
+        f.read((char*)&d.end_line, 8);
+        d.content = read_str(f);
+        uint32_t dl = 0;
+        f.read((char*)&dl, 4);
+        idx->doc_len.push_back(dl);
+        idx->live++;
+        idx->live_len_sum += dl;
+        idx->docs.push_back(std::move(d));
+    }
+    uint64_t nterms = 0;
+    f.read((char*)&nterms, 8);
+    for (uint64_t i = 0; i < nterms; i++) {
+        std::string term = read_str(f);
+        uint64_t np = 0;
+        f.read((char*)&np, 8);
+        auto& plist = idx->postings[term];
+        plist.reserve(plist.size() + np);
+        for (uint64_t j = 0; j < np; j++) {
+            uint32_t rel = 0, tf = 0;
+            f.read((char*)&rel, 4);
+            f.read((char*)&tf, 4);
+            plist.emplace_back((uint32_t)(base + rel), tf);
+        }
+    }
+    return f ? 0 : -1;
+}
+
+// payload: u64 n, then u32 global doc ids of tombstoned docs
+uint8_t* sema_text_deleted_ids(void* h) {
+    auto* idx = static_cast<TextIndex*>(h);
+    std::string payload;
+    uint64_t n = idx->docs.size() - idx->live;
+    put_u64(payload, n);
+    for (size_t i = 0; i < idx->docs.size(); i++)
+        if (!idx->docs[i].alive) put_u32(payload, (uint32_t)i);
+    return make_result(payload);
+}
+
+// blob: u64 n, then u32 global doc ids to tombstone (idempotent)
+void sema_text_set_deleted(void* h, const uint8_t* blob, uint64_t blob_len) {
+    auto* idx = static_cast<TextIndex*>(h);
+    Reader r{blob, blob_len};
+    uint64_t n = r.u64();
+    for (uint64_t i = 0; i < n; i++) {
+        uint32_t doc = r.u32();
+        if (doc < idx->docs.size() && idx->docs[doc].alive) {
+            idx->docs[doc].alive = false;
+            idx->live--;
+            idx->live_len_sum -= idx->doc_len[doc];
+        }
+    }
+}
+
+// Drop tombstoned docs and remap ids (the wrapper re-saves the survivors
+// as one fresh segment afterwards). Returns the new doc count.
+uint64_t sema_text_compact(void* h) {
+    auto* idx = static_cast<TextIndex*>(h);
+    std::vector<uint32_t> remap(idx->docs.size(), UINT32_MAX);
+    std::vector<Doc> docs;
+    std::vector<uint32_t> doc_len;
+    docs.reserve(idx->live);
+    doc_len.reserve(idx->live);
+    for (size_t i = 0; i < idx->docs.size(); i++) {
+        if (!idx->docs[i].alive) continue;
+        remap[i] = (uint32_t)docs.size();
+        docs.push_back(std::move(idx->docs[i]));
+        doc_len.push_back(idx->doc_len[i]);
+    }
+    for (auto it = idx->postings.begin(); it != idx->postings.end();) {
+        auto& plist = it->second;
+        size_t w = 0;
+        for (auto& [doc, tf] : plist)
+            if (remap[doc] != UINT32_MAX) plist[w++] = {remap[doc], tf};
+        plist.resize(w);
+        if (w == 0) it = idx->postings.erase(it);
+        else ++it;
+    }
+    idx->docs = std::move(docs);
+    idx->doc_len = std::move(doc_len);
+    return idx->docs.size();
+}
 
 int sema_text_save(void* h, const char* path) {
     auto* idx = static_cast<TextIndex*>(h);

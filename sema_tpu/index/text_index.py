@@ -13,9 +13,19 @@ Replaces the reference's Tantivy index (src/storage/text_indexer.rs):
 - ``commit()`` persists to disk; the index reopens incrementally
   (text_indexer.rs:159-162).
 
+Persistence is segmented like tantivy's (text_indexer.rs:58-73 commits per
+batch; tantivy writes immutable segment files): each commit appends ONE
+immutable segment holding just the docs added since the previous commit,
+plus a small manifest (ordered segment list + tombstoned doc ids) rewritten
+atomically. Per-batch commit cost is O(batch), not O(index) — the round-1
+whole-file rewrite was an O(N²) build at the 10M-chunk config. Tombstones
+accumulate in the manifest until the dead fraction crosses 25%, then the
+index compacts to a single fresh segment on load. Pre-segment single-file
+indexes (``index.json`` / ``index.native.bin``) migrate on first open.
+
 The pure-Python implementation below is the semantics oracle; the C++
-native backend (sema_tpu/native, ≙ tantivy's role) accelerates it with the
-same on-disk format.
+native backend (sema_tpu/native, ≙ tantivy's role) accelerates it with an
+equivalent segmented layout (binary segment files).
 """
 
 from __future__ import annotations
@@ -33,6 +43,13 @@ from sema_tpu.types import Chunk
 K1 = 1.2
 B = 0.75
 MAX_TOKEN_LEN = 40  # tantivy default analyzer's RemoveLongFilter(40)
+_COMPACT_DEAD_FRACTION = 0.25
+
+
+def _atomic_write_json(path: Path, obj) -> None:
+    tmp = path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(obj))
+    os.replace(tmp, path)
 
 # tantivy SimpleTokenizer splits on non-alphanumeric (unicode-aware);
 # '_' is NOT alphanumeric in Rust, so "foo_bar" → ["foo", "bar"]
@@ -52,41 +69,142 @@ def tokenize(text: str) -> List[str]:
 class TextIndex:
     def __init__(self, data_dir: Path | str):
         self.dir = Path(data_dir) / "text_index"
-        self.dir.mkdir(parents=True, exist_ok=True)
+        self.seg_dir = self.dir / "segments"
+        self.seg_dir.mkdir(parents=True, exist_ok=True)
         self.docs: List[Optional[dict]] = []      # None = deleted
         self.doc_len: List[int] = []
         self.postings: Dict[str, Dict[int, int]] = defaultdict(dict)
-        self._dirty = False
+        self._segments: List[dict] = []           # [{"name", "docs"}]
+        self._committed_docs = 0                  # docs persisted in segments
+        self._deleted: set = set()                # tombstoned global doc ids
+        self._committed_deleted: set = set()      # ids in the manifest
+        # postings of the not-yet-committed doc tail, ids relative to
+        # _committed_docs (accumulated at add time so a commit never walks
+        # the global postings table)
+        self._pending_postings: Dict[str, Dict[int, int]] = defaultdict(dict)
         self._load()
 
     # -- persistence ------------------------------------------------------------
 
     @property
-    def _path(self) -> Path:
+    def _manifest_path(self) -> Path:
+        return self.dir / "manifest.json"
+
+    @property
+    def _legacy_path(self) -> Path:
         return self.dir / "index.json"
 
+    def _seg_path(self, name: str) -> Path:
+        return self.seg_dir / f"{name}.json"
+
+    def _seg_name(self) -> str:
+        name = f"seg-{len(self._segments):06d}-{self._committed_docs:09d}"
+        if any(s["name"] == name for s in self._segments):
+            name = "seg-compact"  # post-compaction numbering restarted
+        return name
+
     def _load(self) -> None:
-        if not self._path.exists():
+        if self._manifest_path.exists():
+            m = json.loads(self._manifest_path.read_text())
+            for s in m["segments"]:
+                seg = json.loads(self._seg_path(s["name"]).read_text())
+                base = len(self.docs)
+                self.docs.extend(seg["docs"])
+                self.doc_len.extend(seg["doc_len"])
+                for term, plist in seg["postings"].items():
+                    tgt = self.postings[term]
+                    for rel, tf in plist.items():
+                        tgt[base + int(rel)] = tf
+                self._segments.append(dict(s))
+            self._committed_docs = len(self.docs)
+            for i in m.get("deleted", []):
+                self.docs[i] = None
+                self._deleted.add(i)
+            self._committed_deleted = set(self._deleted)
+            self._maybe_compact()
+        elif self._legacy_path.exists():
+            # one-time migration from the round-1 single-file format
+            data = json.loads(self._legacy_path.read_text())
+            self.docs = data["docs"]
+            self.doc_len = data["doc_len"]
+            for term, plist in data["postings"].items():
+                self.postings[term] = {int(d): tf for d, tf in
+                                       plist.items()}
+            self._deleted = {i for i, d in enumerate(self.docs)
+                             if d is None}
+            self._rewrite_as_single_segment()
+            self._legacy_path.unlink()
+
+    def _write_manifest(self) -> None:
+        _atomic_write_json(self._manifest_path, {
+            "version": 1,
+            "segments": self._segments,
+            "deleted": sorted(self._deleted),
+        })
+        self._committed_deleted = set(self._deleted)
+
+    def _rewrite_as_single_segment(self) -> None:
+        """Persist the whole in-memory index as one fresh segment
+        (migration and compaction tail)."""
+        old_files = [self._seg_path(s["name"]) for s in self._segments]
+        self._segments = []
+        self._committed_docs = 0
+        name = self._seg_name()
+        if self.docs:
+            _atomic_write_json(self._seg_path(name), {
+                "docs": self.docs,
+                "doc_len": self.doc_len,
+                "postings": {t: p for t, p in self.postings.items()},
+            })
+            self._segments = [{"name": name, "docs": len(self.docs)}]
+        self._committed_docs = len(self.docs)
+        self._pending_postings = defaultdict(dict)
+        self._write_manifest()
+        keep = self._seg_path(name)
+        for p in old_files:
+            if p != keep:
+                p.unlink(missing_ok=True)
+
+    def _maybe_compact(self) -> None:
+        total = len(self.docs)
+        if total == 0 or len(self._deleted) / total <= \
+                _COMPACT_DEAD_FRACTION:
             return
-        data = json.loads(self._path.read_text())
-        self.docs = data["docs"]
-        self.doc_len = data["doc_len"]
-        self.postings = defaultdict(dict)
-        for term, plist in data["postings"].items():
-            self.postings[term] = {int(d): tf for d, tf in plist.items()}
+        keep = [i for i in range(total) if self.docs[i] is not None]
+        remap = {old: new for new, old in enumerate(keep)}
+        self.docs = [self.docs[i] for i in keep]
+        self.doc_len = [self.doc_len[i] for i in keep]
+        postings: Dict[str, Dict[int, int]] = defaultdict(dict)
+        for term, plist in self.postings.items():
+            for d, tf in plist.items():
+                if d in remap:
+                    postings[term][remap[d]] = tf
+        self.postings = postings
+        self._deleted = set()
+        self._rewrite_as_single_segment()
 
     def commit(self) -> None:
-        """Durable write (≙ tantivy writer.commit, text_indexer.rs:70,159)."""
-        if not self._dirty and self._path.exists():
-            return
-        tmp = self._path.with_suffix(".tmp")
-        tmp.write_text(json.dumps({
-            "docs": self.docs,
-            "doc_len": self.doc_len,
-            "postings": {t: p for t, p in self.postings.items()},
-        }))
-        os.replace(tmp, self._path)
-        self._dirty = False
+        """Durable write (≙ tantivy writer.commit, text_indexer.rs:70,159).
+        Appends one segment with the new docs (cost O(batch)); tombstones
+        ride the manifest."""
+        wrote = False
+        if len(self.docs) > self._committed_docs:
+            name = self._seg_name()
+            _atomic_write_json(self._seg_path(name), {
+                "docs": self.docs[self._committed_docs:],
+                "doc_len": self.doc_len[self._committed_docs:],
+                "postings": {t: p for t, p in
+                             self._pending_postings.items()},
+            })
+            self._segments.append(
+                {"name": name,
+                 "docs": len(self.docs) - self._committed_docs})
+            self._committed_docs = len(self.docs)
+            self._pending_postings = defaultdict(dict)
+            wrote = True
+        if wrote or self._deleted != self._committed_deleted \
+                or not self._manifest_path.exists():
+            self._write_manifest()
 
     # -- mutation ----------------------------------------------------------------
 
@@ -94,6 +212,7 @@ class TextIndex:
         """Add documents and commit (text_indexer.rs:58-73 commits per batch)."""
         for c in chunks:
             doc_id = len(self.docs)
+            rel_id = doc_id - self._committed_docs
             tokens = tokenize(c.content)
             self.docs.append({
                 "id": c.id, "file_path": str(c.file_path),
@@ -103,7 +222,7 @@ class TextIndex:
             self.doc_len.append(len(tokens))
             for term, tf in Counter(tokens).items():
                 self.postings[term][doc_id] = tf
-        self._dirty = True
+                self._pending_postings[term][rel_id] = tf
         self.commit()
 
     def remove_file_chunks(self, file_path) -> int:
@@ -113,9 +232,8 @@ class TextIndex:
         for i, doc in enumerate(self.docs):
             if doc is not None and doc["file_path"] == target:
                 self.docs[i] = None
+                self._deleted.add(i)
                 removed += 1
-        if removed:
-            self._dirty = True
         return removed
 
     # -- search -------------------------------------------------------------------
@@ -200,20 +318,82 @@ class NativeTextIndex:
     """C++-backed BM25 index (≙ tantivy's role; SURVEY.md §2 native
     inventory). Same interface and semantics as :class:`TextIndex`; the
     test suite asserts identical rankings and scores against the Python
-    oracle. Persists to ``text_index/index.native.bin``."""
+    oracle. Persists segmented binary files under ``text_index/segments/``
+    plus ``manifest.native.json`` (same incremental-commit design as the
+    Python oracle; migrates round-1 ``index.native.bin`` snapshots)."""
 
     def __init__(self, data_dir: Path | str):
         from sema_tpu.native.bindings import NativeTextIndexHandle
         self.dir = Path(data_dir) / "text_index"
-        self.dir.mkdir(parents=True, exist_ok=True)
+        self.seg_dir = self.dir / "segments"
+        self.seg_dir.mkdir(parents=True, exist_ok=True)
         self._h = NativeTextIndexHandle()
-        self._dirty = False
-        if self._path.exists():
-            self._h.load(str(self._path))
+        self._segments: List[dict] = []
+        self._committed_docs = 0
+        self._committed_deleted: set = set()
+        if self._manifest_path.exists():
+            m = json.loads(self._manifest_path.read_text())
+            for s in m["segments"]:
+                self._h.load_segment(str(self._seg_path(s["name"])))
+                self._segments.append(dict(s))
+            self._h.set_deleted(m.get("deleted", []))
+            self._committed_docs = self._h.num_docs()
+            self._committed_deleted = set(m.get("deleted", []))
+            self._maybe_compact()
+        elif self._legacy_path.exists():
+            # one-time migration from the round-1 full-snapshot format
+            self._h.load(str(self._legacy_path))
+            self._rewrite_as_single_segment()
+            self._legacy_path.unlink()
 
     @property
-    def _path(self) -> Path:
+    def _manifest_path(self) -> Path:
+        return self.dir / "manifest.native.json"
+
+    @property
+    def _legacy_path(self) -> Path:
         return self.dir / "index.native.bin"
+
+    def _seg_path(self, name: str) -> Path:
+        return self.seg_dir / f"{name}.bin"
+
+    def _seg_name(self) -> str:
+        name = f"seg-{len(self._segments):06d}-{self._committed_docs:09d}"
+        if any(s["name"] == name for s in self._segments):
+            name = "seg-compact"
+        return name
+
+    def _write_manifest(self, deleted) -> None:
+        _atomic_write_json(self._manifest_path, {
+            "version": 1,
+            "segments": self._segments,
+            "deleted": sorted(deleted),
+        })
+        self._committed_deleted = set(deleted)
+
+    def _rewrite_as_single_segment(self) -> None:
+        old_files = [self._seg_path(s["name"]) for s in self._segments]
+        self._segments = []
+        self._committed_docs = 0
+        name = self._seg_name()
+        n = self._h.num_docs()
+        if n:
+            self._h.save_segment(str(self._seg_path(name)), 0)
+            self._segments = [{"name": name, "docs": n}]
+        self._committed_docs = n
+        self._write_manifest(self._h.deleted_ids())
+        keep = self._seg_path(name)
+        for p in old_files:
+            if p != keep:
+                p.unlink(missing_ok=True)
+
+    def _maybe_compact(self) -> None:
+        total = self._h.num_docs()
+        dead = total - self._h.num_live()
+        if total == 0 or dead / total <= _COMPACT_DEAD_FRACTION:
+            return
+        self._h.compact()
+        self._rewrite_as_single_segment()
 
     @property
     def num_live_docs(self) -> int:
@@ -222,14 +402,10 @@ class NativeTextIndex:
     def index_chunks(self, chunks: Sequence[Chunk]) -> None:
         self._h.add((c.id, str(c.file_path), c.start_line, c.end_line,
                      c.content) for c in chunks)
-        self._dirty = True
         self.commit()
 
     def remove_file_chunks(self, file_path) -> int:
-        removed = self._h.remove_file(str(file_path))
-        if removed:
-            self._dirty = True
-        return removed
+        return self._h.remove_file(str(file_path))
 
     def search(self, query: str, limit: int) -> List[Tuple[Chunk, float]]:
         query = query.strip()
@@ -241,9 +417,20 @@ class NativeTextIndex:
             for i, p, s, e, c, score in self._h.search(query, limit)]
 
     def commit(self) -> None:
-        if self._dirty or not self._path.exists():
-            self._h.save(str(self._path))
-            self._dirty = False
+        wrote = False
+        n = self._h.num_docs()
+        if n > self._committed_docs:
+            name = self._seg_name()
+            self._h.save_segment(str(self._seg_path(name)),
+                                 self._committed_docs)
+            self._segments.append(
+                {"name": name, "docs": n - self._committed_docs})
+            self._committed_docs = n
+            wrote = True
+        deleted = set(self._h.deleted_ids())
+        if wrote or deleted != self._committed_deleted \
+                or not self._manifest_path.exists():
+            self._write_manifest(deleted)
 
     def close(self) -> None:
         self.commit()
@@ -259,8 +446,11 @@ def make_text_index(data_dir: Path | str, backend: str = "auto"):
         return TextIndex(data_dir)
     if backend == "auto":
         tdir = Path(data_dir) / "text_index"
-        if (tdir / "index.json").exists() and \
-                not (tdir / "index.native.bin").exists():
+        py_index = (tdir / "index.json").exists() or \
+            (tdir / "manifest.json").exists()
+        native_index = (tdir / "index.native.bin").exists() or \
+            (tdir / "manifest.native.json").exists()
+        if py_index and not native_index:
             return TextIndex(data_dir)
     try:
         return NativeTextIndex(data_dir)

@@ -62,6 +62,20 @@ _lib.sema_text_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
 _lib.sema_text_save.restype = ctypes.c_int
 _lib.sema_text_load.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
 _lib.sema_text_load.restype = ctypes.c_int
+_lib.sema_text_num_docs.argtypes = [ctypes.c_void_p]
+_lib.sema_text_num_docs.restype = ctypes.c_uint64
+_lib.sema_text_save_segment.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                        ctypes.c_uint64]
+_lib.sema_text_save_segment.restype = ctypes.c_int
+_lib.sema_text_load_segment.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+_lib.sema_text_load_segment.restype = ctypes.c_int
+_lib.sema_text_deleted_ids.argtypes = [ctypes.c_void_p]
+_lib.sema_text_deleted_ids.restype = ctypes.c_void_p
+_lib.sema_text_set_deleted.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_uint64]
+_lib.sema_text_set_deleted.restype = None
+_lib.sema_text_compact.argtypes = [ctypes.c_void_p]
+_lib.sema_text_compact.restype = ctypes.c_uint64
 
 
 def _take(ptr) -> bytes:
@@ -211,3 +225,31 @@ class NativeTextIndexHandle:
         rc = _lib.sema_text_load(self._h, str(path).encode())
         if rc != 0:
             raise OSError(f"native text index load failed ({rc}): {path}")
+
+    def num_docs(self) -> int:
+        return _lib.sema_text_num_docs(self._h)
+
+    def save_segment(self, path: str, from_doc: int) -> None:
+        rc = _lib.sema_text_save_segment(self._h, str(path).encode(),
+                                         from_doc)
+        if rc != 0:
+            raise OSError(f"native segment save failed ({rc}): {path}")
+
+    def load_segment(self, path: str) -> None:
+        rc = _lib.sema_text_load_segment(self._h, str(path).encode())
+        if rc != 0:
+            raise OSError(f"native segment load failed ({rc}): {path}")
+
+    def deleted_ids(self) -> List[int]:
+        payload = _take(_lib.sema_text_deleted_ids(self._h))
+        (n,) = struct.unpack_from("<Q", payload, 0)
+        return list(struct.unpack_from(f"<{n}I", payload, 8))
+
+    def set_deleted(self, ids) -> None:
+        ids = list(ids)
+        blob = struct.pack("<Q", len(ids)) + struct.pack(
+            f"<{len(ids)}I", *ids)
+        _lib.sema_text_set_deleted(self._h, blob, len(blob))
+
+    def compact(self) -> int:
+        return _lib.sema_text_compact(self._h)
