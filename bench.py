@@ -250,6 +250,27 @@ def run(config_name: str = "minilm-1m") -> int:
         ladder["int8_scan_rows"] = rows8
         del qvals, qscales
 
+        # --- config 5: 1024 concurrent clients through QueryBatcher with a
+        # streaming re-index mutating the same (real, disk-backed) store;
+        # client-observed latency, every response correctness-checked
+        # against a planted winner (tools/load_test.py)
+        print("# stage: serving load test (1024 clients + re-index)",
+              file=sys.stderr, flush=True)
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from load_test import run as load_run
+        serve_rows = int(os.environ.get("SEMA_BENCH_SERVE_ROWS", 262_144))
+        serve = load_run(rows=serve_rows, dim=384, clients=1024,
+                         max_batch=256, duration=12.0, mutate=True)
+        ladder["serve_capacity_qps"] = serve["capacity_qps"]
+        ladder["serve_capacity_batch_p50_ms"] = serve["capacity_batch_p50_ms"]
+        ladder["serve_1024c_qps"] = serve["qps"]
+        ladder["serve_1024c_p50_ms"] = serve["p50_ms"]
+        ladder["serve_1024c_p99_ms"] = serve["p99_ms"]
+        ladder["serve_1024c_errors"] = serve["errors"] + serve["mismatches"]
+        ladder["serve_rows"] = serve_rows
+        assert serve["errors"] == 0 and serve["mismatches"] == 0, serve
+
     target_p50_ms = 10.0  # BASELINE.json north-star serving target
     # a single query can never cost more than a full batch; when the
     # chained single-query measurement degraded to the noisy

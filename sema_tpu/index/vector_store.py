@@ -28,6 +28,10 @@ Design points:
   the validity mask) and appends fresh ones — mirroring the reference's
   delete-then-reindex (storage/mod.rs:42-47) without rewriting the store.
   Segments are compacted away when the dead fraction exceeds 25% on load.
+- **LSM-style device buckets**: each streamed append uploads only its own
+  mini-bucket (O(batch) device traffic while serving); a fragmented tail
+  consolidates past MAX_TAIL_BUCKETS, and buckets past SEAL_ROWS are
+  sealed permanently.
 - **atomic manifest**: the manifest is written via rename; a crash
   mid-append leaves the previous manifest pointing at fully-written
   segments only (the reference can desync its two indexes on crash,
@@ -217,6 +221,11 @@ class VectorStore:
         self._buckets = None          # list of device bucket dicts
         self._valid_dirty = False     # tombstones pending mask re-upload
         self._topk_fns: Dict[Tuple[int, int, str], callable] = {}
+        # bounded row→chunk cache: serving materializes the same hot rows
+        # over and over (rows are immutable once written; compaction only
+        # happens at load, before any caller holds row ids)
+        self._chunk_cache: Dict[int, Chunk] = {}
+        self._chunk_cache_max = 65_536
         # streaming re-index runs concurrently with serving (QueryBatcher /
         # HTTP daemon threads); mutations and bucket (re)builds serialize
         # behind this lock, searches take a consistent bucket snapshot
@@ -393,24 +402,34 @@ class VectorStore:
 
     # -- device placement -------------------------------------------------------
     #
-    # The device copy of the store is a list of BUCKETS. A bucket covers a
-    # contiguous run of segments; once its row count crosses the seal
-    # threshold it is SEALED and never re-uploaded — streaming appends only
-    # rebuild the (small) tail bucket, and tombstones only re-upload the
-    # affected buckets' boolean validity masks (1 bit of HBM traffic per
-    # row, not the vectors). This is the answer to SURVEY.md §7's
-    # "incremental mutation of a device-resident sharded matrix" hard part.
+    # The device copy of the store is a list of BUCKETS (an LSM-style
+    # structure). A bucket covers a contiguous run of segments. Streaming
+    # appends upload ONLY the new segment as its own small bucket — O(batch)
+    # device traffic per append, so a streaming re-index never stalls
+    # serving behind a whole-tail re-upload. When more than
+    # ``MAX_TAIL_BUCKETS`` unsealed buckets accumulate, the tail
+    # consolidates into one bucket (one amortized upload); a bucket whose
+    # row count crosses ``SEAL_ROWS`` is SEALED and never consolidated
+    # again. Tombstones only re-upload the affected buckets' boolean
+    # validity masks (1 bit of HBM traffic per row, not the vectors). This
+    # is the answer to SURVEY.md §7's "incremental mutation of a
+    # device-resident sharded matrix" hard part.
     #
     # Bucket row counts are padded to a shard-aligned power-of-two-ish size
     # so the number of distinct compiled scan shapes stays logarithmic in
-    # the store size.
+    # the store size; the per-bucket candidate merge is on host, so extra
+    # tail buckets cost one tiny scan dispatch each, bounded by
+    # MAX_TAIL_BUCKETS.
 
     SEAL_ROWS = 262_144
+    MAX_TAIL_BUCKETS = 8
 
     def _invalidate_device(self, tail_only: bool = False) -> None:
         if tail_only and self._buckets:
-            # drop unsealed trailing buckets; sealed ones stay resident
-            self._buckets = [b for b in self._buckets if b["sealed"]]
+            # keep every bucket that still maps to the current segment
+            # list; device_buckets() appends buckets for the uncovered
+            # trailing segments and consolidates if fragmented
+            pass
         else:
             self._buckets = None
         # compiled scan fns are keyed by shape and stay valid across
@@ -490,34 +509,54 @@ class VectorStore:
         }
 
     def _build_device(self) -> None:
-        """(Re)build missing buckets; sealed buckets are reused as-is."""
-        existing = {b["seg_range"]: b for b in (self._buckets or [])}
-        buckets = []
-        seg_start = 0
-        row_offset = 0
+        """Extend/refresh the bucket list.
+
+        Existing buckets are reused untouched (their segments are
+        immutable; full invalidation on load/compaction guarantees they
+        cover a contiguous segment prefix). Uncovered trailing segments
+        get NEW buckets — one per append in the streaming case, split at
+        SEAL_ROWS for bulk builds — and a tail fragmented past
+        MAX_TAIL_BUCKETS unsealed buckets consolidates into one."""
+        buckets = list(self._buckets or [])
+        reused = {id(b) for b in buckets}
+        covered = buckets[-1]["seg_range"][1] if buckets else 0
+        row_offset = (buckets[-1]["row_offset"] + buckets[-1]["rows"]
+                      if buckets else 0)
         n_segs = len(self.segments)
+        seg_start = covered
         while seg_start < n_segs:
-            # grow a bucket until it crosses the seal threshold
             rows = 0
             seg_end = seg_start
             while seg_end < n_segs and rows < self.SEAL_ROWS:
                 rows += self.segments[seg_end].rows
                 seg_end += 1
-            is_last = seg_end == n_segs
-            sealed = rows >= self.SEAL_ROWS or not is_last
-            key = (seg_start, seg_end)
-            bucket = existing.get(key)
-            if bucket is None or bucket["sealed"] != sealed:
-                bucket = self._build_bucket(key, row_offset, sealed)
-            elif self._valid_dirty:
-                # tombstones changed: re-upload only the boolean mask
-                from jax.sharding import PartitionSpec as P
-                bucket["valid"] = self._put(
-                    self._bucket_valid_host(key, bucket["n_pad"]),
-                    P(self.index_axis))
-            buckets.append(bucket)
+            buckets.append(self._build_bucket(
+                (seg_start, seg_end), row_offset,
+                sealed=rows >= self.SEAL_ROWS))
             row_offset += rows
             seg_start = seg_end
+        # consolidate a fragmented unsealed tail (unsealed buckets are a
+        # contiguous suffix by construction): one amortized upload instead
+        # of per-append whole-tail re-uploads
+        tail_from = next((i for i, b in enumerate(buckets)
+                          if not b["sealed"]), len(buckets))
+        if len(buckets) - tail_from > self.MAX_TAIL_BUCKETS:
+            first = buckets[tail_from]
+            rows = sum(b["rows"] for b in buckets[tail_from:])
+            merged = self._build_bucket(
+                (first["seg_range"][0], buckets[-1]["seg_range"][1]),
+                first["row_offset"], sealed=rows >= self.SEAL_ROWS)
+            buckets = buckets[:tail_from] + [merged]
+        if self._valid_dirty:
+            # tombstones changed: re-upload only the boolean masks of the
+            # buckets that predate this rebuild
+            from jax.sharding import PartitionSpec as P
+            for b in buckets:
+                if id(b) in reused:
+                    b["valid"] = self._put(
+                        self._bucket_valid_host(b["seg_range"],
+                                                b["n_pad"]),
+                        P(self.index_axis))
         self._buckets = buckets
         self._valid_dirty = False
 
@@ -559,11 +598,19 @@ class VectorStore:
         return self.segments[si], row - int(starts[si])
 
     def chunk_at(self, row: int) -> Chunk:
-        seg, local = self._locate(int(row))
+        row = int(row)
+        hit = self._chunk_cache.get(row)
+        if hit is not None:
+            return hit
+        seg, local = self._locate(row)
         r = seg.meta_row(local)
-        return Chunk(id=r["id"], file_path=Path(r["file_path"]),
-                     start_line=r["start_line"],
-                     end_line=r["end_line"], content=r["content"])
+        chunk = Chunk(id=r["id"], file_path=Path(r["file_path"]),
+                      start_line=r["start_line"],
+                      end_line=r["end_line"], content=r["content"])
+        if len(self._chunk_cache) >= self._chunk_cache_max:
+            self._chunk_cache.clear()   # amortized O(1) bound
+        self._chunk_cache[row] = chunk
+        return chunk
 
     def rows_at(self, rows: np.ndarray) -> np.ndarray:
         """Gather original (full-precision) vectors for global row ids —
@@ -661,8 +708,13 @@ class VectorStore:
                      ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched scan: (Q, dim) queries → (scores (Q,k'), ids (Q,k')).
 
-        Each device bucket is scanned with its own compiled executable; the
-        per-bucket candidate sets (tiny) merge on host. int8 mode scans for
+        Each device bucket is scanned with its own compiled executable —
+        all buckets dispatch asynchronously before the first (tiny) result
+        is fetched — and the per-bucket candidate sets merge on host. A
+        device-side merge was tried and measured SLOWER on remote/tunneled
+        devices: it adds one dispatch round-trip (~27 ms tunneled) and a
+        fresh XLA compile per bucket-count while the host merge costs two
+        ~1 ms fetches per bucket plus a sub-ms argsort. int8 mode scans for
         ``rescore_k`` candidates and re-ranks them at full precision from
         the host originals (BASELINE config 4)."""
         buckets = self.device_buckets()
@@ -693,10 +745,10 @@ class VectorStore:
             all_idx.append(np.asarray(i) + b["row_offset"])
         scores = np.concatenate(all_scores, axis=1)
         idx = np.concatenate(all_idx, axis=1)
-        if len(buckets) > 1 or scores.shape[1] > k:
+        k_keep = min(max(k, self.rescore_k) if quantized else k,
+                     scores.shape[1])
+        if len(buckets) > 1 or scores.shape[1] > k_keep:
             order = np.argsort(-scores, axis=1, kind="stable")
-            k_keep = min(max(k, self.rescore_k) if quantized else k,
-                         scores.shape[1])
             order = order[:, :k_keep]
             scores = np.take_along_axis(scores, order, axis=1)
             idx = np.take_along_axis(idx, order, axis=1)

@@ -29,7 +29,10 @@ class _Request:
     query_vec: np.ndarray
     k: int
     event: threading.Event = field(default_factory=threading.Event)
-    result: Optional[List[Tuple[object, float]]] = None
+    # raw (scores, ids) row — chunk metadata materializes in the CALLER
+    # thread so the dispatcher's next device batch isn't stalled behind
+    # host-side pread/json work (k × max_batch rows per batch otherwise)
+    raw: Optional[Tuple[np.ndarray, np.ndarray]] = None
     error: Optional[Exception] = None
 
 
@@ -54,7 +57,15 @@ class QueryBatcher:
             raise TimeoutError("query batch timed out")
         if req.error is not None:
             raise req.error
-        return req.result
+        scores, ids = req.raw
+        out: List[Tuple[object, float]] = []
+        for s, rid in zip(scores, ids):
+            if not np.isfinite(s):
+                continue
+            out.append((self.store.chunk_at(int(rid)), float(s)))
+            if len(out) >= k:
+                break
+        return out
 
     def close(self) -> None:
         self._stop.set()
@@ -90,14 +101,7 @@ class QueryBatcher:
                     q[i] = r.query_vec
                 scores, ids = self.store.search_batch(q, k_max)
                 for i, r in enumerate(batch):
-                    out = []
-                    for s, rid in zip(scores[i], ids[i]):
-                        if not np.isfinite(s):
-                            continue
-                        out.append((self.store.chunk_at(int(rid)), float(s)))
-                        if len(out) >= r.k:
-                            break
-                    r.result = out
+                    r.raw = (scores[i], ids[i])
                     r.event.set()
             except Exception as e:  # noqa: BLE001 — deliver to callers
                 for r in batch:

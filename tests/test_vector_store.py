@@ -411,3 +411,56 @@ class TestScalableMetadata:
         assert seg.file_rows() == {"b.txt": list(range(20))}
         assert s2.chunk_at(5).id == "b.txt:5"
         assert s2.remove_file_chunks(Path("b.txt")) == 20
+
+
+class TestStreamingBuckets:
+    """LSM-style device buckets: each streamed append uploads ONLY its own
+    mini-bucket (earlier buckets' device arrays are untouched), and a tail
+    fragmented past MAX_TAIL_BUCKETS consolidates into one bucket."""
+
+    def test_append_adds_own_bucket_without_reupload(self, tmp_path):
+        store = make_store(tmp_path)
+        cs, vecs = chunks_and_vecs(64, path="base.txt", seed=0)
+        store.add_chunks(cs, vecs)
+        ids0 = [id(b["store"]) for b in store.device_buckets()]
+        appended = []
+        for g in range(3):
+            cs2, v2 = chunks_and_vecs(32, path=f"s{g}.txt", seed=10 + g)
+            store.add_chunks(cs2, v2)
+            appended.append(v2)
+            buckets = store.device_buckets()
+            # one new bucket per append; all prior device arrays reused
+            assert len(buckets) == 2 + g
+            assert [id(b["store"]) for b in buckets[:1 + g]] == ids0
+            ids0 = [id(b["store"]) for b in buckets]
+        # results correct across buckets
+        assert store.search(appended[1][7], k=1)[0][0].id == "s1.txt:7"
+        assert store.search(vecs[3], k=1)[0][0].id == "base.txt:3"
+
+    def test_tail_consolidation(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(VectorStore, "MAX_TAIL_BUCKETS", 3)
+        store = make_store(tmp_path)
+        last = None
+        for g in range(6):
+            cs, v = chunks_and_vecs(16, path=f"s{g}.txt", seed=g)
+            store.add_chunks(cs, v)
+            last = v
+            n = len(store.device_buckets())
+            assert n <= 4  # never more than MAX_TAIL+1 before consolidation
+        buckets = store.device_buckets()
+        assert len(buckets) < 6          # tail consolidated at least once
+        assert buckets[-1]["seg_range"][1] == len(store.segments)
+        assert store.search(last[5], k=1)[0][0].id == "s5.txt:5"
+        cs0, v0 = chunks_and_vecs(16, path="s0.txt", seed=0)
+        assert store.search(v0[2], k=1)[0][0].id == "s0.txt:2"
+
+    def test_tombstone_refreshes_masks_on_all_buckets(self, tmp_path):
+        store = make_store(tmp_path)
+        for g in range(3):
+            cs, v = chunks_and_vecs(32, path=f"s{g}.txt", seed=g)
+            store.add_chunks(cs, v)
+        store.device_buckets()
+        store.remove_file_chunks(Path("s0.txt"))
+        cs0, v0 = chunks_and_vecs(32, path="s0.txt", seed=0)
+        res = store.search(v0[4], k=3)
+        assert all(str(r[0].file_path) != "s0.txt" for r in res)

@@ -1,0 +1,231 @@
+"""Concurrent serving load test (BASELINE config 5 evidence).
+
+Drives a real :class:`VectorStore` through :class:`QueryBatcher` with N
+concurrent client threads while (optionally) a mutator thread streams a
+re-index into the same store — the "streaming re-index + 1024 concurrent
+batched queries" config. The reference has no concurrent serving at all
+(one query at a time from the TUI thread, tui/engine.rs:102).
+
+Each client loops on planted probe queries whose true top-1 row is known
+by construction (the planted rows live in a file the mutator never
+touches), so every response is also a correctness check under mutation.
+
+Prints ONE JSON line with client-observed p50/p99 latency, aggregate QPS,
+and error/mismatch counts. Usage::
+
+    python tools/load_test.py --rows 262144 --clients 1024 \
+        --max-batch 256 --duration 15 --mutate
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def build_store(tmp, rows: int, dim: int, seed: int = 0,
+                n_probe: int = 32, batches: int = 8):
+    """Synthetic normalized store with planted probe winners."""
+    from sema_tpu.index.vector_store import VectorStore
+    from sema_tpu.types import Chunk
+
+    rng = np.random.default_rng(seed)
+    probes = rng.standard_normal((n_probe, dim)).astype(np.float32)
+    probes /= np.linalg.norm(probes, axis=1, keepdims=True)
+
+    store = VectorStore(tmp, dim=dim, model="loadtest")
+    per = rows // batches
+    planted_ids = []
+    for b in range(batches):
+        vecs = rng.standard_normal((per, dim)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        path = "planted.txt" if b == 0 else f"base-{b}.txt"
+        if b == 0:
+            # overwrite the first n_probe rows with scaled probe copies:
+            # cosine 0.95 beats any random row at realistic dims
+            vecs[:n_probe] = probes * 0.95
+            planted_ids = list(range(n_probe))
+        chunks = [Chunk(id=f"{path}:{i}", file_path=Path(path),
+                        start_line=i, end_line=i + 1,
+                        content=f"chunk {b}/{i}")
+                  for i in range(per)]
+        store.add_chunks(chunks, vecs)
+    return store, probes, planted_ids
+
+
+def run(rows: int, dim: int, clients: int, max_batch: int,
+        duration: float, mutate: bool, k: int = 10,
+        data_dir: str | None = None, mut_batch: int = 4096) -> dict:
+    from sema_tpu.search.server import QueryBatcher
+    from sema_tpu.types import Chunk
+
+    tmp = data_dir or tempfile.mkdtemp(prefix="sema-loadtest-")
+    t0 = time.perf_counter()
+    store, probes, planted = build_store(tmp, rows, dim)
+    n_probe = len(probes)
+    build_s = time.perf_counter() - t0
+
+    # warm every compiled shape the run will touch: the serving k-class on
+    # the current store, and (when mutating) the tail-bucket shapes the
+    # streaming appends cycle through. First-touch compiles go through the
+    # (possibly remote) XLA compiler — allow minutes, never the serving
+    # timeout.
+    warm_timeout = 1800.0
+    warm_t0 = time.perf_counter()
+    batcher = QueryBatcher(store, max_batch=max_batch, max_wait_ms=2.0)
+    batcher.search(probes[0], k, timeout=warm_timeout)
+    mut_rng = np.random.default_rng(99)
+    if mutate:
+        for _ in range(3):
+            vecs = mut_rng.standard_normal((mut_batch, dim)).astype(
+                np.float32)
+            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+            cs = [Chunk(id=f"warm:{i}", file_path=Path("warm.txt"),
+                        start_line=i, end_line=i + 1, content="w")
+                  for i in range(mut_batch)]
+            store.add_chunks(cs, vecs)
+            batcher.search(probes[0], k, timeout=warm_timeout)
+        store.remove_file_chunks(Path("warm.txt"))
+        batcher.search(probes[0], k, timeout=warm_timeout)
+    warm_s = time.perf_counter() - warm_t0
+
+    stop = threading.Event()
+    latencies: list[list[float]] = [[] for _ in range(clients)]
+    errors = [0] * clients
+    mismatches = [0] * clients
+
+    # -- capacity phase: full scan batches straight through the store
+    # while the mutator runs — the device serving floor, independent of
+    # how many OS threads the measuring host can schedule (client-observed
+    # numbers below additionally pay host-side queueing/GIL costs, which
+    # on a 1-core host dominate at 1024 threads)
+    cap_queries = np.repeat(probes, max(1, max_batch // n_probe + 1),
+                            axis=0)[:max_batch]
+    cap_times: list[float] = []
+
+    def capacity(n_iters: int = 24) -> None:
+        for _ in range(n_iters):
+            t = time.perf_counter()
+            store.search_batch(cap_queries, k)
+            cap_times.append(time.perf_counter() - t)
+
+    def client(ci: int) -> None:
+        rng = np.random.default_rng(1000 + ci)
+        while not stop.is_set():
+            pi = int(rng.integers(n_probe))
+            t = time.perf_counter()
+            try:
+                res = batcher.search(probes[pi], k, timeout=120.0)
+            except Exception:
+                errors[ci] += 1
+                continue
+            latencies[ci].append(time.perf_counter() - t)
+            if not res or res[0][0].id != f"planted.txt:{planted[pi]}":
+                mismatches[ci] += 1
+
+    mutated_batches = [0]
+
+    def mutator() -> None:
+        gen = 0
+        while not stop.is_set():
+            vecs = mut_rng.standard_normal((mut_batch, dim)).astype(
+                np.float32)
+            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+            path = f"stream-{gen}.txt"
+            cs = [Chunk(id=f"{path}:{i}", file_path=Path(path),
+                        start_line=i, end_line=i + 1,
+                        content=f"stream {gen}/{i}")
+                  for i in range(mut_batch)]
+            store.add_chunks(cs, vecs)
+            if gen >= 2:
+                store.remove_file_chunks(Path(f"stream-{gen - 2}.txt"))
+            mutated_batches[0] += 1
+            gen += 1
+            stop.wait(0.5)
+
+    mut_thread = (threading.Thread(target=mutator, daemon=True)
+                  if mutate else None)
+    if mut_thread:
+        mut_thread.start()
+
+    capacity()  # phase A: device serving floor under mutation
+
+    threads = [threading.Thread(target=client, args=(i,), daemon=True)
+               for i in range(clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    time.sleep(duration)
+    stop.set()
+    for t in threads:
+        t.join(timeout=180)
+    if mut_thread:
+        mut_thread.join(timeout=60)
+    elapsed = time.perf_counter() - t0
+
+    lats = np.asarray(sorted(x for l in latencies for x in l))
+    cap_p50 = float(np.percentile(cap_times, 50)) if cap_times else None
+    result = {
+        "capacity_qps": round(max_batch / cap_p50, 1) if cap_p50 else None,
+        "capacity_batch_p50_ms": round(cap_p50 * 1e3, 2) if cap_p50
+        else None,
+        "clients": clients,
+        "max_batch": max_batch,
+        "rows": rows, "dim": dim, "k": k,
+        "duration_s": round(elapsed, 2),
+        "queries": int(lats.size),
+        "qps": round(lats.size / elapsed, 1),
+        "p50_ms": round(float(np.percentile(lats, 50)) * 1e3, 2)
+        if lats.size else None,
+        "p99_ms": round(float(np.percentile(lats, 99)) * 1e3, 2)
+        if lats.size else None,
+        "errors": int(sum(errors)),
+        "mismatches": int(sum(mismatches)),
+        "mutated_batches": mutated_batches[0],
+        "live_rows_end": store.live_rows,
+        "build_s": round(build_s, 1), "warm_s": round(warm_s, 1),
+    }
+    batcher.close()
+    store.close()
+    return result
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--rows", type=int, default=262_144)
+    ap.add_argument("--dim", type=int, default=384)
+    ap.add_argument("--clients", type=int, default=1024)
+    ap.add_argument("--max-batch", type=int, default=256)
+    ap.add_argument("--duration", type=float, default=15.0)
+    ap.add_argument("--mutate", action="store_true",
+                    help="stream a re-index concurrently with serving")
+    ap.add_argument("--mut-batch", type=int, default=4096,
+                    help="rows per streamed re-index batch (every 0.5 s)")
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    from sema_tpu.utils.jaxcache import enable as enable_comp_cache
+    enable_comp_cache()
+    import os
+    if os.environ.get("SEMA_TPU_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["SEMA_TPU_PLATFORM"])
+    result = run(args.rows, args.dim, args.clients, args.max_batch,
+                 args.duration, args.mutate, k=args.k,
+                 mut_batch=args.mut_batch)
+    print(json.dumps(result))
+    ok = result["errors"] == 0 and result["mismatches"] == 0
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
