@@ -95,17 +95,27 @@ def _attention(x: jax.Array, layer: Params, mask_bias: jax.Array,
                      preferred_element_type=acc)
     qkv = (qkv + layer["qkv_b"].astype(acc)).astype(x.dtype)
 
-    def heads(y):
-        return y.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
-
-    q, k, v = (heads(y) for y in jnp.split(qkv, 3, axis=-1))
-
+    # the fused kernel pays off where the (b, n, s, s) score tensor and
+    # head transposes dominate HBM traffic; at short bucket lengths the
+    # scores shrink quadratically and XLA's fused einsums win (measured
+    # A/B at s=128: 28.4 vs 32.3 ms — docs/PERF.md). The bucketing ladder
+    # therefore runs xla for short buckets, the kernel for long ones.
+    if attn_impl == "fused" and s < 192:
+        attn_impl = "xla"
     if attn_impl == "fused":
-        from sema_tpu.ops.fused_attention import fused_attention
-        ctx = fused_attention(
-            q, k, v, mask_bias, scale=1.0 / math.sqrt(hd),
+        # the kernel consumes qkv in its natural (b, s, 3h) layout and
+        # returns ctx in (b, s, h) — neither the head transposes nor the
+        # (b, n, s, s) scores ever materialize in HBM
+        from sema_tpu.ops.fused_attention import fused_attention_qkv
+        ctx = fused_attention_qkv(
+            qkv, mask_bias, num_heads=num_heads,
+            scale=1.0 / math.sqrt(hd),
             interpret=jax.default_backend() != "tpu")
     else:
+        def heads(y):
+            return y.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = (heads(y) for y in jnp.split(qkv, 3, axis=-1))
         # softmax dtype follows the compute dtype: in bf16 mode the whole
         # score→softmax chain stays bf16, halving its HBM traffic (scores
         # are the largest activation at (b, n, s, s)); measured embedding
@@ -118,7 +128,7 @@ def _attention(x: jax.Array, layer: Params, mask_bias: jax.Array,
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bnqk,bnkd->bnqd", probs, v,
                          preferred_element_type=acc).astype(x.dtype)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
 
     acc = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     out = jnp.einsum("bsh,hd->bsd", ctx, layer["attn_out_w"].astype(x.dtype),

@@ -1,31 +1,39 @@
 """Pallas fused self-attention for short encoder sequences.
 
 The XLA attention path (models/bert.py:_attention) materializes the
-(B, H, S, S) f32 score tensor in HBM twice per layer (scores out, probs
-back in). At the encoder's operating point — MiniLM batch 256, S=256,
-12 heads — that is ~0.8 GB per direction per layer, ~5× the HBM traffic of
-the actual matmuls, and it makes the whole encoder bandwidth-bound (round-1
-NOTES: ~32% MXU). This kernel keeps the entire attention computation for a
-(block of batch rows × one head) in VMEM: QK^T on the MXU, additive padding
-bias + f32 softmax on the VPU, probs @ V on the MXU — score traffic never
-touches HBM.
+(B, H, S, S) score tensor in HBM twice per layer (scores out, probs back
+in) AND materializes q/k/v in the head-transposed (B, n, S, hd) layout —
+at the encoder's operating point (MiniLM batch 256, S=256, 12 heads) the
+two together are several times the HBM traffic of the actual matmuls,
+making the encoder bandwidth-bound (round-1 NOTES: ~32% MXU).
+
+This kernel consumes the fused qkv projection in its NATURAL (B, S, 3H)
+layout: the (B, S, 3, n, hd) head view is a free row-major reshape, and
+each grid program pulls its (batch-block, head) q/k/v tiles straight out
+of that view via BlockSpec index maps — no transpose is ever materialized.
+Inside the kernel a (block of batch rows × one head) attention runs
+entirely in VMEM: QK^T on the MXU, additive padding bias + f32 softmax on
+the VPU, probs @ V on the MXU. Score traffic and head transposes never
+touch HBM; the context comes back in the natural (B, S, H) layout the
+attention-output matmul wants.
 
 No online/flash softmax machinery is needed: encoder sequences are ≤ 256
-tokens (the reference truncates at 256, embeddings.rs:7,40-46), so the full
-(S, S) score tile fits comfortably in VMEM. This is a deliberately simpler
-design than a flash-attention kernel — the right tool for the short-S
-regime this framework operates in (SURVEY.md §5: the long axis is the
-index, not the sequence).
+tokens (the reference truncates at 256, embeddings.rs:7,40-46), so the
+full (S, S) score tile fits comfortably in VMEM. This is a deliberately
+simpler design than a flash-attention kernel — the right tool for the
+short-S regime this framework operates in (SURVEY.md §5: the long axis is
+the index, not the sequence).
 
 Numerics match the XLA path exactly: f32 score accumulation
 (preferred_element_type), f32 bias add and softmax, compute-dtype probs,
 f32 context accumulation — the torch-parity suite runs both paths.
 
 Layout notes (pallas_guide.md):
-- blocks are (TB, 1, S, hd): one head per program along a grid axis, TB
-  batch rows to amortize per-program overhead; hd ∈ {32, 64} pads to the
-  128-lane tile — acceptable waste on the small q/k/v tiles, while the
-  dominant (S, S) score tile is exactly lane-aligned;
+- q/k/v blocks are (TB, S, 1, 1, hd) windows of the (B, S, 3, n, hd)
+  view: one head per program along a grid axis, TB batch rows to amortize
+  per-program overhead; hd ∈ {32, 64} pads to the 128-lane tile —
+  acceptable waste on the small q/k/v tiles, while the dominant (S, S)
+  score tile is exactly lane-aligned;
 - the additive mask enters as a (TB, S) f32 block (one row per batch
   element, broadcast over heads and query positions in-kernel);
 - per-batch-row matmuls are a static Python loop over TB 2-D dots — no
@@ -42,56 +50,84 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float,
-                 tb: int):
-    bias = bias_ref[:]                            # (TB, S) f32
+def _attn_kernel(qkv_ref, bias_ref, out_ref, *, scale: float, tb: int,
+                 num_heads: int):
+    """One program handles a block of TB batch rows, ALL heads.
+
+    Mosaic requires the last two dims of every block to be (8,128)-aligned
+    or cover the whole array, so heads cannot be a trailing block axis in
+    the natural layout; instead the full (S, 3H) row loads once and heads
+    are static lane slices in-kernel (offsets are compile-time constants —
+    Mosaic lowers them to cheap VPU relayouts, far cheaper than the HBM
+    transposes the XLA path materializes)."""
+    h3 = qkv_ref.shape[-1]
+    h = h3 // 3
+    hd = h // num_heads
     for t in range(tb):                           # static unroll
-        q = q_ref[t, 0]                           # (S, hd)
-        k = k_ref[t, 0]
-        v = v_ref[t, 0]
-        scores = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)   # (S, S) f32
-        scores = scores * scale + bias[t][None, :]
-        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-        ctx = jax.lax.dot_general(
-            probs, v, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)   # (S, hd) f32
-        out_ref[t, 0] = ctx.astype(out_ref.dtype)
+        row = qkv_ref[t]                          # (S, 3H)
+        bias = bias_ref[t, 0][None, :]            # (1, S) f32
+        ctx_heads = []
+        for j in range(num_heads):                # static unroll
+            q = row[:, j * hd:(j + 1) * hd]       # (S, hd)
+            k = row[:, h + j * hd:h + (j + 1) * hd]
+            v = row[:, 2 * h + j * hd:2 * h + (j + 1) * hd]
+            scores = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (S, S) f32
+            scores = scores * scale + bias
+            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            ctx_heads.append(jax.lax.dot_general(
+                probs, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))  # (S, hd) f32
+        out_ref[t] = jnp.concatenate(
+            ctx_heads, axis=-1).astype(out_ref.dtype)  # (S, H)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("scale", "block_b", "interpret"))
-def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    mask_bias: jax.Array, *, scale: float,
-                    block_b: int = 16, interpret: bool = False) -> jax.Array:
-    """softmax(q @ k^T * scale + bias) @ v, fused in VMEM.
+                   static_argnames=("num_heads", "scale", "block_b",
+                                    "interpret"))
+def fused_attention_qkv(qkv: jax.Array, mask_bias: jax.Array, *,
+                        num_heads: int, scale: float, block_b: int = 8,
+                        interpret: bool = False) -> jax.Array:
+    """softmax(q @ k^T * scale + bias) @ v from a fused qkv projection.
 
-    q, k, v:    (B, H, S, hd) compute dtype (bf16/f32)
+    qkv:        (B, S, 3H) compute dtype (bf16/f32) — the natural output
+                layout of the fused qkv matmul, q|k|v concatenated on the
+                feature axis with heads interleaved inside each third
     mask_bias:  (B, S) f32 additive mask (0 attended / -1e9 padded) —
                 broadcast over heads and query positions, the BERT padding
                 mask semantics of models/bert.py:bert_forward
-    returns:    (B, H, S, hd) in q.dtype
+    returns:    (B, S, H) context in qkv.dtype — ready for the attention
+                output matmul, no transpose needed
     """
-    b, h, s, hd = q.shape
-    # tb must divide b, and the (tb, s) mask block needs tb % 8 == 0 unless
-    # it covers the whole batch (Mosaic sublane tiling rule)
-    tb = next((d for d in range(min(block_b, b), 0, -1)
-               if b % d == 0 and (d % 8 == 0 or d == b)), b)
-    grid = (b // tb, h)
+    b, s, h3 = qkv.shape
+    h = h3 // 3
 
-    kernel = functools.partial(_attn_kernel, scale=scale, tb=tb)
-    qkv_spec = pl.BlockSpec((tb, 1, s, hd), lambda i, j: (i, j, 0, 0),
-                            memory_space=pltpu.VMEM)
+    # tb: VMEM-budgeted batch rows per program. The (tb, s, 3h) in block
+    # and (tb, s, h) out block are each double-buffered by the pipeline;
+    # keep their sum under ~12 MB of the 16 MB scoped VMEM. The bias rides
+    # as (B, 1, S) so its block's last two dims are full — tb itself is a
+    # leading dim and free of the (8, 128) tiling rule.
+    itemsize = jnp.dtype(qkv.dtype).itemsize
+    per_row = 2 * s * (h3 + h) * itemsize
+    tb_cap = max(1, (12 << 20) // per_row)
+    tb = next((d for d in range(min(block_b, b, tb_cap), 0, -1)
+               if b % d == 0), 1)
+    grid = (b // tb,)
+
+    kernel = functools.partial(_attn_kernel, scale=scale, tb=tb,
+                               num_heads=num_heads)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            qkv_spec, qkv_spec, qkv_spec,
-            pl.BlockSpec((tb, s), lambda i, j: (i, 0),
+            pl.BlockSpec((tb, s, h3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, s, hd), q.dtype),
+        out_specs=pl.BlockSpec((tb, s, h), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, h), qkv.dtype),
         interpret=interpret,
-    )(q, k, v, mask_bias.astype(jnp.float32))
+    )(qkv, mask_bias.astype(jnp.float32)[:, None, :])

@@ -10,34 +10,44 @@ import jax.numpy as jnp
 
 from sema_tpu.models import bert, get_spec
 from sema_tpu.models.loader import random_params
-from sema_tpu.ops.fused_attention import fused_attention
+from sema_tpu.ops.fused_attention import fused_attention_qkv
 
 
-def _ref_attention(q, k, v, mask_bias, scale):
+def _ref_attention_qkv(qkv, mask_bias, num_heads, scale):
+    b, s, h3 = qkv.shape
+    h = h3 // 3
+    hd = h // num_heads
+
+    def heads(y):
+        return y.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = (heads(y) for y in jnp.split(qkv, 3, axis=-1))
     scores = jnp.einsum("bnqd,bnkd->bnqk", q, k,
                         preferred_element_type=jnp.float32)
     scores = scores * scale + mask_bias[:, None, None, :]
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return jnp.einsum("bnqk,bnkd->bnqd", probs, v,
-                      preferred_element_type=jnp.float32).astype(q.dtype)
+    ctx = jnp.einsum("bnqk,bnkd->bnqd", probs, v,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
 
 
-@pytest.mark.parametrize("b,h,s,hd", [
+@pytest.mark.parametrize("b,n,s,hd", [
     (4, 4, 32, 32),     # minilm-like head dim
     (2, 2, 64, 64),     # e5/gte head dim
     (3, 2, 32, 32),     # batch not divisible by block_b
 ])
-def test_matches_xla_reference(b, h, s, hd):
+def test_matches_xla_reference(b, n, s, hd):
     rng = np.random.default_rng(0)
-    q, k, v = (jnp.asarray(rng.standard_normal((b, h, s, hd)),
-                           dtype=jnp.float32) for _ in range(3))
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * n * hd)),
+                      dtype=jnp.float32)
     lengths = rng.integers(1, s + 1, size=b)
     mask = (np.arange(s)[None, :] < lengths[:, None]).astype(np.float32)
     bias = jnp.asarray((1.0 - mask) * -1e9)
 
     scale = 1.0 / math.sqrt(hd)
-    got = fused_attention(q, k, v, bias, scale=scale, interpret=True)
-    want = _ref_attention(q, k, v, bias, scale)
+    got = fused_attention_qkv(qkv, bias, num_heads=n, scale=scale,
+                              interpret=True)
+    want = _ref_attention_qkv(qkv, bias, n, scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-5)
 
