@@ -346,10 +346,15 @@ class TuiApp:
                 break
             if code == -1:
                 continue
-            if code == curses.KEY_MOUSE:           # app.rs:150-158
-                if (self.engine.state is AppState.READY
-                        and self.engine.search_results):
-                    self.engine.ui_mode = UIMode.SEARCH_INPUT
+            if code == curses.KEY_MOUSE:           # app.rs:150-158 + select
+                try:
+                    _, mx, my, _, bstate = curses.getmouse()
+                except curses.error:
+                    continue
+                if bstate & curses.BUTTON1_PRESSED:
+                    h, w = stdscr.getmaxyx()
+                    if ev.handle_mouse(self.engine, mx, my, w, h):
+                        self.sync_file_preview()
                 continue
             if code == curses.KEY_RESIZE:
                 continue

@@ -24,7 +24,7 @@ from __future__ import annotations
 import enum
 from dataclasses import dataclass
 
-from sema_tpu.types import UIMode
+from sema_tpu.types import AppState, UIMode
 
 
 class EventResult(enum.Enum):
@@ -190,6 +190,36 @@ def handle_key_ready(key: str, engine, inp: InputState,
         elif len(key) == 1 and key.isprintable():
             inp.insert(key)
     return EventResult.CONTINUE
+
+
+def handle_mouse(engine, x: int, y: int, width: int,
+                 height: int) -> bool:
+    """Left-click routing — pure layout math, mirrors TuiApp.draw.
+
+    The reference only refocuses the search box on any click
+    (app.rs:150-158); here a click additionally focuses the pane it lands
+    in and selects the clicked result row (3-line rows, ui.rs:110-211) —
+    a documented usability improvement over the reference. Returns True
+    when the selection changed (the caller syncs the file preview)."""
+    if engine.state is not AppState.READY or not engine.search_results:
+        return False
+    body_h = height - 3
+    in_split = engine.ui_mode is not UIMode.SEARCH_INPUT
+    if y >= body_h or not in_split:
+        engine.ui_mode = UIMode.SEARCH_INPUT   # reference behavior
+        return False
+    left_w = max(width * 30 // 100, 20)
+    if x < left_w:
+        engine.ui_mode = UIMode.SEARCH_RESULTS
+        if 1 <= y <= body_h - 2:
+            idx = (engine.search_results_scroll_offset + (y - 1) // 3)
+            if (0 <= idx < len(engine.search_results)
+                    and idx != engine.selected_search_result):
+                engine.selected_search_result = idx
+                return True
+        return False
+    engine.ui_mode = UIMode.FILE_PREVIEW
+    return False
 
 
 def handle_key_non_ready(key: str, inp: InputState) -> EventResult:

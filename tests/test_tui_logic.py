@@ -255,3 +255,58 @@ def test_wrap_spans():
                     [("cde", rd.S_KW)]]
     # width larger than content → single row, styles preserved
     assert rd.wrap_spans(spans, 99) == [spans]
+
+
+# -- mouse routing (improvement over app.rs:150-158's refocus-only) -----------
+
+class TestMouse:
+    W, H = 100, 32  # body_h = 29, left_w = 30
+
+    def test_click_selects_result_row(self):
+        eng = ready_engine(8)
+        # row i occupies 3 lines starting at y = 1 + 3*i
+        changed = ev.handle_mouse(eng, x=5, y=1 + 3 * 2, width=self.W,
+                                  height=self.H)
+        assert changed and eng.selected_search_result == 2
+        assert eng.ui_mode is UIMode.SEARCH_RESULTS
+
+    def test_click_respects_scroll_offset(self):
+        eng = ready_engine(30)
+        eng.search_results_scroll_offset = 10
+        changed = ev.handle_mouse(eng, x=5, y=4, width=self.W, height=self.H)
+        assert changed and eng.selected_search_result == 11
+
+    def test_click_preview_focuses_preview(self):
+        eng = ready_engine(5)
+        changed = ev.handle_mouse(eng, x=60, y=5, width=self.W, height=self.H)
+        assert not changed
+        assert eng.ui_mode is UIMode.FILE_PREVIEW
+
+    def test_click_search_box_focuses_input(self):
+        eng = ready_engine(5)
+        changed = ev.handle_mouse(eng, x=5, y=self.H - 2, width=self.W,
+                                  height=self.H)
+        assert not changed
+        assert eng.ui_mode is UIMode.SEARCH_INPUT
+
+    def test_click_same_row_no_resync(self):
+        eng = ready_engine(5)
+        eng.selected_search_result = 0
+        assert not ev.handle_mouse(eng, x=5, y=1, width=self.W, height=self.H)
+
+    def test_click_past_results_clamps(self):
+        eng = ready_engine(2)
+        assert not ev.handle_mouse(eng, x=5, y=25, width=self.W,
+                                   height=self.H)
+        assert eng.selected_search_result == 0
+
+    def test_click_ignored_when_not_ready(self):
+        eng = Engine()
+        eng.state = AppState.CRAWLING
+        assert not ev.handle_mouse(eng, x=5, y=4, width=self.W, height=self.H)
+
+    def test_click_without_split_refocuses_input(self):
+        eng = ready_engine(5)
+        eng.ui_mode = UIMode.SEARCH_INPUT   # no split shown
+        assert not ev.handle_mouse(eng, x=5, y=4, width=self.W, height=self.H)
+        assert eng.ui_mode is UIMode.SEARCH_INPUT
