@@ -68,6 +68,7 @@ class ModelConfig:
     max_length: int = 256            # token truncation (ref embeddings.rs:7)
     batch_size: int = 256            # device batch for index-build embedding
     dtype: str = "bfloat16"          # compute dtype on TPU
+    quant: str = "none"              # "int8" => W8A8 linears (2× MXU rate)
     weights_path: str = ""           # local safetensors dir; "" => HF cache / random
 
 

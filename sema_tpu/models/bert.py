@@ -62,6 +62,59 @@ def resolve_attn_impl(impl: str = "auto") -> str:
     return impl
 
 
+def quantize_params_int8(params: Params) -> Params:
+    """Per-output-channel symmetric int8 quantization of the encoder's
+    linear weights (qkv / attn_out / ffn_in / ffn_out across all layers).
+
+    Embeddings, LayerNorms, and biases stay full precision — they are a
+    tiny fraction of both bytes and FLOPs, and LN statistics are the
+    numerically sensitive part of BERT. At run time the matching activation
+    is quantized dynamically per token (W8A8): the int8×int8 matmul runs on
+    the MXU at 2× the bf16 rate (v5e: 394 vs 197 TOPS) and weight HBM
+    traffic halves. The reference has no quantized path at all (CPU f32
+    ONNX, embeddings.rs:48-52); this is the TPU-side speed lever for the
+    gte-large/int8 BASELINE rung.
+
+    Expects the full stacked-params pytree (``params["layers"]`` leaves
+    carry a leading layer axis, as produced by models/loader.py).
+    """
+    layers = dict(params["layers"])
+    for name in ("qkv_w", "attn_out_w", "ffn_in_w", "ffn_out_w"):
+        w = layers.pop(name).astype(jnp.float32)        # (L, in, out)
+        s = jnp.maximum(jnp.max(jnp.abs(w), axis=-2), 1e-12) / 127.0
+        q = jnp.clip(jnp.round(w / s[:, None, :]), -127, 127).astype(jnp.int8)
+        layers[name + "_q"] = q
+        layers[name + "_s"] = s                          # (L, out) f32
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
+def _int8_matmul(x: jax.Array, wq: jax.Array, ws: jax.Array,
+                 acc) -> jax.Array:
+    """Dynamic per-token W8A8 matmul: quantize activations per row, int8
+    MXU dot with int32 accumulation, rescale by (token scale × channel
+    scale)."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                     1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * sx * ws).astype(acc)
+
+
+def _linear(x: jax.Array, layer: Params, name: str, acc) -> jax.Array:
+    """One encoder linear, dispatched on the params' quantization state
+    (static at trace time — the pytree either carries ``{name}_q``/``_s``
+    from :func:`quantize_params_int8` or the full-precision ``{name}``)."""
+    wq = layer.get(name + "_q")
+    if wq is not None:
+        return _int8_matmul(x, wq, layer[name + "_s"], acc)
+    return jnp.einsum("...h,hd->...d", x, layer[name].astype(x.dtype),
+                      preferred_element_type=acc)
+
+
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
     """LayerNorm with f32 statistics regardless of compute dtype."""
     xf = x.astype(jnp.float32)
@@ -91,8 +144,7 @@ def _attention(x: jax.Array, layer: Params, mask_bias: jax.Array,
     # f32 epilogues for the torch-parity suite.
     acc = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
 
-    qkv = jnp.einsum("bsh,hm->bsm", x, layer["qkv_w"].astype(x.dtype),
-                     preferred_element_type=acc)
+    qkv = _linear(x, layer, "qkv_w", acc)
     qkv = (qkv + layer["qkv_b"].astype(acc)).astype(x.dtype)
 
     # the fused kernel pays off where the (b, n, s, s) score tensor and
@@ -131,23 +183,19 @@ def _attention(x: jax.Array, layer: Params, mask_bias: jax.Array,
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
 
     acc = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
-    out = jnp.einsum("bsh,hd->bsd", ctx, layer["attn_out_w"].astype(x.dtype),
-                     preferred_element_type=acc)
+    out = _linear(ctx, layer, "attn_out_w", acc)
     out = out + layer["attn_out_b"].astype(acc)
     return out.astype(x.dtype)
 
 
 def _ffn(x: jax.Array, layer: Params) -> jax.Array:
     acc = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
-    up = jnp.einsum("bsh,hi->bsi", x, layer["ffn_in_w"].astype(x.dtype),
-                    preferred_element_type=acc)
+    up = _linear(x, layer, "ffn_in_w", acc)
     # GELU stays in f32: erf is numerically touchy in bf16 and the
     # elementwise up-cast→gelu→down-cast chain fuses into one VPU pass
     up = jax.nn.gelu((up + layer["ffn_in_b"].astype(acc))
                      .astype(jnp.float32), approximate=False)
-    down = jnp.einsum("bsi,ih->bsh", up.astype(x.dtype),
-                      layer["ffn_out_w"].astype(x.dtype),
-                      preferred_element_type=acc)
+    down = _linear(up.astype(x.dtype), layer, "ffn_out_w", acc)
     down = down + layer["ffn_out_b"].astype(acc)
     return down.astype(x.dtype)
 

@@ -40,7 +40,18 @@ class Encoder:
                  max_length: Optional[int] = None, batch_size: int = 256,
                  compute_dtype=jnp.bfloat16,
                  mesh: Optional[Mesh] = None, data_axis: str = "data",
-                 model_axis: Optional[str] = None):
+                 model_axis: Optional[str] = None, quant: str = "none"):
+        quant = os.environ.get("SEMA_TPU_ENCODER_QUANT", quant)
+        if quant not in ("none", "int8"):
+            raise ValueError(f"unknown encoder quant mode {quant!r}")
+        if quant == "int8":
+            if model_axis is not None:
+                # TP shards by the full-precision weight names; composing
+                # it with W8A8 is future work — fail loudly, don't guess
+                raise ValueError("int8 encoder quant is not supported "
+                                 "together with tensor parallelism")
+            params = bert.quantize_params_int8(params)
+        self.quant = quant
         self.spec = spec
         self.params = params
         self.tokenizer = tokenizer
@@ -101,7 +112,8 @@ class Encoder:
             path=model_cfg.weights_path)
         enc = cls(spec, params, tok, max_length=model_cfg.max_length,
                   batch_size=model_cfg.batch_size, compute_dtype=dtype,
-                  mesh=mesh, data_axis=data_axis)
+                  mesh=mesh, data_axis=data_axis,
+                  quant=getattr(model_cfg, "quant", "none"))
         enc.weights_source = wsource
         enc.tokenizer_source = tsource
         return enc
