@@ -92,11 +92,21 @@ class MeshConfig:
 
 
 @dataclass
+class TuiConfig:
+    """TUI extensions beyond reference parity (all off by default —
+    the reference searches only on Enter, src/tui/events.rs:30-37)."""
+
+    incremental_search: bool = False  # search-as-you-type (debounced)
+    incremental_debounce_ms: int = 300
+
+
+@dataclass
 class Config:
     general: GeneralConfig = field(default_factory=GeneralConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     index: IndexConfig = field(default_factory=IndexConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    tui: TuiConfig = field(default_factory=TuiConfig)
 
 
 def _toml_escape(s: str) -> str:
@@ -138,6 +148,7 @@ def loads_toml(text: str) -> Config:
         model=_load_section(ModelConfig, data.get("model", {})),
         index=_load_section(IndexConfig, data.get("index", {})),
         mesh=_load_section(MeshConfig, data.get("mesh", {})),
+        tui=_load_section(TuiConfig, data.get("tui", {})),
     )
 
 

@@ -104,6 +104,10 @@ class TuiApp:
         self.input = ev.InputState()
         self.index_error = None
         self._index_thread = None
+        tcfg = getattr(config, "tui", None)
+        self.incremental = (
+            ev.IncrementalSearch(tcfg.incremental_debounce_ms)
+            if tcfg is not None and tcfg.incremental_search else None)
 
     # -- inline index (app.rs:72-86 startup sequence) -------------------------
     #
@@ -262,9 +266,15 @@ class TuiApp:
             win.refresh()
             return
 
+        # Parity: the reference hides the split while typing
+        # (ui.rs:40-43 renders the status screen in SearchInput mode even
+        # with results). With incremental search on, that would make
+        # search-as-you-type invisible — so in that mode the split stays
+        # up while the input retains focus (documented deviation).
         show_split = (self.engine.state is AppState.READY
                       and self.engine.search_results
-                      and self.engine.ui_mode is not UIMode.SEARCH_INPUT)
+                      and (self.engine.ui_mode is not UIMode.SEARCH_INPUT
+                           or self.incremental is not None))
         body_h = h - 3
         if not show_split:
             # status screen (ui.rs:49-89)
@@ -345,6 +355,7 @@ class TuiApp:
             except KeyboardInterrupt:
                 break
             if code == -1:
+                self._incremental_tick()
                 continue
             if code == curses.KEY_MOUSE:           # app.rs:150-158 + select
                 try:
@@ -353,7 +364,9 @@ class TuiApp:
                     continue
                 if bstate & curses.BUTTON1_PRESSED:
                     h, w = stdscr.getmaxyx()
-                    if ev.handle_mouse(self.engine, mx, my, w, h):
+                    if ev.handle_mouse(
+                            self.engine, mx, my, w, h,
+                            split_in_input=self.incremental is not None):
                         self.sync_file_preview()
                 continue
             if code == curses.KEY_RESIZE:
@@ -372,14 +385,38 @@ class TuiApp:
 
             if result is ev.EventResult.EXECUTE_SEARCH:
                 self.execute_search(self.input.text)
+                if self.incremental is not None:
+                    self.incremental.searched(self.input.text)
             elif result is ev.EventResult.OPEN_FILE:
                 self.open_file()
             elif result is ev.EventResult.QUIT:
                 self.engine.should_quit = True
 
+            if (self.incremental is not None
+                    and self.engine.state is AppState.READY
+                    and self.engine.ui_mode is UIMode.SEARCH_INPUT):
+                self.incremental.on_edit(self.input.text)
+
             if self.engine.selected_search_result != prev_selected:
                 self.sync_file_preview()           # app.rs:144-146
         return 0
+
+    def _incremental_tick(self) -> None:
+        """Debounced search-as-you-type ([tui] incremental_search).
+
+        Runs on idle poll ticks (100 ms getch timeout); restores
+        SEARCH_INPUT focus afterwards so typing continues uninterrupted
+        (engine.execute_search normally moves focus to the results
+        pane)."""
+        if (self.incremental is None
+                or self.engine.state is not AppState.READY
+                or self.engine.ui_mode is not UIMode.SEARCH_INPUT):
+            return
+        q = self.incremental.poll()
+        if q is None:
+            return
+        self.execute_search(q)
+        self.engine.ui_mode = UIMode.SEARCH_INPUT
 
 
 def run_app(directory: Path, config) -> int:

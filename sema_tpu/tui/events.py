@@ -193,7 +193,7 @@ def handle_key_ready(key: str, engine, inp: InputState,
 
 
 def handle_mouse(engine, x: int, y: int, width: int,
-                 height: int) -> bool:
+                 height: int, split_in_input: bool = False) -> bool:
     """Left-click routing — pure layout math, mirrors TuiApp.draw.
 
     The reference only refocuses the search box on any click
@@ -204,7 +204,10 @@ def handle_mouse(engine, x: int, y: int, width: int,
     if engine.state is not AppState.READY or not engine.search_results:
         return False
     body_h = height - 3
-    in_split = engine.ui_mode is not UIMode.SEARCH_INPUT
+    # with incremental search the split stays visible during input
+    # (TuiApp.draw), so clicks land on it in SEARCH_INPUT mode too
+    in_split = (engine.ui_mode is not UIMode.SEARCH_INPUT
+                or split_in_input)
     if y >= body_h or not in_split:
         engine.ui_mode = UIMode.SEARCH_INPUT   # reference behavior
         return False
@@ -220,6 +223,48 @@ def handle_mouse(engine, x: int, y: int, width: int,
         return False
     engine.ui_mode = UIMode.FILE_PREVIEW
     return False
+
+
+class IncrementalSearch:
+    """Debounced search-as-you-type (opt-in, ``[tui] incremental_search``).
+
+    The reference searches only on Enter (events.rs:30-37); this is a
+    documented usability extension, off by default. Pure logic with an
+    injectable clock so tests don't sleep: ``on_edit`` records the latest
+    input text, ``poll`` returns it once the debounce window has elapsed
+    (at most once per distinct text), ``searched`` marks a query as
+    already executed (e.g. by an explicit Enter) so it won't re-fire."""
+
+    def __init__(self, debounce_ms: int = 300, clock=None):
+        import time
+        self.debounce_s = debounce_ms / 1000.0
+        self._clock = clock or time.monotonic
+        self._pending: str | None = None
+        self._edit_t = 0.0
+        self._last_run: str | None = None
+
+    def on_edit(self, text: str) -> None:
+        if text == self._last_run:
+            self._pending = None
+            return
+        if text != self._pending:
+            self._pending = text
+            self._edit_t = self._clock()
+
+    def searched(self, text: str) -> None:
+        self._last_run = text
+        if self._pending == text:
+            self._pending = None
+
+    def poll(self) -> str | None:
+        if self._pending is None:
+            return None
+        if self._clock() - self._edit_t < self.debounce_s:
+            return None
+        q = self._pending
+        self._pending = None
+        self._last_run = q
+        return q
 
 
 def handle_key_non_ready(key: str, inp: InputState) -> EventResult:

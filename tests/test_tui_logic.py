@@ -310,3 +310,63 @@ class TestMouse:
         eng.ui_mode = UIMode.SEARCH_INPUT   # no split shown
         assert not ev.handle_mouse(eng, x=5, y=4, width=self.W, height=self.H)
         assert eng.ui_mode is UIMode.SEARCH_INPUT
+
+
+# -- incremental search (opt-in extension; ref searches only on Enter) --------
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+class TestIncrementalSearch:
+    def make(self, debounce_ms=300):
+        clk = FakeClock()
+        return ev.IncrementalSearch(debounce_ms, clock=clk), clk
+
+    def test_fires_after_debounce(self):
+        inc, clk = self.make()
+        inc.on_edit("quick")
+        assert inc.poll() is None          # too soon
+        clk.t = 0.31
+        assert inc.poll() == "quick"
+        assert inc.poll() is None          # fires once
+
+    def test_keystrokes_reset_window(self):
+        inc, clk = self.make()
+        inc.on_edit("qu")
+        clk.t = 0.2
+        inc.on_edit("qui")                 # edit during window resets it
+        clk.t = 0.4
+        assert inc.poll() is None          # only 0.2s since last edit
+        clk.t = 0.61
+        assert inc.poll() == "qui"
+
+    def test_enter_suppresses_refire(self):
+        inc, clk = self.make()
+        inc.on_edit("query text")
+        inc.searched("query text")         # user hit Enter first
+        clk.t = 1.0
+        assert inc.poll() is None
+
+    def test_same_text_not_rescheduled(self):
+        inc, clk = self.make()
+        inc.on_edit("abc")
+        clk.t = 0.31
+        assert inc.poll() == "abc"
+        clk.t = 1.0
+        inc.on_edit("abc")                 # e.g. arrow keys, no text change
+        clk.t = 2.0
+        assert inc.poll() is None
+
+    def test_edit_after_run_fires_again(self):
+        inc, clk = self.make()
+        inc.on_edit("abc")
+        clk.t = 0.31
+        assert inc.poll() == "abc"
+        inc.on_edit("abcd")
+        clk.t = 0.62
+        assert inc.poll() == "abcd"
