@@ -173,7 +173,9 @@ class TuiApp:
     # -- search actions (app.rs:164-221) --------------------------------------
 
     def execute_search(self, query: str) -> None:
-        if len(query.strip()) <= 2:        # app.rs:165
+        # byte length, not chars: the reference gate is query.trim().len()
+        # on a Rust &str (UTF-8 bytes), so 1-2 CJK chars pass (app.rs:165)
+        if len(query.strip().encode("utf-8")) <= 2:
             self.engine.clear_search()
             return
         self.engine.execute_search(

@@ -370,3 +370,22 @@ class TestIncrementalSearch:
         inc.on_edit("abcd")
         clk.t = 0.62
         assert inc.poll() == "abcd"
+
+
+def test_app_query_gate_counts_utf8_bytes(tmp_path):
+    """app.rs:165 gates on query.trim().len() — UTF-8 BYTES: a 2-char CJK
+    query (6 bytes) must run, a 2-char ASCII query must clear."""
+    from pathlib import Path
+    from sema_tpu.config import Config
+    from sema_tpu.tui.app import TuiApp
+
+    app = TuiApp(Path(str(tmp_path)), Config())
+    ran = []
+    app.engine.execute_search = lambda q, limit=50: ran.append(q)
+    cleared = []
+    app.engine.clear_search = lambda: cleared.append(True)
+
+    app.execute_search("ab")          # 2 bytes -> cleared
+    assert cleared and not ran
+    app.execute_search("日本")        # 2 chars, 6 bytes -> runs
+    assert ran == ["日本"]
