@@ -634,17 +634,16 @@ class VectorStore:
             return fn
 
         from functools import partial
-        # Backend choice (honest-fetch measurements, docs/PERF.md):
-        # - the XLA hierarchical scan wins small query batches (single
-        #   query: 6.1 vs 7.4 ms at 1M×384);
-        # - the Pallas fused scan (no (Q, N) score round-trip to HBM;
-        #   threshold-screened merge) edges ahead at large batches
-        #   (Q=256: 8.8 vs 9.0 ms) and stays eligible whenever each
-        #   device's shard is tile-aligned — single-device AND as the
-        #   per-shard local_fn under the shard_map merge.
-        # So auto mode dispatches on the query-batch size at call time;
-        # SEMA_TPU_SCAN_BACKEND=hier|pallas pins one backend (pallas
-        # off-TPU runs the kernel in interpret mode — tests only).
+        # Backend choice (honest-fetch measurements, docs/PERF.md): the
+        # Pallas fused scan (no (Q, N) score round-trip to HBM;
+        # threshold-screened in-place two-stage merge) wins every batch
+        # size since the merge rewrite — same-process A/B at 1M×384:
+        # Q=1 5.3 vs hier 14.7 ms, Q=256 7.9 ms/batch — and stays
+        # eligible whenever each device's shard is tile-aligned —
+        # single-device AND as the per-shard local_fn under the
+        # shard_map merge. SEMA_TPU_SCAN_BACKEND=hier|pallas pins one
+        # backend (pallas off-TPU runs the kernel in interpret mode —
+        # tests only); hier is also the >K_PAD-k fallback.
         backend = os.environ.get("SEMA_TPU_SCAN_BACKEND", "auto")
         shard_rows = n_pad // self._shards()
         on_tpu = jax.default_backend() == "tpu"
@@ -693,14 +692,12 @@ class VectorStore:
         elif pallas_fn is None or backend == "hier":
             fn = compile_one(hier_fn)
         else:
-            # auto: per-call dispatch on query-batch size (both variants
-            # compile lazily on first use of their regime)
-            small = compile_one(hier_fn)
-            big = compile_one(pallas_fn)
-
-            def fn(store, queries, valid):
-                picked = big if queries.shape[0] >= 64 else small
-                return picked(store, queries, valid)
+            # auto: pallas at every batch size. The in-place two-stage
+            # merge made the kernel win the single-query regime too
+            # (same-process A/B at 1M×384: 5.3 vs hier 14.7 ms Q=1,
+            # 7.9 ms/batch-256 — docs/PERF.md); hier remains the oracle,
+            # the CPU path, and the >K_PAD-k fallback.
+            fn = compile_one(pallas_fn)
         self._topk_fns[key] = fn
         return fn
 

@@ -12,11 +12,11 @@ the in-VMEM merge.
 
 Mosaic-friendly layout rules observed here (pallas_guide.md):
 - every buffer is 128-lane aligned: the running/output top-k state is
-  padded to K_PAD=128 columns (only the first k are live), the candidate
-  scratch is (Q, TILE_N + K_PAD), and the validity mask enters as a
+  padded to K_PAD=128 columns (only the first k are live), the merge
+  scratch is (Q, 2*K_PAD), and the validity mask enters as a
   (1, N) row vector blocked to (1, TILE_N);
-- no ``concatenate``/``pad`` inside the kernel — candidates are composed
-  by slice-assignment into scratch refs;
+- no ``concatenate``/``pad`` inside the kernel — the narrow merge stage
+  composes candidates by slice-assignment into a (Q, 2*K_PAD) scratch;
 - selection is K rounds of (max, min-index-of-tie, mask) — VPU reductions
   only, no sort/argmax/cumsum primitives (not lowerable on TPU).
 """
@@ -37,8 +37,20 @@ K_PAD = 128    # lane-aligned width of the running top-k state
 def _merge_and_emit(scores, i, out_s_ref, out_i_ref,
                     run_s, run_i, cand_s, cand_i, *, k: int, tile_n: int):
     """Shared tail of both scan kernels: init running state, threshold
-    screen, k-round merge of this tile's (already masked) scores, and the
-    final-tile emit. ``scores`` is (Q, TILE_N) f32 with NEG in dead slots."""
+    screen, in-place merge of this tile's (already masked) scores, and the
+    final-tile emit. ``scores`` is (Q, TILE_N) f32 with NEG in dead slots.
+
+    The merge is two-stage and touches no wide scratch (measured 1.55×
+    over the earlier compose-into-(Q, TILE_N+K_PAD)-scratch design, whose
+    wide copies dominated the kernel at batch 256 — docs/PERF.md):
+
+    1. tile-local top-k straight off the ``scores`` value: k rounds of
+       (max, first-tie column, mask) where the GLOBAL row id is simply
+       ``row0 + sel_col`` — no id array is ever materialized at tile
+       width;
+    2. a narrow (Q, 2·K_PAD) merge of [running | tile-local] in scratch —
+       k more rounds at 1/8 the width of the old full-width rounds.
+    """
     n_tiles = pl.num_programs(0)
     qn = scores.shape[0]
 
@@ -48,8 +60,6 @@ def _merge_and_emit(scores, i, out_s_ref, out_i_ref,
         run_i[:] = jnp.zeros((qn, K_PAD), jnp.int32)
 
     row0 = i * tile_n
-    base = row0 + jax.lax.broadcasted_iota(
-        jnp.int32, scores.shape, 1)                 # global row ids
 
     # threshold screen: the running top-k is stored rank-descending, so
     # column k-1 holds each query's current k-th best. A tile with no
@@ -60,32 +70,42 @@ def _merge_and_emit(scores, i, out_s_ref, out_i_ref,
 
     @pl.when(tile_best > 0)
     def _():
-        # compose candidates in aligned scratch: [running K_PAD | TILE_N]
-        cand_s[:, :K_PAD] = run_s[:]
-        cand_i[:, :K_PAD] = run_i[:]
-        cand_s[:, K_PAD:] = scores
-        cand_i[:, K_PAD:] = base
-
-        s = cand_s[:]
-        ids = cand_i[:]
-        m = s.shape[1]
-        col = jax.lax.broadcasted_iota(jnp.int32, (qn, m), 1)
+        s = scores
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         out_col = jax.lax.broadcasted_iota(jnp.int32, (qn, K_PAD), 1)
         big = jnp.int32(2**30)
 
+        # stage 1: tile-local top-k (values + global ids via sel_col)
+        loc_s = jnp.full((qn, K_PAD), NEG, jnp.float32)
+        loc_i = jnp.zeros((qn, K_PAD), jnp.int32)
+        for j in range(k):
+            best = jnp.max(s, axis=1, keepdims=True)        # (Q, 1)
+            sel_col = jnp.min(jnp.where(s == best, col, big), axis=1,
+                              keepdims=True)                # first tie
+            loc_s = jnp.where(out_col == j, best, loc_s)
+            loc_i = jnp.where(out_col == j, row0 + sel_col, loc_i)
+            s = jnp.where(col == sel_col, NEG, s)
+
+        # stage 2: narrow merge [running K_PAD | tile-local K_PAD]
+        cand_s[:, :K_PAD] = run_s[:]
+        cand_i[:, :K_PAD] = run_i[:]
+        cand_s[:, K_PAD:] = loc_s
+        cand_i[:, K_PAD:] = loc_i
+        cs = cand_s[:]
+        ci = cand_i[:]
+        mcol = jax.lax.broadcasted_iota(jnp.int32, (qn, 2 * K_PAD), 1)
         new_s = jnp.full((qn, K_PAD), NEG, jnp.float32)
         new_i = jnp.zeros((qn, K_PAD), jnp.int32)
         for j in range(k):
-            best = jnp.max(s, axis=1, keepdims=True)        # (Q, 1)
-            is_best = s == best
-            sel_col = jnp.min(jnp.where(is_best, col, big), axis=1,
-                              keepdims=True)                # first tie
-            onehot = col == sel_col
-            idx = jnp.sum(jnp.where(onehot, ids, 0), axis=1,
+            best = jnp.max(cs, axis=1, keepdims=True)
+            sel = jnp.min(jnp.where(cs == best, mcol, big), axis=1,
+                          keepdims=True)
+            onehot = mcol == sel
+            idx = jnp.sum(jnp.where(onehot, ci, 0), axis=1,
                           keepdims=True)                    # (Q, 1)
             new_s = jnp.where(out_col == j, best, new_s)
             new_i = jnp.where(out_col == j, idx, new_i)
-            s = jnp.where(onehot, NEG, s)
+            cs = jnp.where(onehot, NEG, cs)
         run_s[:] = new_s
         run_i[:] = new_i
 
@@ -161,8 +181,8 @@ def _pallas_topk_padded(store, queries, valid, k: int, tile_n: int,
         scratch_shapes=[
             pltpu.VMEM((qn, K_PAD), jnp.float32),
             pltpu.VMEM((qn, K_PAD), jnp.int32),
-            pltpu.VMEM((qn, tile_n + K_PAD), jnp.float32),
-            pltpu.VMEM((qn, tile_n + K_PAD), jnp.int32),
+            pltpu.VMEM((qn, 2 * K_PAD), jnp.float32),
+            pltpu.VMEM((qn, 2 * K_PAD), jnp.int32),
         ],
         interpret=interpret,
     )(queries.astype(store.dtype),
@@ -238,8 +258,8 @@ def _pallas_topk_int8_padded(store_q, store_scale, qi, valid,
         scratch_shapes=[
             pltpu.VMEM((qn, K_PAD), jnp.float32),
             pltpu.VMEM((qn, K_PAD), jnp.int32),
-            pltpu.VMEM((qn, tile_n + K_PAD), jnp.float32),
-            pltpu.VMEM((qn, tile_n + K_PAD), jnp.int32),
+            pltpu.VMEM((qn, 2 * K_PAD), jnp.float32),
+            pltpu.VMEM((qn, 2 * K_PAD), jnp.int32),
         ],
         interpret=interpret,
     )(qi,
