@@ -114,16 +114,17 @@ def run(config_name: str = "minilm-1m") -> int:
     from sema_tpu.ops.hier_topk import batched_topk_scores_hier
 
     # mirror the production auto dispatch (vector_store._scan_fn): the
-    # threshold-screened Pallas scan for large query batches, the XLA
-    # hierarchical scan for small ones (honest-fetch measurements in
-    # docs/PERF.md; the two are within ~2% at batch 256)
+    # threshold-screened in-place-merge Pallas scan at every batch size
+    # (honest-fetch measurements in docs/PERF.md: 7.9 ms/batch-256 and
+    # 5.3 vs hier 14.7 ms single-query at 1M×384)
     scan_hier = jax.jit(partial(batched_topk_scores_hier, k=k, group=128))
     if jax.default_backend() == "tpu" and rows % 2048 == 0:
         from sema_tpu.ops.pallas_topk import pallas_topk_scores
         scan_batch = jax.jit(partial(pallas_topk_scores, k=k, tile_n=2048))
-        scan_name = "pallas(batch)+hier(single)"
+        scan_single = scan_batch
+        scan_name = "pallas"
     else:
-        scan_batch = scan_hier
+        scan_batch = scan_single = scan_hier
         scan_name = "hier"
     scan = scan_batch
     print(f"# scan backend: {scan_name}", file=sys.stderr, flush=True)
@@ -169,18 +170,22 @@ def run(config_name: str = "minilm-1m") -> int:
     print("# stage: single-query p50", file=sys.stderr, flush=True)
     singles = jnp.asarray(qsets[:, :1, :])
     p50_single_dev = _measure_device(
-        lambda q1: scan_hier(store, q1, valid), singles, n_calls=32)
+        lambda q1: scan_single(store, q1, valid), singles, n_calls=32)
     p50_ms = p50_single_dev * 1e3
-    p50_e2e, _ = _measure(scan_hier, store, queries[:1], valid, iters=5)
+    p50_e2e, _ = _measure(scan_single, store, queries[:1], valid, iters=5)
 
     # --- encoder throughput (chunks/sec/chip), MiniLM bf16 batch 256
     from sema_tpu.models import get_spec
     from sema_tpu.models.bert import embed as embed_fn
     from sema_tpu.models.loader import random_params
 
-    def encoder_rate(model: str, ebatch: int, seq: int, n_calls: int = 16):
+    def encoder_rate(model: str, ebatch: int, seq: int, n_calls: int = 16,
+                     quant: str = "none"):
         spec = get_spec(model)
         params = random_params(spec, seed=0)
+        if quant == "int8":
+            from sema_tpu.models.bert import quantize_params_int8
+            params = quantize_params_int8(params)
         rng = np.random.default_rng(0)
         ids = jnp.asarray(rng.integers(0, spec.vocab_size, (ebatch, seq)),
                           dtype=jnp.int32)
@@ -220,6 +225,12 @@ def run(config_name: str = "minilm-1m") -> int:
         print("# stage: encoder e5-base 768d", file=sys.stderr, flush=True)
         ladder["embed_e5_base_768d_chunks_per_sec"] = round(
             encoder_rate("e5-base", 128, 256), 1)
+        print("# stage: encoder gte-large int8", file=sys.stderr,
+              flush=True)
+        # BASELINE config 4's encoder: 1024-wide gte-large, where W8A8
+        # wins (+21% measured vs bf16, cosine 0.99987 — docs/PERF.md)
+        ladder["embed_gte_large_int8_chunks_per_sec"] = round(
+            encoder_rate("gte-large", 64, 256, n_calls=8, quant="int8"), 1)
 
         print("# stage: int8 scan 1024d", file=sys.stderr, flush=True)
         from sema_tpu.ops.quant import int8_topk_scores

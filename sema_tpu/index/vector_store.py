@@ -657,10 +657,11 @@ class VectorStore:
             def hier_fn(store, queries, valid, k):
                 return int8_topk_scores(store[0], store[1], queries,
                                         valid, k)
-            # int8 scans run at k=rescore_k (≥100): the kernel's k-round
-            # merge loses to the XLA path there (13.8 vs 10.7 ms/64q at
-            # 524k×1024, honest fetch) — pallas only on explicit request
-            if pallas_ok and backend == "pallas":
+            # int8 scans run at k=rescore_k (≥100): the old full-width
+            # merge lost to the XLA path there, but the in-place
+            # two-stage merge wins (24.7 vs 35.1 ms/64q at 524k×1024
+            # k=100, same-process honest fetch, id sets equal)
+            if pallas_ok:
                 from sema_tpu.ops.pallas_topk import pallas_topk_int8
 
                 def pallas_fn(store, queries, valid, k):
