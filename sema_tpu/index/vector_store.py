@@ -74,6 +74,22 @@ MANIFEST_VERSION = 1
 _COMPACT_DEAD_FRACTION = 0.25
 
 
+@jax.jit
+def _device_append2(arr: jax.Array, vals: jax.Array,
+                    row0: jax.Array) -> jax.Array:
+    """Write ``vals`` into ``arr`` at row ``row0`` on device (arena-tail
+    append). The offset is traced: one executable per shape pair covers
+    every append position. No donation — the input buffer stays alive for
+    in-flight searches holding the previous bucket snapshot."""
+    return jax.lax.dynamic_update_slice(arr, vals, (row0, jnp.int32(0)))
+
+
+@jax.jit
+def _device_append1(arr: jax.Array, vals: jax.Array,
+                    row0: jax.Array) -> jax.Array:
+    return jax.lax.dynamic_update_slice(arr, vals, (row0,))
+
+
 def _atomic_write_json(path: Path, obj) -> None:
     tmp = path.with_suffix(".tmp")
     tmp.write_text(json.dumps(obj))
@@ -404,9 +420,13 @@ class VectorStore:
     #
     # The device copy of the store is a list of BUCKETS (an LSM-style
     # structure). A bucket covers a contiguous run of segments. Streaming
-    # appends upload ONLY the new segment as its own small bucket — O(batch)
-    # device traffic per append, so a streaming re-index never stalls
-    # serving behind a whole-tail re-upload. When more than
+    # appends first try to land IN PLACE in the unsealed tail bucket's
+    # spare padded capacity (a device-side dynamic_update_slice at a
+    # traced offset — O(batch) upload, no new bucket, so every query pays
+    # ONE scan dispatch for the whole tail; unsealed single-device
+    # buckets are allocated with 2× headroom and the pow2 ladder doubles
+    # capacity per overflow, amortizing host re-uploads to O(log rows)).
+    # Overflowing appends become their own small bucket; when more than
     # ``MAX_TAIL_BUCKETS`` unsealed buckets accumulate, the tail
     # consolidates into one bucket (one amortized upload); a bucket whose
     # row count crosses ``SEAL_ROWS`` is SEALED and never consolidated
@@ -478,11 +498,12 @@ class VectorStore:
             off += seg.rows
         return valid
 
-    def _build_bucket(self, seg_range, row_offset: int, sealed: bool) -> dict:
+    def _build_bucket(self, seg_range, row_offset: int, sealed: bool,
+                      min_capacity_rows: int = 0) -> dict:
         from jax.sharding import PartitionSpec as P
 
         rows = sum(s.rows for s in self.segments[seg_range[0]:seg_range[1]])
-        n_pad = self._pad_rows(rows)
+        n_pad = self._pad_rows(max(rows, min_capacity_rows))
         host = np.zeros((n_pad, self.dim), dtype=self.np_dtype)
         off = 0
         for seg in self.segments[seg_range[0]:seg_range[1]]:
@@ -508,6 +529,44 @@ class VectorStore:
             "sealed": sealed,
         }
 
+    def _extend_bucket_on_device(self, bucket: dict, seg_start: int,
+                                 seg_end: int, rows_add: int) -> dict:
+        """Append segments [seg_start, seg_end) into ``bucket``'s spare
+        padded capacity via a device-side dynamic_update_slice (the write
+        offset is a traced scalar, so one compiled update per
+        (capacity, append-rows) shape pair serves every position).
+
+        Returns a NEW bucket dict; the input bucket and its arrays are
+        left untouched so in-flight searches holding the old snapshot
+        keep valid device buffers."""
+        vals = np.zeros((rows_add, self.dim), dtype=self.np_dtype)
+        valid = np.zeros((rows_add,), dtype=bool)
+        off = 0
+        for seg in self.segments[seg_start:seg_end]:
+            vals[off:off + seg.rows] = seg.vectors
+            v = np.ones((seg.rows,), dtype=bool)
+            if seg.deleted:
+                v[sorted(seg.deleted)] = False
+            valid[off:off + seg.rows] = v
+            off += seg.rows
+        row0 = jnp.int32(bucket["rows"])
+        if self.store_dtype == "int8":
+            from sema_tpu.ops.quant import quantize_rows
+            qvals, scales = quantize_rows(vals.astype(np.float32))
+            qd, sd = bucket["store"]
+            store = (_device_append2(qd, jnp.asarray(qvals), row0),
+                     _device_append1(sd, jnp.asarray(scales), row0))
+        else:
+            store = _device_append2(bucket["store"], jnp.asarray(vals),
+                                    row0)
+        new_valid = _device_append1(bucket["valid"], jnp.asarray(valid),
+                                    row0)
+        rows = bucket["rows"] + rows_add
+        return {**bucket, "store": store, "valid": new_valid,
+                "rows": rows,
+                "seg_range": (bucket["seg_range"][0], seg_end),
+                "sealed": rows >= self.SEAL_ROWS}
+
     def _build_device(self) -> None:
         """Extend/refresh the bucket list.
 
@@ -524,15 +583,52 @@ class VectorStore:
                       if buckets else 0)
         n_segs = len(self.segments)
         seg_start = covered
+        # arena extension: when the last bucket is unsealed and has spare
+        # padded capacity, append the new segments into it ON DEVICE
+        # (dynamic_update_slice at a traced offset — no host re-upload of
+        # existing rows, no new bucket). The tail therefore stays ONE
+        # bucket across streamed appends, so every query pays one scan
+        # dispatch for the whole tail instead of one per append (a
+        # dispatch is ~27 ms on tunneled hosts — this dominated serving
+        # p50 under streaming re-index). The pow2 padding ladder
+        # (_pad_rows) doubles capacity on each overflow rebuild, so
+        # host re-uploads amortize to O(log rows). Single-device only:
+        # with a mesh, row offsets need not align to shard boundaries.
+        if (buckets and not buckets[-1]["sealed"] and self.mesh is None
+                and seg_start < n_segs):
+            last = buckets[-1]
+            free = last["n_pad"] - last["rows"]
+            rows_add = 0
+            take_end = seg_start
+            while (take_end < n_segs
+                   and rows_add + self.segments[take_end].rows <= free
+                   and last["rows"] + rows_add < self.SEAL_ROWS):
+                rows_add += self.segments[take_end].rows
+                take_end += 1
+            if take_end > seg_start:
+                extended = self._extend_bucket_on_device(
+                    last, seg_start, take_end, rows_add)
+                buckets[-1] = extended          # fresh dict: in-flight
+                reused.discard(id(last))        # searches keep the old one
+                reused.add(id(extended))
+                seg_start = take_end
+                row_offset += rows_add
         while seg_start < n_segs:
             rows = 0
             seg_end = seg_start
             while seg_end < n_segs and rows < self.SEAL_ROWS:
                 rows += self.segments[seg_end].rows
                 seg_end += 1
+            sealed = rows >= self.SEAL_ROWS
+            # unsealed single-device tail buckets get 2× headroom so the
+            # next streamed appends land in-place (arena extension above);
+            # with the pow2 ladder this doubles capacity per overflow
+            # rebuild → host re-uploads amortize to O(log rows)
+            headroom = (2 * rows if not sealed and self.mesh is None
+                        else 0)
             buckets.append(self._build_bucket(
-                (seg_start, seg_end), row_offset,
-                sealed=rows >= self.SEAL_ROWS))
+                (seg_start, seg_end), row_offset, sealed=sealed,
+                min_capacity_rows=headroom))
             row_offset += rows
             seg_start = seg_end
         # consolidate a fragmented unsealed tail (unsealed buckets are a
@@ -543,9 +639,12 @@ class VectorStore:
         if len(buckets) - tail_from > self.MAX_TAIL_BUCKETS:
             first = buckets[tail_from]
             rows = sum(b["rows"] for b in buckets[tail_from:])
+            sealed = rows >= self.SEAL_ROWS
             merged = self._build_bucket(
                 (first["seg_range"][0], buckets[-1]["seg_range"][1]),
-                first["row_offset"], sealed=rows >= self.SEAL_ROWS)
+                first["row_offset"], sealed=sealed,
+                min_capacity_rows=(2 * rows if not sealed
+                                   and self.mesh is None else 0))
             buckets = buckets[:tail_from] + [merged]
         if self._valid_dirty:
             # tombstones changed: re-upload only the boolean masks of the

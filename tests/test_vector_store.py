@@ -418,23 +418,61 @@ class TestStreamingBuckets:
     mini-bucket (earlier buckets' device arrays are untouched), and a tail
     fragmented past MAX_TAIL_BUCKETS consolidates into one bucket."""
 
-    def test_append_adds_own_bucket_without_reupload(self, tmp_path):
+    def test_append_extends_arena_in_place(self, tmp_path):
+        """Streamed appends land in the unsealed tail bucket's spare
+        padded capacity via a device-side write (arena extension): the
+        tail stays ONE bucket — one scan dispatch per query — until its
+        capacity overflows, which allocates a doubled arena."""
         store = make_store(tmp_path)
         cs, vecs = chunks_and_vecs(64, path="base.txt", seed=0)
         store.add_chunks(cs, vecs)
-        ids0 = [id(b["store"]) for b in store.device_buckets()]
+        [b0] = store.device_buckets()
+        assert b0["n_pad"] >= 2 * 64      # headroom for in-place appends
+        cap = b0["n_pad"]
         appended = []
         for g in range(3):
             cs2, v2 = chunks_and_vecs(32, path=f"s{g}.txt", seed=10 + g)
             store.add_chunks(cs2, v2)
             appended.append(v2)
             buckets = store.device_buckets()
-            # one new bucket per append; all prior device arrays reused
-            assert len(buckets) == 2 + g
-            assert [id(b["store"]) for b in buckets[:1 + g]] == ids0
-            ids0 = [id(b["store"]) for b in buckets]
-        # results correct across buckets
+            rows_total = 64 + 32 * (g + 1)
+            if rows_total <= cap:
+                # in-place: still one bucket, same capacity, more rows
+                assert len(buckets) == 1
+                assert buckets[0]["n_pad"] == cap
+                assert buckets[0]["rows"] == rows_total
+            else:
+                # overflow: a fresh arena bucket for the new rows
+                assert len(buckets) == 2
+        # results correct across in-place and overflow appends
         assert store.search(appended[1][7], k=1)[0][0].id == "s1.txt:7"
+        assert store.search(appended[2][9], k=1)[0][0].id == "s2.txt:9"
+        assert store.search(vecs[3], k=1)[0][0].id == "base.txt:3"
+
+    def test_arena_append_int8(self, tmp_path):
+        """Arena extension updates both the quantized values and the
+        per-row scales in int8 mode."""
+        store = make_store(tmp_path, store_dtype="int8")
+        cs, vecs = chunks_and_vecs(64, path="base.txt", seed=0)
+        store.add_chunks(cs, vecs)
+        cs2, v2 = chunks_and_vecs(32, path="new.txt", seed=9)
+        store.add_chunks(cs2, v2)
+        assert len(store.device_buckets()) == 1
+        assert store.search(v2[5], k=1)[0][0].id == "new.txt:5"
+        assert store.search(vecs[3], k=1)[0][0].id == "base.txt:3"
+
+    def test_arena_tombstones_after_extension(self, tmp_path):
+        """Tombstoning rows that live in the extended part of an arena
+        refreshes the (device-updated) validity mask correctly."""
+        store = make_store(tmp_path)
+        cs, vecs = chunks_and_vecs(64, path="base.txt", seed=0)
+        store.add_chunks(cs, vecs)
+        cs2, v2 = chunks_and_vecs(32, path="new.txt", seed=9)
+        store.add_chunks(cs2, v2)
+        assert len(store.device_buckets()) == 1
+        assert store.remove_file_chunks(Path("new.txt")) == 32
+        got = store.search(v2[5], k=1)
+        assert not got or got[0][0].id != "new.txt:5"
         assert store.search(vecs[3], k=1)[0][0].id == "base.txt:3"
 
     def test_tail_consolidation(self, tmp_path, monkeypatch):
