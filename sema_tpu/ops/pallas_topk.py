@@ -12,13 +12,14 @@ the in-VMEM merge.
 
 Mosaic-friendly layout rules observed here (pallas_guide.md):
 - every buffer is 128-lane aligned: the running/output top-k state is
-  padded to K_PAD=128 columns (only the first k are live), the merge
-  scratch is (Q, 2*K_PAD), and the validity mask enters as a
+  padded to K_PAD=128 columns (only the first k are live), the survivor
+  scratch is (Q, TILE_N), and the validity mask enters as a
   (1, N) row vector blocked to (1, TILE_N);
-- no ``concatenate``/``pad`` inside the kernel — the narrow merge stage
-  composes candidates by slice-assignment into a (Q, 2*K_PAD) scratch;
-- selection is K rounds of (max, min-index-of-tie, mask) — VPU reductions
-  only, no sort/argmax/cumsum primitives (not lowerable on TPU).
+- no ``concatenate``/``pad`` inside the kernel — the insertion shift
+  goes through slice-assigned (Q, K_PAD) scratch;
+- selection is survivor-bounded rounds of (max, min-index-of-tie,
+  insert, mask) — VPU reductions only, no sort/argmax/cumsum primitives
+  (not lowerable on TPU); the round count is a traced fori_loop bound.
 """
 
 from __future__ import annotations
@@ -35,21 +36,34 @@ K_PAD = 128    # lane-aligned width of the running top-k state
 
 
 def _merge_and_emit(scores, i, out_s_ref, out_i_ref,
-                    run_s, run_i, cand_s, cand_i, *, k: int, tile_n: int):
+                    run_s, run_i, wide, tmp_s, tmp_i, *, k: int,
+                    tile_n: int):
     """Shared tail of both scan kernels: init running state, threshold
-    screen, in-place merge of this tile's (already masked) scores, and the
-    final-tile emit. ``scores`` is (Q, TILE_N) f32 with NEG in dead slots.
+    screen, survivor-bounded insertion merge, and the final-tile emit.
+    ``scores`` is (Q, TILE_N) f32 with NEG in dead slots.
 
-    The merge is two-stage and touches no wide scratch (measured 1.55×
-    over the earlier compose-into-(Q, TILE_N+K_PAD)-scratch design, whose
-    wide copies dominated the kernel at batch 256 — docs/PERF.md):
+    Merge design (third iteration; A/B history in docs/PERF.md):
 
-    1. tile-local top-k straight off the ``scores`` value: k rounds of
-       (max, first-tie column, mask) where the GLOBAL row id is simply
-       ``row0 + sel_col`` — no id array is ever materialized at tile
-       width;
-    2. a narrow (Q, 2·K_PAD) merge of [running | tile-local] in scratch —
-       k more rounds at 1/8 the width of the old full-width rounds.
+    - Only scores ABOVE a query's current k-th best (the threshold) can
+      change the result. A merging tile masks everything else and counts
+      survivors; in the steady state of a scan that is 1-3 per tile.
+    - The selection loop is a ``fori_loop`` with a TRACED trip count
+      ``min(max survivors, k)`` — rounds collapse to the actual work
+      instead of k static rounds, which is what makes large k (the
+      TUI's 64 class, int8's 128) cheap: the static-unrolled version
+      took k full-width rounds per merging tile and failed to compile
+      outright at k=64.
+    - Each round extracts the global max per row and INSERTS it into the
+      rank-descending running state at position ``count(run >= best)``
+      (after equals — matches the stable, first-occurrence-wins tie
+      order of lax.top_k and the hier oracle), shifting the tail right
+      through a slice-assigned scratch. A row with no survivor left
+      yields best = NEG, whose insert position is K_PAD — a natural
+      no-op, so per-row survivor counts may differ freely.
+
+    Measured (same process, 1M×384 bf16, Q=256, honest fetch): 4.1 ms at
+    k=10 (62k QPS) vs 10.6 ms for the two-stage static merge; 4.8 ms at
+    k=64 where the static merge did not compile.
     """
     n_tiles = pl.num_programs(0)
     qn = scores.shape[0]
@@ -66,48 +80,38 @@ def _merge_and_emit(scores, i, out_s_ref, out_i_ref,
     # score above any query's threshold cannot change the result — skip
     # its merge entirely (one cheap pass instead of k).
     thr = run_s[:, k - 1:k]                         # (Q, 1)
+    surv = scores > thr
     tile_best = jnp.max(scores - thr)               # scalar
 
     @pl.when(tile_best > 0)
     def _():
-        s = scores
+        cnt_max = jnp.max(jnp.sum(surv.astype(jnp.int32), axis=1))
+        wide[:] = jnp.where(surv, scores, NEG)
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         out_col = jax.lax.broadcasted_iota(jnp.int32, (qn, K_PAD), 1)
         big = jnp.int32(2**30)
 
-        # stage 1: tile-local top-k (values + global ids via sel_col)
-        loc_s = jnp.full((qn, K_PAD), NEG, jnp.float32)
-        loc_i = jnp.zeros((qn, K_PAD), jnp.int32)
-        for j in range(k):
+        def body(j, carry):
+            s = wide[:]
             best = jnp.max(s, axis=1, keepdims=True)        # (Q, 1)
             sel_col = jnp.min(jnp.where(s == best, col, big), axis=1,
                               keepdims=True)                # first tie
-            loc_s = jnp.where(out_col == j, best, loc_s)
-            loc_i = jnp.where(out_col == j, row0 + sel_col, loc_i)
-            s = jnp.where(col == sel_col, NEG, s)
+            wide[:] = jnp.where(col == sel_col, NEG, s)
+            rs = run_s[:]
+            ri = run_i[:]
+            pos = jnp.sum((rs >= best).astype(jnp.int32), axis=1,
+                          keepdims=True)                    # after equals
+            tmp_s[:, 1:] = rs[:, :K_PAD - 1]                # tail shift
+            tmp_i[:, 1:] = ri[:, :K_PAD - 1]
+            run_s[:] = jnp.where(out_col < pos, rs,
+                                 jnp.where(out_col == pos, best,
+                                           tmp_s[:]))
+            run_i[:] = jnp.where(out_col < pos, ri,
+                                 jnp.where(out_col == pos,
+                                           row0 + sel_col, tmp_i[:]))
+            return carry
 
-        # stage 2: narrow merge [running K_PAD | tile-local K_PAD]
-        cand_s[:, :K_PAD] = run_s[:]
-        cand_i[:, :K_PAD] = run_i[:]
-        cand_s[:, K_PAD:] = loc_s
-        cand_i[:, K_PAD:] = loc_i
-        cs = cand_s[:]
-        ci = cand_i[:]
-        mcol = jax.lax.broadcasted_iota(jnp.int32, (qn, 2 * K_PAD), 1)
-        new_s = jnp.full((qn, K_PAD), NEG, jnp.float32)
-        new_i = jnp.zeros((qn, K_PAD), jnp.int32)
-        for j in range(k):
-            best = jnp.max(cs, axis=1, keepdims=True)
-            sel = jnp.min(jnp.where(cs == best, mcol, big), axis=1,
-                          keepdims=True)
-            onehot = mcol == sel
-            idx = jnp.sum(jnp.where(onehot, ci, 0), axis=1,
-                          keepdims=True)                    # (Q, 1)
-            new_s = jnp.where(out_col == j, best, new_s)
-            new_i = jnp.where(out_col == j, idx, new_i)
-            cs = jnp.where(onehot, NEG, cs)
-        run_s[:] = new_s
-        run_i[:] = new_i
+        jax.lax.fori_loop(0, jnp.minimum(cnt_max, k), body, 0)
 
     @pl.when(i == n_tiles - 1)
     def _():
@@ -116,7 +120,7 @@ def _merge_and_emit(scores, i, out_s_ref, out_i_ref,
 
 
 def _scan_kernel(q_ref, store_ref, valid_ref, out_s_ref, out_i_ref,
-                 run_s, run_i, cand_s, cand_i, *, k: int, tile_n: int):
+                 run_s, run_i, wide, tmp_s, tmp_i, *, k: int, tile_n: int):
     i = pl.program_id(0)
     q = q_ref[:]                                    # (Q, d)
     tile = store_ref[:]                             # (TILE_N, d)
@@ -126,12 +130,13 @@ def _scan_kernel(q_ref, store_ref, valid_ref, out_s_ref, out_i_ref,
     vmask = valid_ref[:]                            # (1, TILE_N) 0/1 f32
     scores = jnp.where(vmask > 0, scores, NEG)
     _merge_and_emit(scores, i, out_s_ref, out_i_ref,
-                    run_s, run_i, cand_s, cand_i, k=k, tile_n=tile_n)
+                    run_s, run_i, wide, tmp_s, tmp_i, k=k, tile_n=tile_n)
 
 
 def _scan_kernel_int8(q_ref, store_ref, scale_ref, valid_ref,
                       out_s_ref, out_i_ref,
-                      run_s, run_i, cand_s, cand_i, *, k: int, tile_n: int):
+                      run_s, run_i, wide, tmp_s, tmp_i, *, k: int,
+                      tile_n: int):
     """int8 variant: int8×int8 MXU matmul with i32 accumulation, then
     per-row f32 rescale (the per-QUERY scale is order-preserving and is
     applied outside the kernel)."""
@@ -146,7 +151,7 @@ def _scan_kernel_int8(q_ref, store_ref, scale_ref, valid_ref,
     vmask = valid_ref[:]                            # (1, TILE_N) 0/1 f32
     scores = jnp.where(vmask > 0, scores, NEG)
     _merge_and_emit(scores, i, out_s_ref, out_i_ref,
-                    run_s, run_i, cand_s, cand_i, k=k, tile_n=tile_n)
+                    run_s, run_i, wide, tmp_s, tmp_i, k=k, tile_n=tile_n)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
@@ -181,8 +186,9 @@ def _pallas_topk_padded(store, queries, valid, k: int, tile_n: int,
         scratch_shapes=[
             pltpu.VMEM((qn, K_PAD), jnp.float32),
             pltpu.VMEM((qn, K_PAD), jnp.int32),
-            pltpu.VMEM((qn, 2 * K_PAD), jnp.float32),
-            pltpu.VMEM((qn, 2 * K_PAD), jnp.int32),
+            pltpu.VMEM((qn, tile_n), jnp.float32),
+            pltpu.VMEM((qn, K_PAD), jnp.float32),
+            pltpu.VMEM((qn, K_PAD), jnp.int32),
         ],
         interpret=interpret,
     )(queries.astype(store.dtype),
@@ -191,9 +197,15 @@ def _pallas_topk_padded(store, queries, valid, k: int, tile_n: int,
     return out_s, out_i
 
 
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
 def pallas_topk(store: jax.Array, queries: jax.Array, valid: jax.Array,
                 k: int, tile_n: int = 2048, interpret: bool = False):
     """Exact top-k of ``queries @ store.T`` with validity masking.
+
+    Jitted as a whole (kernel + sentinel normalization + slicing): the
+    post-processing ops must not become separate dispatches — on
+    tunneled hosts each dispatch costs ~27 ms of pump time and unjitted
+    callers measured ~2× slower end-to-end.
 
     store:   (N, d) bf16/f32, N % tile_n == 0, d a lane multiple
     queries: (Q, d) — cast to the store dtype for the MXU
@@ -258,8 +270,9 @@ def _pallas_topk_int8_padded(store_q, store_scale, qi, valid,
         scratch_shapes=[
             pltpu.VMEM((qn, K_PAD), jnp.float32),
             pltpu.VMEM((qn, K_PAD), jnp.int32),
-            pltpu.VMEM((qn, 2 * K_PAD), jnp.float32),
-            pltpu.VMEM((qn, 2 * K_PAD), jnp.int32),
+            pltpu.VMEM((qn, tile_n), jnp.float32),
+            pltpu.VMEM((qn, K_PAD), jnp.float32),
+            pltpu.VMEM((qn, K_PAD), jnp.int32),
         ],
         interpret=interpret,
     )(qi,
@@ -269,10 +282,12 @@ def _pallas_topk_int8_padded(store_q, store_scale, qi, valid,
     return out_s, out_i
 
 
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
 def pallas_topk_int8(store_q: jax.Array, store_scale: jax.Array,
                      queries: jax.Array, valid: jax.Array, k: int,
                      tile_n: int = 2048, interpret: bool = False):
     """Fused int8 scan: same contract as ops.quant.int8_topk_scores.
+    Jitted as a whole — see pallas_topk.
 
     store_q:     (N, d) int8 (symmetric per-row quantization)
     store_scale: (N,) f32 per-row scales

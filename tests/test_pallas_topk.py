@@ -148,3 +148,53 @@ class TestInt8Kernel:
         for i in range(2):
             true10 = set(np.argsort(-exact[:, i])[:10].tolist())
             assert true10 <= set(np.asarray(pi)[i].tolist())
+
+
+def test_tie_ordering_matches_oracle():
+    """Duplicate rows across tile boundaries produce exactly tied scores;
+    the insertion merge must keep the stable (score desc, row asc) order
+    of lax.top_k / the hier oracle."""
+    import jax.numpy as jnp
+    from sema_tpu.ops.hier_topk import batched_topk_scores_hier
+
+    rng = np.random.default_rng(7)
+    n, d, k = 512, 128, 8
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    # plant the same vector at rows spanning several 128-row tiles
+    dup_rows = [3, 130, 257, 384, 500]
+    v = rng.standard_normal(d).astype(np.float32)
+    for r in dup_rows:
+        base[r] = v
+    store = jnp.asarray(base, dtype=jnp.float32)
+    q = jnp.asarray((v / np.linalg.norm(v))[None, :], dtype=jnp.float32)
+    valid = jnp.ones((n,), dtype=bool)
+
+    s_p, i_p = pallas_topk(store, q, valid, k, tile_n=128, interpret=True)
+    s_h, i_h = batched_topk_scores_hier(store, q, valid, k=k, group=128)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_h),
+                               rtol=1e-6)
+    # the five tied duplicates must appear in ascending row order
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_h))
+    assert list(np.asarray(i_p)[0][:5]) == dup_rows
+
+
+def test_large_k_class():
+    """k=64 (the TUI's k-class) and k=100 (int8 rescore depth) compile
+    and agree with the oracle — the static-unrolled merge could not
+    compile at these k on device."""
+    import jax.numpy as jnp
+    from sema_tpu.ops.hier_topk import batched_topk_scores_hier
+
+    rng = np.random.default_rng(11)
+    n, d = 1024, 64
+    store = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
+    q = jnp.asarray(rng.standard_normal((3, d)), dtype=jnp.float32)
+    valid = jnp.ones((n,), dtype=bool)
+    for k in (64, 100):
+        s_p, i_p = pallas_topk(store, q, valid, k, tile_n=128,
+                               interpret=True)
+        s_h, i_h = batched_topk_scores_hier(store, q, valid, k=k,
+                                            group=128)
+        np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_h),
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_h))
