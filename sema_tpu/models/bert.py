@@ -144,9 +144,6 @@ def _attention(x: jax.Array, layer: Params, mask_bias: jax.Array,
     # f32 epilogues for the torch-parity suite.
     acc = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
 
-    qkv = _linear(x, layer, "qkv_w", acc)
-    qkv = (qkv + layer["qkv_b"].astype(acc)).astype(x.dtype)
-
     # the fused kernel pays off where the (b, n, s, s) score tensor and
     # head transposes dominate HBM traffic; at short bucket lengths the
     # scores shrink quadratically and XLA's fused einsums win (measured
@@ -154,16 +151,28 @@ def _attention(x: jax.Array, layer: Params, mask_bias: jax.Array,
     # therefore runs xla for short buckets, the kernel for long ones.
     if attn_impl == "fused" and s < 192:
         attn_impl = "xla"
-    if attn_impl == "fused":
-        # the kernel consumes qkv in its natural (b, s, 3h) layout and
-        # returns ctx in (b, s, h) — neither the head transposes nor the
-        # (b, n, s, s) scores ever materialize in HBM
+    if attn_impl == "fused" and "qkv_w" in layer:
+        # full fusion: the qkv projection runs inside the kernel too, so
+        # the (b, s, 3h) activation — the model's largest intermediate —
+        # never exists in HBM, on top of the score/transpose savings
+        from sema_tpu.ops.fused_attention import fused_attention_block
+        ctx = fused_attention_block(
+            x, layer["qkv_w"], layer["qkv_b"], mask_bias,
+            num_heads=num_heads, scale=1.0 / math.sqrt(hd),
+            interpret=jax.default_backend() != "tpu")
+    elif attn_impl == "fused":
+        # int8-quantized qkv: project outside (W8A8 matmul), then the
+        # projection-free kernel consumes qkv in its natural layout
+        qkv = _linear(x, layer, "qkv_w", acc)
+        qkv = (qkv + layer["qkv_b"].astype(acc)).astype(x.dtype)
         from sema_tpu.ops.fused_attention import fused_attention_qkv
         ctx = fused_attention_qkv(
             qkv, mask_bias, num_heads=num_heads,
             scale=1.0 / math.sqrt(hd),
             interpret=jax.default_backend() != "tpu")
     else:
+        qkv = _linear(x, layer, "qkv_w", acc)
+        qkv = (qkv + layer["qkv_b"].astype(acc)).astype(x.dtype)
         def heads(y):
             return y.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
 

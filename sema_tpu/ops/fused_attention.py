@@ -136,3 +136,99 @@ def fused_attention_qkv(qkv: jax.Array, mask_bias: jax.Array, *,
         out_shape=jax.ShapeDtypeStruct((b, s, h), qkv.dtype),
         interpret=interpret,
     )(qkv, mask_bias.astype(jnp.float32)[:, None, :])
+
+
+def _attn_block_kernel(x_ref, w_ref, b_ref, bias_ref, out_ref, *,
+                       scale: float, tb: int, num_heads: int):
+    """qkv projection + attention for a block of TB batch rows.
+
+    The projection runs in-kernel as one (TB·S, H) @ (H, 3H) MXU matmul
+    (the leading-dim merge is a free row-major reshape), so the (B, S,
+    3H) qkv activation never exists in HBM — on top of the score/
+    transpose savings of _attn_kernel this removes one full write+read
+    of the model's largest intermediate per layer. Epilogue semantics
+    match models/bert.py:_attention: f32 accumulation, bias in acc
+    dtype, rounded once to the compute dtype."""
+    h = x_ref.shape[-1]
+    s = x_ref.shape[1]
+    hd = h // num_heads
+    x = x_ref[:].reshape(tb * s, h)               # (TB*S, H)
+    acc = jnp.float32
+    qkv = jax.lax.dot_general(
+        x, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=acc)               # (TB*S, 3H) f32
+    qkv = (qkv + b_ref[0][None, :].astype(acc)).astype(x.dtype)
+    qkv = qkv.reshape(tb, s, 3 * h)
+    for t in range(tb):                           # static unroll
+        row = qkv[t]                              # (S, 3H)
+        bias = bias_ref[t, 0][None, :]            # (1, S) f32
+        ctx_heads = []
+        for j in range(num_heads):                # static unroll
+            q = row[:, j * hd:(j + 1) * hd]       # (S, hd)
+            k = row[:, h + j * hd:h + (j + 1) * hd]
+            v = row[:, 2 * h + j * hd:2 * h + (j + 1) * hd]
+            scores = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (S, S) f32
+            scores = scores * scale + bias
+            probs = jax.nn.softmax(scores.astype(q.dtype), axis=-1)
+            ctx_heads.append(jax.lax.dot_general(
+                probs, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))  # (S, hd) f32
+        out_ref[t] = jnp.concatenate(
+            ctx_heads, axis=-1).astype(out_ref.dtype)  # (S, H)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "scale", "block_b",
+                                    "interpret"))
+def fused_attention_block(x: jax.Array, qkv_w: jax.Array,
+                          qkv_b: jax.Array, mask_bias: jax.Array, *,
+                          num_heads: int, scale: float, block_b: int = 8,
+                          interpret: bool = False) -> jax.Array:
+    """qkv projection + softmax attention fused in one kernel.
+
+    x:        (B, S, H) compute dtype — the LayerNorm'd layer input
+    qkv_w:    (H, 3H) weights (any dtype; cast to x.dtype like the XLA
+              path), q|k|v concatenated with heads inside each third
+    qkv_b:    (3H,) bias
+    mask_bias:(B, S) f32 additive padding mask
+    returns:  (B, S, H) context in x.dtype
+
+    The weight block rides with an index_map pinned to (0, 0): every
+    grid program reads the same (H, 3H) tile (~0.9 MB bf16 at MiniLM
+    width — resident, trivially re-fetched).
+    """
+    b, s, h = x.shape
+    w = qkv_w.astype(x.dtype)
+    bias1 = qkv_b.reshape(1, -1).astype(x.dtype)
+
+    itemsize = jnp.dtype(x.dtype).itemsize
+    # in + out blocks double-buffered, plus the in-kernel (TB*S, 3H) qkv
+    # value; budget ~12 MB of scoped VMEM
+    per_row = s * (2 * 2 * h + 2 * 3 * h) * itemsize
+    tb_cap = max(1, (12 << 20) // per_row)
+    tb = next((d for d in range(min(block_b, b, tb_cap), 0, -1)
+               if b % d == 0), 1)
+    grid = (b // tb,)
+
+    kernel = functools.partial(_attn_block_kernel, scale=scale, tb=tb,
+                               num_heads=num_heads)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, s, h), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias1.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1, s), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, s, h), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, h), x.dtype),
+        interpret=interpret,
+    )(x, w, bias1, mask_bias.astype(jnp.float32)[:, None, :])

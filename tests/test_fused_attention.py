@@ -83,3 +83,50 @@ def test_resolve_attn_impl(monkeypatch):
     monkeypatch.setenv("SEMA_TPU_ATTN", "bogus")
     with pytest.raises(ValueError):
         bert.resolve_attn_impl("auto")
+
+
+def test_block_kernel_matches_two_step():
+    """fused_attention_block (projection in-kernel) must match the
+    project-then-attend path bit-for-bit in f32."""
+    from sema_tpu.ops.fused_attention import fused_attention_block
+
+    rng = np.random.default_rng(3)
+    b, n, s, hd = 4, 4, 32, 32
+    h = n * hd
+    x = jnp.asarray(rng.standard_normal((b, s, h)), dtype=jnp.float32)
+    w = jnp.asarray(rng.standard_normal((h, 3 * h)) * 0.05,
+                    dtype=jnp.float32)
+    bias_w = jnp.asarray(rng.standard_normal(3 * h) * 0.05,
+                         dtype=jnp.float32)
+    lengths = rng.integers(1, s + 1, size=b)
+    mask = (np.arange(s)[None, :] < lengths[:, None]).astype(np.float32)
+    mbias = jnp.asarray((1.0 - mask) * -1e9)
+    scale = 1.0 / math.sqrt(hd)
+
+    qkv = jnp.einsum("bsh,hm->bsm", x, w,
+                     preferred_element_type=jnp.float32) + bias_w
+    want = _ref_attention_qkv(qkv, mbias, n, scale)
+    got = fused_attention_block(x, w, bias_w, mbias, num_heads=n,
+                                scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_full_model_fused_uses_block_kernel(monkeypatch):
+    """The fused dispatch projects in-kernel for unquantized layers and
+    matches the XLA path at the model level."""
+    from sema_tpu.models import get_spec
+    from sema_tpu.models.loader import random_params
+
+    spec = get_spec("test-tiny")
+    params = random_params(spec, seed=0)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, spec.vocab_size, (2, 256)),
+                      dtype=jnp.int32)
+    mask = jnp.ones((2, 256), dtype=jnp.int32)
+    ex = np.asarray(bert.embed(params, ids, mask, spec=spec,
+                               attn_impl="xla"))
+    ef = np.asarray(bert.embed(params, ids, mask, spec=spec,
+                               attn_impl="fused"))
+    cos = np.sum(ex * ef, axis=1)
+    np.testing.assert_allclose(cos, 1.0, atol=1e-6)
