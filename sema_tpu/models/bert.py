@@ -215,21 +215,20 @@ def encoder_layer(x: jax.Array, layer: Params, mask_bias: jax.Array,
     b, s, h = x.shape
     if (attn_impl == "fused" and s >= 192 and "qkv_w" in layer
             and "attn_out_w" in layer):
-        # maximal fusion: qkv projection → attention → out projection →
-        # residual → LayerNorm in ONE kernel; neither the (b, s, 3h) qkv
-        # nor the (b, s, h) context nor the pre-LN sum ever touch HBM
-        from sema_tpu.ops.fused_attention import fused_attention_layer1
-        x = fused_attention_layer1(
-            x, layer["qkv_w"], layer["qkv_b"], layer["attn_out_w"],
-            layer["attn_out_b"], layer["attn_ln_scale"],
-            layer["attn_ln_bias"], mask_bias, num_heads=num_heads,
+        # maximal fusion: the ENTIRE layer — qkv projection → attention
+        # → out projection → residual → LN1 → FFN → residual → LN2 —
+        # runs as one kernel; only the layer's input and output touch
+        # HBM (the qkv activation, scores, context, post-LN1 hidden, and
+        # the 4H FFN intermediate all live and die in VMEM)
+        from sema_tpu.ops.fused_attention import fused_encoder_layer
+        return fused_encoder_layer(
+            x, layer, mask_bias, num_heads=num_heads,
             scale=1.0 / math.sqrt(h // num_heads), ln_eps=LN_EPS,
             interpret=jax.default_backend() != "tpu")
-    else:
-        attn = _attention(x, layer, mask_bias, num_heads,
-                          attn_impl=attn_impl)
-        x = layer_norm(x + attn, layer["attn_ln_scale"],
-                       layer["attn_ln_bias"])
+    attn = _attention(x, layer, mask_bias, num_heads,
+                      attn_impl=attn_impl)
+    x = layer_norm(x + attn, layer["attn_ln_scale"],
+                   layer["attn_ln_bias"])
     ffn = _ffn(x, layer)
     x = layer_norm(x + ffn, layer["ffn_ln_scale"], layer["ffn_ln_bias"])
     return x

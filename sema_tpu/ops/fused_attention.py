@@ -43,6 +43,9 @@ Layout notes (pallas_guide.md):
 from __future__ import annotations
 
 import functools
+import math
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -344,3 +347,154 @@ def fused_attention_layer1(x: jax.Array, qkv_w: jax.Array,
         interpret=interpret,
     )(x, w, b1, wo, bo1, g1, be1,
       mask_bias.astype(jnp.float32)[:, None, :])
+
+
+def _erf_as(x):
+    """erf via the Abramowitz–Stegun 7.1.26 polynomial (max abs error
+    1.5e-7 — below one ulp of the bf16/f32-rounded GELU output). Mosaic
+    lowers neither ``erf`` nor ``erfc``; this form needs only exp, which
+    it does. Used for the exact-GELU FFN inside the fused layer kernel;
+    the XLA path keeps jax.nn.gelu(approximate=False)."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _encoder_layer_kernel(x_ref, w_ref, b_ref, wo_ref, bo_ref, g1_ref,
+                          be1_ref, wi_ref, bi_ref, wd_ref, bd_ref,
+                          g2_ref, be2_ref, bias_ref, out_ref, h1_ref, *,
+                          scale: float, tb: int, num_heads: int,
+                          ln_eps: float):
+    """One COMPLETE post-LN BERT encoder layer in a single kernel:
+    qkv → attention → out-proj → +residual → LN1 → ffn_in → GELU →
+    ffn_out → +residual → LN2. The only HBM traffic is the layer's input
+    and output (plus one weight-set read per grid program): the qkv
+    activation, per-head scores, context, post-LN1 hidden, and the 4H
+    FFN intermediate all live and die in VMEM."""
+    h = x_ref.shape[-1]
+    s = x_ref.shape[1]
+    hd = h // num_heads
+    xb = x_ref[:]                                 # (TB, S, H)
+    x = xb.reshape(tb * s, h)
+    f32 = jnp.float32
+    acc = x.dtype if x.dtype == jnp.bfloat16 else f32
+    qkv = jax.lax.dot_general(
+        x, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    qkv = (qkv + b_ref[0][None, :].astype(f32)).astype(x.dtype)
+    qkv = qkv.reshape(tb, s, 3 * h)
+    for t in range(tb):                           # static unroll
+        row = qkv[t]
+        bias = bias_ref[t, 0][None, :]
+        ctx_heads = []
+        for j in range(num_heads):
+            q = row[:, j * hd:(j + 1) * hd]
+            k = row[:, h + j * hd:h + (j + 1) * hd]
+            v = row[:, 2 * h + j * hd:2 * h + (j + 1) * hd]
+            scores = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            scores = scores * scale + bias
+            probs = jax.nn.softmax(scores.astype(q.dtype), axis=-1)
+            ctx_heads.append(jax.lax.dot_general(
+                probs, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32))
+        ctx = jnp.concatenate(ctx_heads, axis=-1).astype(x.dtype)
+        attn = jax.lax.dot_general(
+            ctx, wo_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(acc)
+        attn = (attn + bo_ref[0][None, :].astype(acc)).astype(x.dtype)
+        resid = xb[t].astype(f32) + attn.astype(f32)
+        mean = jnp.mean(resid, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(resid - mean), axis=-1, keepdims=True)
+        normed = (resid - mean) * jax.lax.rsqrt(var + ln_eps)
+        y = (normed * g1_ref[0][None, :].astype(f32)
+             + be1_ref[0][None, :].astype(f32))
+        h1_ref[t * s:(t + 1) * s, :] = y.astype(x.dtype)
+
+    # FFN over the whole block at once: (TB*S, H) @ (H, I) @ (I, H)
+    y = h1_ref[:]                                 # (TB*S, H) post-LN1
+    up = jax.lax.dot_general(
+        y, wi_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32).astype(acc)
+    up = (up + bi_ref[0][None, :].astype(acc)).astype(f32)
+    up = 0.5 * up * (1.0 + _erf_as(up * np.float32(1 / math.sqrt(2))))
+    down = jax.lax.dot_general(
+        up.astype(x.dtype), wd_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32).astype(acc)
+    down = down + bd_ref[0][None, :].astype(acc)
+    resid2 = y.astype(f32) + down.astype(f32)
+    mean2 = jnp.mean(resid2, axis=-1, keepdims=True)
+    var2 = jnp.mean(jnp.square(resid2 - mean2), axis=-1, keepdims=True)
+    normed2 = (resid2 - mean2) * jax.lax.rsqrt(var2 + ln_eps)
+    out = (normed2 * g2_ref[0][None, :].astype(f32)
+           + be2_ref[0][None, :].astype(f32))
+    out_ref[:] = out.astype(out_ref.dtype).reshape(tb, s, h)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "scale", "ln_eps",
+                                    "block_b", "interpret"))
+def fused_encoder_layer(x: jax.Array, layer: dict, mask_bias: jax.Array,
+                        *, num_heads: int, scale: float, ln_eps: float,
+                        block_b: int = 8,
+                        interpret: bool = False) -> jax.Array:
+    """One full post-LN BERT encoder layer as a single Pallas kernel.
+
+    ``layer`` is the (unquantized) per-layer param dict of
+    models/bert.py — qkv_w/b, attn_out_w/b, attn_ln_scale/bias,
+    ffn_in_w/b, ffn_out_w/b, ffn_ln_scale/bias. Weight blocks ride
+    pinned to (0, 0).
+    """
+    b, s, h = x.shape
+    inter = layer["ffn_in_w"].shape[-1]
+    dt = x.dtype
+    row1 = lambda a, d: a.reshape(1, -1).astype(d)
+
+    itemsize = jnp.dtype(dt).itemsize
+    # in/out blocks double-buffered + qkv value (3H) + post-LN1 scratch
+    # (H) + FFN intermediate (I ≈ 4H); weights are grid-constant
+    per_row = s * (2 * 2 * h + 3 * h + h + inter) * itemsize
+    weights_bytes = (h * 3 * h + h * h + h * inter + inter * h) * itemsize
+    budget = (13 << 20) - weights_bytes
+    tb_cap = max(1, budget // per_row)
+    tb = next((d for d in range(min(block_b, b, tb_cap), 0, -1)
+               if b % d == 0), 1)
+    grid = (b // tb,)
+
+    kernel = functools.partial(_encoder_layer_kernel, scale=scale, tb=tb,
+                               num_heads=num_heads, ln_eps=ln_eps)
+    pin = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    args = [
+        x,
+        layer["qkv_w"].astype(dt), row1(layer["qkv_b"], dt),
+        layer["attn_out_w"].astype(dt), row1(layer["attn_out_b"], dt),
+        row1(layer["attn_ln_scale"], jnp.float32),
+        row1(layer["attn_ln_bias"], jnp.float32),
+        layer["ffn_in_w"].astype(dt), row1(layer["ffn_in_b"], dt),
+        layer["ffn_out_w"].astype(dt), row1(layer["ffn_out_b"], dt),
+        row1(layer["ffn_ln_scale"], jnp.float32),
+        row1(layer["ffn_ln_bias"], jnp.float32),
+        mask_bias.astype(jnp.float32)[:, None, :],
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((tb, s, h), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pin(a.shape) for a in args[1:-1]]
+        + [pl.BlockSpec((tb, 1, s), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tb, s, h), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, h), dt),
+        scratch_shapes=[pltpu.VMEM((tb * s, h), dt)],
+        interpret=interpret,
+    )(*args)

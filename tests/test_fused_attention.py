@@ -166,3 +166,30 @@ def test_layer1_kernel_matches_composition():
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5, rtol=1e-5)
+
+
+def test_full_layer_kernel_matches_composition():
+    """fused_encoder_layer == the composed XLA encoder_layer in f32."""
+    from sema_tpu.ops.fused_attention import fused_encoder_layer
+    from sema_tpu.models.bert import LN_EPS, encoder_layer
+    from sema_tpu.models import get_spec
+    from sema_tpu.models.loader import random_params
+
+    spec = get_spec("test-tiny")
+    params = random_params(spec, seed=2)
+    layer = {k: v[0] for k, v in params["layers"].items()}  # layer 0
+    rng = np.random.default_rng(6)
+    b, s, h = 2, 32, spec.hidden_size
+    x = jnp.asarray(rng.standard_normal((b, s, h)), dtype=jnp.float32)
+    lengths = rng.integers(1, s + 1, size=b)
+    mask = (np.arange(s)[None, :] < lengths[:, None]).astype(np.float32)
+    mbias = jnp.asarray((1.0 - mask) * -1e9)
+
+    want = encoder_layer(x, layer, mbias, spec.num_heads,
+                         attn_impl="xla")
+    got = fused_encoder_layer(
+        x, layer, mbias, num_heads=spec.num_heads,
+        scale=1.0 / math.sqrt(h // spec.num_heads), ln_eps=LN_EPS,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
