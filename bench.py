@@ -188,8 +188,9 @@ def run(config_name: str = "minilm-1m") -> int:
     from sema_tpu.models.bert import embed as embed_fn, resolve_attn_impl
     from sema_tpu.models.loader import random_params
 
-    # the production attention dispatch (fused Pallas kernel on TPU for
-    # s >= 192 buckets, XLA below — models/bert.py), as Encoder resolves it
+    # the production attention dispatch (the fused full-layer Pallas
+    # kernel on TPU at every bucket length — models/bert.py), as Encoder
+    # resolves it
     attn_impl = resolve_attn_impl("auto")
 
     def encoder_rate(model: str, ebatch: int, seq: int, n_calls: int = 16,

