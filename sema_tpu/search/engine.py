@@ -63,6 +63,11 @@ class Engine:
     selected_search_result: int = 0
     search_results_scroll_offset: int = 0
     file_preview_scroll_offset: int = 0
+    # extensions beyond the reference (ratatui wraps unconditionally,
+    # ui.rs:260): 'w' in preview mode toggles soft wrap; with wrap off,
+    # left/right scroll the content horizontally
+    preview_wrap: bool = True
+    file_preview_hscroll: int = 0
     current_search_query: str = ""
     search_error: Optional[str] = None
 
@@ -120,6 +125,7 @@ class Engine:
         """engine.rs:198-205."""
         self.current_file_content = self.load_file_content(Path(file_path))
         self.current_file_path = Path(file_path)
+        self.file_preview_hscroll = 0
 
     def selected_result(self) -> Optional[SearchResult]:
         if not self.search_results:

@@ -315,13 +315,22 @@ class TuiApp:
                 lines = rd.preview_lines(
                     content, sel.chunk.file_path,
                     self.engine.file_preview_scroll_offset,
-                    body_h - 2, self.engine.current_search_query)
+                    body_h - 2, self.engine.current_search_query,
+                    hscroll=(0 if self.engine.preview_wrap
+                             else self.engine.file_preview_hscroll))
                 row = 1
                 for spans in lines:
-                    for wrapped in rd.wrap_spans(spans, right_w - 2):
-                        if row > body_h - 2:
-                            break
-                        self._put_spans(win, row, left_w + 1, wrapped,
+                    if self.engine.preview_wrap:
+                        for wrapped in rd.wrap_spans(spans, right_w - 2):
+                            if row > body_h - 2:
+                                break
+                            self._put_spans(win, row, left_w + 1, wrapped,
+                                            right_w - 2)
+                            row += 1
+                    else:
+                        # no-wrap: one display row per line, truncated
+                        # at the pane edge ('w' toggles, ←/→ scroll)
+                        self._put_spans(win, row, left_w + 1, spans,
                                         right_w - 2)
                         row += 1
                     if row > body_h - 2:

@@ -174,6 +174,22 @@ def handle_key_ready(key: str, engine, inp: InputState,
             engine.file_preview_scroll_offset += 10
         return EventResult.CONTINUE
 
+    if mode is UIMode.FILE_PREVIEW:
+        # extensions beyond the reference (it always wraps, ui.rs:260):
+        # 'w' toggles soft wrap; with wrap off, ←/→ scroll horizontally
+        HSTEP = 8
+        if key == "w":
+            engine.preview_wrap = not engine.preview_wrap
+            engine.file_preview_hscroll = 0
+            return EventResult.CONTINUE
+        if not engine.preview_wrap and key == KEY_LEFT:
+            engine.file_preview_hscroll = max(
+                engine.file_preview_hscroll - HSTEP, 0)
+            return EventResult.CONTINUE
+        if not engine.preview_wrap and key == KEY_RIGHT:
+            engine.file_preview_hscroll += HSTEP
+            return EventResult.CONTINUE
+
     if mode is UIMode.SEARCH_INPUT:
         if key == KEY_BACKSPACE:
             inp.backspace()

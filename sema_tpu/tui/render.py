@@ -241,9 +241,29 @@ def wrap_spans(spans: List[Span], width: int) -> List[List[Span]]:
     return rows
 
 
+def drop_cols(spans: List[Span], n: int) -> List[Span]:
+    """Drop the first ``n`` display columns from a spans-line (the
+    horizontal-scroll transform for unwrapped previews)."""
+    if n <= 0:
+        return spans
+    out: List[Span] = []
+    for text, style in spans:
+        if n >= len(text):
+            n -= len(text)
+            continue
+        out.append((text[n:], style) if n else (text, style))
+        n = 0
+    return out
+
+
 def preview_lines(content: str, file_path: Path, scroll_offset: int,
-                  visible_lines: int, search_query: str) -> List[List[Span]]:
-    """ui.rs:285-438: numbered, scrolled, syntax+term highlighted lines."""
+                  visible_lines: int, search_query: str,
+                  hscroll: int = 0) -> List[List[Span]]:
+    """ui.rs:285-438: numbered, scrolled, syntax+term highlighted lines.
+
+    ``hscroll`` drops leading columns of the CONTENT (line-number gutter
+    stays put) — used by the no-wrap preview mode, an extension over the
+    reference's always-wrapping ratatui Paragraph."""
     if not content:
         return [[("  1 │ (empty file)", S_DIM)]]
 
@@ -268,6 +288,8 @@ def preview_lines(content: str, file_path: Path, scroll_offset: int,
         content_spans = highlighted[i] or [("", S_DEFAULT)]
         if terms:
             content_spans = highlight_terms(list(content_spans), terms)
+        if hscroll:
+            content_spans = drop_cols(list(content_spans), hscroll)
         spans.extend(content_spans)
         out.append(spans)
     return out

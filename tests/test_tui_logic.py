@@ -389,3 +389,66 @@ def test_app_query_gate_counts_utf8_bytes(tmp_path):
     assert cleared and not ran
     app.execute_search("日本")        # 2 chars, 6 bytes -> runs
     assert ran == ["日本"]
+
+
+# -- preview wrap toggle + horizontal scroll (extension over ui.rs:260) -------
+
+class TestPreviewWrapToggle:
+    def test_w_toggles_and_resets_hscroll(self):
+        eng = ready_engine(3)
+        eng.ui_mode = UIMode.FILE_PREVIEW
+        eng.preview_wrap = False
+        eng.file_preview_hscroll = 24
+        ev.handle_key_ready("w", eng, ev.InputState(), 30)
+        assert eng.preview_wrap and eng.file_preview_hscroll == 0
+        ev.handle_key_ready("w", eng, ev.InputState(), 30)
+        assert not eng.preview_wrap
+
+    def test_arrows_scroll_only_when_unwrapped(self):
+        eng = ready_engine(3)
+        eng.ui_mode = UIMode.FILE_PREVIEW
+        ev.handle_key_ready(ev.KEY_RIGHT, eng, ev.InputState(), 30)
+        assert eng.file_preview_hscroll == 0      # wrap on: ignored
+        eng.preview_wrap = False
+        ev.handle_key_ready(ev.KEY_RIGHT, eng, ev.InputState(), 30)
+        ev.handle_key_ready(ev.KEY_RIGHT, eng, ev.InputState(), 30)
+        assert eng.file_preview_hscroll == 16
+        ev.handle_key_ready(ev.KEY_LEFT, eng, ev.InputState(), 30)
+        ev.handle_key_ready(ev.KEY_LEFT, eng, ev.InputState(), 30)
+        ev.handle_key_ready(ev.KEY_LEFT, eng, ev.InputState(), 30)
+        assert eng.file_preview_hscroll == 0      # clamped
+
+    def test_w_in_input_mode_types(self):
+        eng = ready_engine(3)
+        eng.ui_mode = UIMode.SEARCH_INPUT
+        inp = ev.InputState()
+        ev.handle_key_ready("w", eng, inp, 30)
+        assert inp.text == "w" and eng.preview_wrap
+
+    def test_file_change_resets_hscroll(self, tmp_path):
+        f = tmp_path / "x.txt"
+        f.write_text("hello")
+        eng = ready_engine(2)
+        eng.file_preview_hscroll = 40
+        eng.update_current_file_content(f)
+        assert eng.file_preview_hscroll == 0
+
+
+def test_drop_cols_preserves_styles():
+    spans = [("abc", rd.S_DIM), ("defg", rd.S_KW)]
+    assert rd.drop_cols(spans, 0) == spans
+    assert rd.drop_cols(spans, 2) == [("c", rd.S_DIM), ("defg", rd.S_KW)]
+    assert rd.drop_cols(spans, 3) == [("defg", rd.S_KW)]
+    assert rd.drop_cols(spans, 5) == [("fg", rd.S_KW)]
+    assert rd.drop_cols(spans, 99) == []
+
+
+def test_preview_lines_hscroll_keeps_gutter(tmp_path):
+    lines = rd.preview_lines("abcdefghij\nklm", Path("f.txt"), 0, 5, "",
+                             hscroll=4)
+    # gutter prefix intact, content shifted
+    text0 = "".join(t for t, _ in lines[0])
+    assert text0.startswith("  1 │ ")
+    assert text0.endswith("efghij")
+    text1 = "".join(t for t, _ in lines[1])
+    assert text1 == "  2 │ "            # short line fully scrolled off
