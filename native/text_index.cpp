@@ -248,6 +248,8 @@ uint8_t* sema_text_search(void* h, const char* query_utf8, uint32_t limit) {
             std::string joined(1, '\x00');
             for (auto& t : toks) { joined += t; joined += '\x00'; }
             for (auto& pt : ptoks) {
+                if (pt.empty()) continue;  // no-token phrase: no
+                                           // constraint (matches oracle)
                 std::string needle(1, '\x00');
                 for (auto& t : pt) { needle += t; needle += '\x00'; }
                 if (joined.find(needle) == std::string::npos) return false;

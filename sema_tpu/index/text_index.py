@@ -39,17 +39,13 @@ from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from sema_tpu.types import Chunk
+from sema_tpu.utils.fsio import atomic_write_json as _atomic_write_json
 
 K1 = 1.2
 B = 0.75
 MAX_TOKEN_LEN = 40  # tantivy default analyzer's RemoveLongFilter(40)
 _COMPACT_DEAD_FRACTION = 0.25
 
-
-def _atomic_write_json(path: Path, obj) -> None:
-    tmp = path.with_suffix(".tmp")
-    tmp.write_text(json.dumps(obj))
-    os.replace(tmp, path)
 
 # tantivy SimpleTokenizer splits on non-alphanumeric (unicode-aware);
 # '_' is NOT alphanumeric in Rust, so "foo_bar" → ["foo", "bar"]
@@ -145,11 +141,21 @@ class TextIndex:
 
     def _rewrite_as_single_segment(self) -> None:
         """Persist the whole in-memory index as one fresh segment
-        (migration and compaction tail)."""
+        (migration and compaction tail).
+
+        Crash-atomicity: the new segment must be written under a name
+        ABSENT from the old manifest — the collision check has to run
+        against the OLD segment list (clearing the list first would
+        always pick the old first segment's name and overwrite a file
+        the still-committed manifest points at; a crash before the
+        manifest write would then corrupt the index on next load)."""
+        old_names = {s["name"] for s in self._segments}
         old_files = [self._seg_path(s["name"]) for s in self._segments]
         self._segments = []
         self._committed_docs = 0
         name = self._seg_name()
+        if name in old_names:
+            name = "seg-compact"
         if self.docs:
             _atomic_write_json(self._seg_path(name), {
                 "docs": self.docs,
@@ -294,9 +300,13 @@ class TextIndex:
                 # native backend uses the identical convention
                 toks = tokenize(doc["content"])
                 joined = "\x00" + "\x00".join(toks) + "\x00"
+                # a phrase with no tokens (whitespace/punctuation only)
+                # carries no constraint — skip it, matching the native
+                # backend (a '"\x00\x00"' needle would instead reject
+                # every doc)
                 return all(
-                    ("\x00" + "\x00".join(tokenize(p)) + "\x00") in joined
-                    for p in phrases)
+                    ("\x00" + "\x00".join(pt) + "\x00") in joined
+                    for pt in (tokenize(p) for p in phrases) if pt)
             scores = {d: s for d, s in scores.items()
                       if has_phrases(self.docs[d])}
 
@@ -331,6 +341,7 @@ class NativeTextIndex:
         self._segments: List[dict] = []
         self._committed_docs = 0
         self._committed_deleted: set = set()
+        self._tombstones_dirty = False
         if self._manifest_path.exists():
             m = json.loads(self._manifest_path.read_text())
             for s in m["segments"]:
@@ -372,10 +383,15 @@ class NativeTextIndex:
         self._committed_deleted = set(deleted)
 
     def _rewrite_as_single_segment(self) -> None:
+        # fresh name vs the OLD manifest's segments (see the Python
+        # backend's docstring: crash-atomicity requires it)
+        old_names = {s["name"] for s in self._segments}
         old_files = [self._seg_path(s["name"]) for s in self._segments]
         self._segments = []
         self._committed_docs = 0
         name = self._seg_name()
+        if name in old_names:
+            name = "seg-compact"
         n = self._h.num_docs()
         if n:
             self._h.save_segment(str(self._seg_path(name)), 0)
@@ -405,7 +421,10 @@ class NativeTextIndex:
         self.commit()
 
     def remove_file_chunks(self, file_path) -> int:
-        return self._h.remove_file(str(file_path))
+        n = self._h.remove_file(str(file_path))
+        if n:
+            self._tombstones_dirty = True
+        return n
 
     def search(self, query: str, limit: int) -> List[Tuple[Chunk, float]]:
         query = query.strip()
@@ -427,10 +446,14 @@ class NativeTextIndex:
                 {"name": name, "docs": n - self._committed_docs})
             self._committed_docs = n
             wrote = True
-        deleted = set(self._h.deleted_ids())
-        if wrote or deleted != self._committed_deleted \
+        # materialize the tombstone list only when it could have changed:
+        # deleted_ids() walks every doc in C++ and marshals the full list
+        # through the FFI — O(total docs) work a per-batch commit must
+        # not pay unconditionally (review finding)
+        if wrote or self._tombstones_dirty \
                 or not self._manifest_path.exists():
-            self._write_manifest(deleted)
+            self._write_manifest(self._h.deleted_ids())
+            self._tombstones_dirty = False
 
     def close(self) -> None:
         self.commit()

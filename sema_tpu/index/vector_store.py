@@ -59,6 +59,7 @@ import ml_dtypes
 import numpy as np
 
 from sema_tpu.types import Chunk
+from sema_tpu.utils.fsio import atomic_write_json as _atomic_write_json
 
 # dtype of the persisted segment files; the int8 mode persists bf16
 # originals (the device holds the quantized copy, the disk keeps full
@@ -89,11 +90,6 @@ def _device_append1(arr: jax.Array, vals: jax.Array,
                     row0: jax.Array) -> jax.Array:
     return jax.lax.dynamic_update_slice(arr, vals, (row0,))
 
-
-def _atomic_write_json(path: Path, obj) -> None:
-    tmp = path.with_suffix(".tmp")
-    tmp.write_text(json.dumps(obj))
-    os.replace(tmp, path)
 
 
 class _Segment:

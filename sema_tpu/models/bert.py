@@ -39,6 +39,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sema_tpu.models.registry import EncoderSpec
 
@@ -220,8 +221,17 @@ def encoder_layer(x: jax.Array, layer: Params, mask_bias: jax.Array,
     # dominates at any s). SEMA_TPU_FUSED_MIN_S restores an XLA floor
     # for tuning/A-B on new hardware.
     min_s = int(os.environ.get("SEMA_TPU_FUSED_MIN_S", "0"))
-    if (attn_impl == "fused" and s >= min_s and "qkv_w" in layer
-            and "attn_out_w" in layer):
+    # the full-layer kernel pins ALL the layer's weights in VMEM
+    # (grid-constant blocks). Measured safe through e5-base (~14 MB bf16
+    # weights); gte-large-class layers (~25 MB) exceed what the scoped
+    # VMEM budget can hold alongside the activation blocks, so they take
+    # the projection-outside attention kernel instead (no pinned
+    # weights), like the int8-quantized path does.
+    fits_vmem = ("qkv_w" in layer and "attn_out_w" in layer
+                 and sum(int(np.prod(layer[w].shape)) for w in
+                         ("qkv_w", "attn_out_w", "ffn_in_w", "ffn_out_w")
+                         ) * 2 <= (15 << 20))
+    if attn_impl == "fused" and s >= min_s and fits_vmem:
         # maximal fusion: the ENTIRE layer — qkv projection → attention
         # → out projection → residual → LN1 → FFN → residual → LN2 —
         # runs as one kernel; only the layer's input and output touch

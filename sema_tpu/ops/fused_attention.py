@@ -53,6 +53,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _heads_attention(row, bias, num_heads: int, scale: float):
+    """Shared attention core of all fused kernels: one batch row's
+    (S, 3H) qkv — heads as static lane slices — against its (1, S) f32
+    padding bias, returning the (S, H) f32 context. Numerics contract
+    (torch-parity suite): f32 score accumulation and bias add, softmax
+    in the compute dtype (the XLA path's semantics), f32 context
+    accumulation."""
+    s, h3 = row.shape
+    h = h3 // 3
+    hd = h // num_heads
+    ctx_heads = []
+    for j in range(num_heads):                    # static unroll
+        q = row[:, j * hd:(j + 1) * hd]           # (S, hd)
+        k = row[:, h + j * hd:h + (j + 1) * hd]
+        v = row[:, 2 * h + j * hd:2 * h + (j + 1) * hd]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (S, S) f32
+        scores = scores * scale + bias
+        probs = jax.nn.softmax(scores.astype(q.dtype), axis=-1)
+        ctx_heads.append(jax.lax.dot_general(
+            probs, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))  # (S, hd) f32
+    return jnp.concatenate(ctx_heads, axis=-1)    # (S, H) f32
+
+
 def _attn_kernel(qkv_ref, bias_ref, out_ref, *, scale: float, tb: int,
                  num_heads: int):
     """One program handles a block of TB batch rows, ALL heads.
@@ -63,32 +89,10 @@ def _attn_kernel(qkv_ref, bias_ref, out_ref, *, scale: float, tb: int,
     are static lane slices in-kernel (offsets are compile-time constants —
     Mosaic lowers them to cheap VPU relayouts, far cheaper than the HBM
     transposes the XLA path materializes)."""
-    h3 = qkv_ref.shape[-1]
-    h = h3 // 3
-    hd = h // num_heads
     for t in range(tb):                           # static unroll
-        row = qkv_ref[t]                          # (S, 3H)
-        bias = bias_ref[t, 0][None, :]            # (1, S) f32
-        ctx_heads = []
-        for j in range(num_heads):                # static unroll
-            q = row[:, j * hd:(j + 1) * hd]       # (S, hd)
-            k = row[:, h + j * hd:h + (j + 1) * hd]
-            v = row[:, 2 * h + j * hd:2 * h + (j + 1) * hd]
-            scores = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)   # (S, S) f32
-            scores = scores * scale + bias
-            # softmax dtype follows the compute dtype, mirroring the XLA
-            # path (models/bert.py): f32 accumulation and bias add, then
-            # in bf16 mode the max/exp/sum chain runs at bf16 VPU rate
-            # (exp count S²·H·B is the kernel's VPU floor; measured
-            # cosine vs f32 softmax = 1.000000 at the model level)
-            probs = jax.nn.softmax(scores.astype(q.dtype), axis=-1)
-            ctx_heads.append(jax.lax.dot_general(
-                probs, v, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))  # (S, hd) f32
-        out_ref[t] = jnp.concatenate(
-            ctx_heads, axis=-1).astype(out_ref.dtype)  # (S, H)
+        ctx = _heads_attention(qkv_ref[t], bias_ref[t, 0][None, :],
+                               num_heads, scale)
+        out_ref[t] = ctx.astype(out_ref.dtype)    # (S, H)
 
 
 @functools.partial(jax.jit,
@@ -154,7 +158,6 @@ def _attn_block_kernel(x_ref, w_ref, b_ref, bias_ref, out_ref, *,
     dtype, rounded once to the compute dtype."""
     h = x_ref.shape[-1]
     s = x_ref.shape[1]
-    hd = h // num_heads
     x = x_ref[:].reshape(tb * s, h)               # (TB*S, H)
     acc = jnp.float32
     qkv = jax.lax.dot_general(
@@ -163,23 +166,9 @@ def _attn_block_kernel(x_ref, w_ref, b_ref, bias_ref, out_ref, *,
     qkv = (qkv + b_ref[0][None, :].astype(acc)).astype(x.dtype)
     qkv = qkv.reshape(tb, s, 3 * h)
     for t in range(tb):                           # static unroll
-        row = qkv[t]                              # (S, 3H)
-        bias = bias_ref[t, 0][None, :]            # (1, S) f32
-        ctx_heads = []
-        for j in range(num_heads):                # static unroll
-            q = row[:, j * hd:(j + 1) * hd]       # (S, hd)
-            k = row[:, h + j * hd:h + (j + 1) * hd]
-            v = row[:, 2 * h + j * hd:2 * h + (j + 1) * hd]
-            scores = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)   # (S, S) f32
-            scores = scores * scale + bias
-            probs = jax.nn.softmax(scores.astype(q.dtype), axis=-1)
-            ctx_heads.append(jax.lax.dot_general(
-                probs, v, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))  # (S, hd) f32
-        out_ref[t] = jnp.concatenate(
-            ctx_heads, axis=-1).astype(out_ref.dtype)  # (S, H)
+        ctx = _heads_attention(qkv[t], bias_ref[t, 0][None, :],
+                               num_heads, scale)
+        out_ref[t] = ctx.astype(out_ref.dtype)    # (S, H)
 
 
 @functools.partial(jax.jit,
@@ -237,118 +226,6 @@ def fused_attention_block(x: jax.Array, qkv_w: jax.Array,
     )(x, w, bias1, mask_bias.astype(jnp.float32)[:, None, :])
 
 
-def _attn_layer1_kernel(x_ref, w_ref, b_ref, wo_ref, bo_ref, g_ref,
-                        be_ref, bias_ref, out_ref, *, scale: float,
-                        tb: int, num_heads: int, ln_eps: float):
-    """First half of a post-LN BERT layer, fully fused: qkv projection →
-    attention → output projection → residual add → LayerNorm.
-
-    Beyond _attn_block_kernel this keeps the per-block context and the
-    attention output in VMEM through the residual+LN epilogue, removing
-    the (B, S, H) context write+read and two LN elementwise HBM passes
-    per layer. LayerNorm statistics are f32 regardless of compute dtype,
-    matching models/bert.py:layer_norm."""
-    h = x_ref.shape[-1]
-    s = x_ref.shape[1]
-    hd = h // num_heads
-    xb = x_ref[:]                                 # (TB, S, H)
-    x = xb.reshape(tb * s, h)
-    acc = jnp.float32
-    qkv = jax.lax.dot_general(
-        x, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=acc)               # (TB*S, 3H) f32
-    qkv = (qkv + b_ref[0][None, :].astype(acc)).astype(x.dtype)
-    qkv = qkv.reshape(tb, s, 3 * h)
-    for t in range(tb):                           # static unroll
-        row = qkv[t]                              # (S, 3H)
-        bias = bias_ref[t, 0][None, :]            # (1, S) f32
-        ctx_heads = []
-        for j in range(num_heads):                # static unroll
-            q = row[:, j * hd:(j + 1) * hd]       # (S, hd)
-            k = row[:, h + j * hd:h + (j + 1) * hd]
-            v = row[:, 2 * h + j * hd:2 * h + (j + 1) * hd]
-            scores = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)   # (S, S) f32
-            scores = scores * scale + bias
-            probs = jax.nn.softmax(scores.astype(q.dtype), axis=-1)
-            ctx_heads.append(jax.lax.dot_general(
-                probs, v, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))  # (S, hd) f32
-        ctx = jnp.concatenate(ctx_heads, axis=-1).astype(x.dtype)
-        # output projection. Mosaic requires a 32-bit matmul accumulator;
-        # rounding the f32 result to the epilogue dtype BEFORE the bias
-        # add reproduces the XLA path's preferred_element_type epilogue
-        # (MXU accumulates f32 internally there too, rounding once)
-        ep = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
-        attn = jax.lax.dot_general(
-            ctx, wo_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(ep)
-        attn = (attn + bo_ref[0][None, :].astype(ep)).astype(x.dtype)
-        # residual + LayerNorm with f32 statistics (bert.py:layer_norm)
-        resid = (xb[t].astype(jnp.float32) + attn.astype(jnp.float32))
-        mean = jnp.mean(resid, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(resid - mean), axis=-1, keepdims=True)
-        normed = (resid - mean) * jax.lax.rsqrt(var + ln_eps)
-        out = (normed * g_ref[0][None, :].astype(jnp.float32)
-               + be_ref[0][None, :].astype(jnp.float32))
-        out_ref[t] = out.astype(out_ref.dtype)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("num_heads", "scale", "ln_eps",
-                                    "block_b", "interpret"))
-def fused_attention_layer1(x: jax.Array, qkv_w: jax.Array,
-                           qkv_b: jax.Array, attn_out_w: jax.Array,
-                           attn_out_b: jax.Array, ln_scale: jax.Array,
-                           ln_bias: jax.Array, mask_bias: jax.Array, *,
-                           num_heads: int, scale: float, ln_eps: float,
-                           block_b: int = 8,
-                           interpret: bool = False) -> jax.Array:
-    """LayerNorm(x + AttnOut(Attention(QKV(x)))) in one kernel.
-
-    Exactly the first half of models/bert.py:encoder_layer for the
-    unquantized fused path; all weights ride pinned to block (0, 0).
-    Returns (B, S, H) in x.dtype.
-    """
-    b, s, h = x.shape
-    w = qkv_w.astype(x.dtype)
-    wo = attn_out_w.astype(x.dtype)
-    b1 = qkv_b.reshape(1, -1).astype(x.dtype)
-    bo1 = attn_out_b.reshape(1, -1).astype(x.dtype)
-    g1 = ln_scale.reshape(1, -1).astype(jnp.float32)
-    be1 = ln_bias.reshape(1, -1).astype(jnp.float32)
-
-    itemsize = jnp.dtype(x.dtype).itemsize
-    per_row = s * (2 * 2 * h + 2 * 3 * h + 2 * h) * itemsize
-    tb_cap = max(1, (11 << 20) // per_row)
-    tb = next((d for d in range(min(block_b, b, tb_cap), 0, -1)
-               if b % d == 0), 1)
-    grid = (b // tb,)
-
-    kernel = functools.partial(_attn_layer1_kernel, scale=scale, tb=tb,
-                               num_heads=num_heads, ln_eps=ln_eps)
-    pin = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tb, s, h), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pin(w.shape), pin(b1.shape), pin(wo.shape), pin(bo1.shape),
-            pin(g1.shape), pin(be1.shape),
-            pl.BlockSpec((tb, 1, s), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tb, s, h), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s, h), x.dtype),
-        interpret=interpret,
-    )(x, w, b1, wo, bo1, g1, be1,
-      mask_bias.astype(jnp.float32)[:, None, :])
-
-
 def _erf_as(x):
     """erf via the Abramowitz–Stegun 7.1.26 polynomial (max abs error
     1.5e-7 — below one ulp of the bf16/f32-rounded GELU output). Mosaic
@@ -378,7 +255,6 @@ def _encoder_layer_kernel(x_ref, w_ref, b_ref, wo_ref, bo_ref, g1_ref,
     FFN intermediate all live and die in VMEM."""
     h = x_ref.shape[-1]
     s = x_ref.shape[1]
-    hd = h // num_heads
     xb = x_ref[:]                                 # (TB, S, H)
     x = xb.reshape(tb * s, h)
     f32 = jnp.float32
@@ -389,22 +265,8 @@ def _encoder_layer_kernel(x_ref, w_ref, b_ref, wo_ref, bo_ref, g1_ref,
     qkv = (qkv + b_ref[0][None, :].astype(f32)).astype(x.dtype)
     qkv = qkv.reshape(tb, s, 3 * h)
     for t in range(tb):                           # static unroll
-        row = qkv[t]
-        bias = bias_ref[t, 0][None, :]
-        ctx_heads = []
-        for j in range(num_heads):
-            q = row[:, j * hd:(j + 1) * hd]
-            k = row[:, h + j * hd:h + (j + 1) * hd]
-            v = row[:, 2 * h + j * hd:2 * h + (j + 1) * hd]
-            scores = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32)
-            scores = scores * scale + bias
-            probs = jax.nn.softmax(scores.astype(q.dtype), axis=-1)
-            ctx_heads.append(jax.lax.dot_general(
-                probs, v, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32))
-        ctx = jnp.concatenate(ctx_heads, axis=-1).astype(x.dtype)
+        ctx = _heads_attention(qkv[t], bias_ref[t, 0][None, :],
+                               num_heads, scale).astype(x.dtype)
         attn = jax.lax.dot_general(
             ctx, wo_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32).astype(acc)

@@ -231,8 +231,14 @@ def handle_mouse(engine, x: int, y: int, width: int,
     if x < left_w:
         engine.ui_mode = UIMode.SEARCH_RESULTS
         if 1 <= y <= body_h - 2:
-            idx = (engine.search_results_scroll_offset + (y - 1) // 3)
-            if (0 <= idx < len(engine.search_results)
+            row = (y - 1) // 3
+            idx = engine.search_results_scroll_offset + row
+            # bound by the RENDERED page too: (body_h-2)//3 full rows are
+            # drawn, and a click on the partial last band past them must
+            # not select an invisible result (review finding)
+            per_page = max((body_h - 2) // 3, 1)
+            if (row < per_page
+                    and 0 <= idx < len(engine.search_results)
                     and idx != engine.selected_search_result):
                 engine.selected_search_result = idx
                 return True

@@ -132,42 +132,6 @@ def test_full_model_fused_uses_block_kernel(monkeypatch):
     np.testing.assert_allclose(cos, 1.0, atol=1e-6)
 
 
-def test_layer1_kernel_matches_composition():
-    """fused_attention_layer1 == LN(x + AttnOut(Attn(QKV(x)))) in f32."""
-    from sema_tpu.ops.fused_attention import fused_attention_layer1
-    from sema_tpu.models.bert import LN_EPS, layer_norm
-
-    rng = np.random.default_rng(5)
-    b, n, s, hd = 2, 4, 32, 32
-    h = n * hd
-    x = jnp.asarray(rng.standard_normal((b, s, h)), dtype=jnp.float32)
-    w = jnp.asarray(rng.standard_normal((h, 3 * h)) * 0.05,
-                    dtype=jnp.float32)
-    bw = jnp.asarray(rng.standard_normal(3 * h) * 0.05, dtype=jnp.float32)
-    wo = jnp.asarray(rng.standard_normal((h, h)) * 0.05,
-                     dtype=jnp.float32)
-    bo = jnp.asarray(rng.standard_normal(h) * 0.05, dtype=jnp.float32)
-    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(h), dtype=jnp.float32)
-    be = jnp.asarray(0.1 * rng.standard_normal(h), dtype=jnp.float32)
-    lengths = rng.integers(1, s + 1, size=b)
-    mask = (np.arange(s)[None, :] < lengths[:, None]).astype(np.float32)
-    mbias = jnp.asarray((1.0 - mask) * -1e9)
-    scale = 1.0 / math.sqrt(hd)
-
-    qkv = jnp.einsum("bsh,hm->bsm", x, w,
-                     preferred_element_type=jnp.float32) + bw
-    ctx = _ref_attention_qkv(qkv, mbias, n, scale)
-    attn = jnp.einsum("bsh,hd->bsd", ctx, wo,
-                      preferred_element_type=jnp.float32) + bo
-    want = layer_norm(x + attn, g, be)
-
-    got = fused_attention_layer1(x, w, bw, wo, bo, g, be, mbias,
-                                 num_heads=n, scale=scale, ln_eps=LN_EPS,
-                                 interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=3e-5, rtol=1e-5)
-
-
 def test_full_layer_kernel_matches_composition():
     """fused_encoder_layer == the composed XLA encoder_layer in f32."""
     from sema_tpu.ops.fused_attention import fused_encoder_layer

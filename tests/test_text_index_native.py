@@ -154,3 +154,26 @@ def test_auto_respects_existing_python_index(tmp_path):
     idx = make_text_index(tmp_path)
     assert isinstance(idx, TextIndex)
     assert len(idx.search("legacy", 10)) == 1
+
+
+def test_whitespace_only_phrase_parity(tmp_path):
+    """Review finding: a quoted phrase that tokenizes to nothing (e.g.
+    '" "') must constrain neither backend — previously the Python oracle
+    rejected every doc while the native backend accepted every doc."""
+    from sema_tpu.index.text_index import TextIndex, NativeTextIndex
+    from sema_tpu.types import Chunk
+    from pathlib import Path as P
+
+    docs = [Chunk(id=f"f:{i}", file_path=P("f.txt"), start_line=1,
+                  end_line=1, content=c)
+            for i, c in enumerate(["foo barometer", "foo bar", "baz"])]
+    py = TextIndex(tmp_path / "py")
+    nt = NativeTextIndex(tmp_path / "nt")
+    for ix in (py, nt):
+        ix.index_chunks(docs)
+    for q in ('foo " "', 'foo "."', 'foo "bar"', '" " foo'):
+        hp = [(c.id, round(s, 5)) for c, s in py.search(q, 10)]
+        hn = [(c.id, round(s, 5)) for c, s in nt.search(q, 10)]
+        assert hp == hn, (q, hp, hn)
+    # the no-token phrase must not reject docs: plain foo hits survive
+    assert {c.id for c, _ in py.search('foo " "', 10)} == {"f:0", "f:1"}

@@ -195,3 +195,40 @@ def test_auto_backend_pins_segmented_python_index(tmp_path, monkeypatch):
     again = make_text_index(tmp_path, backend="auto")
     assert isinstance(again, TextIndex)
     assert again.num_live_docs == 1
+
+
+def test_compaction_never_overwrites_committed_segment(tmp_path, backend):
+    """Crash-atomicity (review finding): the compacted segment must be
+    written under a name ABSENT from the pre-compaction manifest — a
+    crash between the segment write and the manifest write must leave
+    the old manifest pointing only at untouched files."""
+    _, cls = backend
+    idx = cls(tmp_path)
+    idx.index_chunks([chunk(i, f"alpha beta{i}", path="dead.txt")
+                      for i in range(8)])
+    idx.index_chunks([chunk(8, "alpha survivor", path="live.txt")])
+    idx.close()
+    manifest = cls(tmp_path)._manifest_path
+    old_names = {s["name"] for s in
+                 json.loads(manifest.read_text())["segments"]}
+
+    idx2 = cls(tmp_path)
+    idx2.remove_file_chunks(Path("dead.txt"))
+    # trigger compaction (reopen path)
+    idx2.close()
+    idx3 = cls(tmp_path)
+    new_segs = json.loads(manifest.read_text())["segments"]
+    # compacted segment uses a FRESH name
+    assert all(s["name"] not in old_names for s in new_segs), (
+        old_names, new_segs)
+    assert idx3.num_live_docs == 1
+    # a second compaction cycle keeps alternating fresh names
+    idx3.index_chunks([chunk(9 + i, f"alpha extra{i}", path="d2.txt")
+                       for i in range(8)])
+    idx3.remove_file_chunks(Path("d2.txt"))
+    idx3.close()
+    prev = {s["name"] for s in new_segs}
+    idx4 = cls(tmp_path)
+    final = json.loads(manifest.read_text())["segments"]
+    assert all(s["name"] not in prev for s in final)
+    assert idx4.num_live_docs == 1

@@ -452,3 +452,19 @@ def test_preview_lines_hscroll_keeps_gutter(tmp_path):
     assert text0.endswith("efghij")
     text1 = "".join(t for t, _ in lines[1])
     assert text1 == "  2 │ "            # short line fully scrolled off
+
+
+def test_click_past_rendered_page_ignored():
+    """Review finding: only (body_h-2)//3 full result rows render; a
+    click on the partial band below them must not select an invisible
+    result. height=13 -> body_h=10, inner height 8 -> 2 rendered rows
+    (y=1..6); y=7..8 is the partial band."""
+    eng = ready_engine(30)
+    eng.search_results_scroll_offset = 0
+    assert not ev.handle_mouse(eng, x=5, y=7, width=100, height=13)
+    assert eng.selected_search_result == 0
+    assert not ev.handle_mouse(eng, x=5, y=8, width=100, height=13)
+    assert eng.selected_search_result == 0
+    # y=4 (row 1) is rendered and selects
+    assert ev.handle_mouse(eng, x=5, y=4, width=100, height=13)
+    assert eng.selected_search_result == 1
