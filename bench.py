@@ -237,6 +237,35 @@ def run(config_name: str = "minilm-1m") -> int:
               flush=True)
         ladder["embed_minilm_seq128_chunks_per_sec"] = round(
             encoder_rate("minilm-l6", 512, 128), 1)
+        # BASELINE config 2: bge-small-en (384-d, CLS pooling) over a
+        # 100k-chunk bf16 store, single-chip scan
+        print("# stage: bge-small encode + 100k scan", file=sys.stderr,
+              flush=True)
+        ladder["embed_bge_small_chunks_per_sec"] = round(
+            encoder_rate("bge-small-en", 256, 256), 1)
+        rows_bge = 102_400   # 100k rounded to the 2048 tile
+        @jax.jit
+        def make_bge(key):
+            x = jax.random.normal(key, (rows_bge, dim), dtype=jnp.float32)
+            x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+            return x.astype(jnp.bfloat16)
+        store_bge = jax.block_until_ready(make_bge(ks))
+        valid_bge = jnp.ones((rows_bge,), dtype=bool)
+        if jax.default_backend() == "tpu":
+            from sema_tpu.ops.pallas_topk import pallas_topk_scores
+            scan_bge = jax.jit(partial(pallas_topk_scores, k=k,
+                                       tile_n=2048))
+        else:
+            scan_bge = scan_hier
+        qb = 64
+        qsets_bge = jnp.asarray(qsets[:, :qb, :])
+        t_bge = _measure_device(
+            lambda q: scan_bge(store_bge, q, valid_bge), qsets_bge,
+            n_calls=48)
+        ladder["bge_small_100k_scan_qps"] = round(qb / t_bge, 1)
+        ladder["bge_small_100k_scan_ms"] = round(t_bge * 1e3, 3)
+        del store_bge
+
         print("# stage: encoder e5-base 768d", file=sys.stderr, flush=True)
         ladder["embed_e5_base_768d_chunks_per_sec"] = round(
             encoder_rate("e5-base", 128, 256), 1)
