@@ -198,3 +198,49 @@ def test_large_k_class():
         np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_h),
                                    rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_h))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_randomized_oracle_equivalence(seed):
+    """Property test: random shapes, validity masks (including nearly
+    and fully dead stores), planted duplicate rows (exact ties), and k
+    spanning the class ladder must all match the hier oracle exactly —
+    ids included."""
+    import jax.numpy as jnp
+    from sema_tpu.ops.hier_topk import batched_topk_scores_hier
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.choice([128, 256, 512]))
+    d = 128
+    qn = int(rng.choice([1, 5]))
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    # plant duplicate rows to force exact score ties
+    for _ in range(rng.integers(0, 6)):
+        a, b = rng.integers(0, n, size=2)
+        base[b] = base[a]
+    valid_np = rng.random(n) > rng.choice([0.0, 0.5, 0.95, 1.0])
+    store = jnp.asarray(base, dtype=jnp.float32)
+    q_np = rng.standard_normal((qn, d)).astype(np.float32)
+    q = jnp.asarray(q_np)
+    valid = jnp.asarray(valid_np)
+
+    # f64 host oracle for resolving backend rounding: the two backends
+    # may differ by an ulp on the same dot product (different matmul
+    # tilings), which can also swap exactly-tied ranks — both are
+    # legitimate; a wrong SELECTION shows up as a much larger gap
+    host = q_np.astype(np.float64) @ base.astype(np.float64).T
+    for k in (1, 7, 64):
+        s_p, i_p = pallas_topk(store, q, valid, k, tile_n=128,
+                               interpret=True)
+        s_h, i_h = batched_topk_scores_hier(store, q, valid, k=k,
+                                            group=128)
+        sp, sh = np.asarray(s_p), np.asarray(s_h)
+        ip, ih = np.asarray(i_p), np.asarray(i_h)
+        live = np.isfinite(sh)
+        np.testing.assert_allclose(sp[live], sh[live],
+                                   rtol=2e-5, atol=1e-5)
+        assert np.all(~np.isfinite(sp[~live]))
+        for r, c in np.argwhere(live):
+            if ip[r, c] != ih[r, c]:
+                gap = abs(host[r, ip[r, c]] - host[r, ih[r, c]])
+                assert gap < 1e-4, (r, c, ip[r, c], ih[r, c], gap)
