@@ -98,8 +98,14 @@ def build_parser() -> argparse.ArgumentParser:
     _add_model_flags(bench)
 
     serve = sub.add_parser("serve", help="HTTP search daemon over the index")
+    _add_crawl_flags(serve)
     serve.add_argument("--host", default="127.0.0.1")
     serve.add_argument("--port", type=int, default=7700)
+    serve.add_argument("--reindex-interval", type=float, default=0,
+                       metavar="SECONDS",
+                       help="re-crawl the directory and incrementally "
+                            "index changed files every N seconds while "
+                            "serving (0 = off)")
     _add_model_flags(serve)
 
     doctor = sub.add_parser(
@@ -341,7 +347,41 @@ def cmd_serve(args) -> int:
     from sema_tpu.search.http_server import serve_forever
     config = load_config(args)
     mgr = make_index_manager(config)
-    serve_forever(mgr, host=args.host, port=args.port)
+
+    stop = None
+    if args.reindex_interval > 0:
+        # streaming re-index while serving: the store's arena tail makes
+        # appends O(batch) device work and searches are lock-free on a
+        # bucket snapshot; the text index serializes mutations behind
+        # its own lock. Same pattern the serving load test stresses
+        # (tools/load_test.py, BASELINE config 5).
+        import threading
+        from sema_tpu.crawl import FileCrawler
+        directory = resolve_directory(args)
+        stop = threading.Event()
+
+        def reindex_loop():
+            while not stop.wait(args.reindex_interval):
+                try:
+                    files = FileCrawler(
+                        crawler_config(config)).crawl_directory(directory)
+                    n = mgr.process_and_index_files(files)
+                    if n:
+                        print(f"re-indexed {n} chunks "
+                              f"({mgr.vector_store.live_rows} live)",
+                              file=sys.stderr)
+                except Exception as e:  # noqa: BLE001 — keep serving
+                    print(f"re-index failed: {e}", file=sys.stderr)
+
+        threading.Thread(target=reindex_loop, daemon=True,
+                         name="reindex").start()
+        print(f"re-indexing {directory} every "
+              f"{args.reindex_interval:g}s", file=sys.stderr)
+    try:
+        serve_forever(mgr, host=args.host, port=args.port)
+    finally:
+        if stop is not None:
+            stop.set()
     return 0
 
 

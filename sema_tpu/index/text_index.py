@@ -41,6 +41,22 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from sema_tpu.types import Chunk
 from sema_tpu.utils.fsio import atomic_write_json as _atomic_write_json
 
+
+def _locked(fn):
+    """Serialize a method behind the instance's RLock. The text index
+    is mutated by the serve daemon's re-index thread while HTTP threads
+    run keyword searches (sema-tpu serve --reindex-interval); unlike the
+    vector store's snapshot-based buckets, the postings dicts (and the
+    native backend's C++ vectors, which reallocate) need the coarse
+    lock — searches are sub-ms, so contention is negligible."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **kw):
+        with self._lock:
+            return fn(self, *a, **kw)
+    return wrapper
+
 K1 = 1.2
 B = 0.75
 MAX_TOKEN_LEN = 40  # tantivy default analyzer's RemoveLongFilter(40)
@@ -64,6 +80,8 @@ def tokenize(text: str) -> List[str]:
 
 class TextIndex:
     def __init__(self, data_dir: Path | str):
+        import threading
+        self._lock = threading.RLock()
         self.dir = Path(data_dir) / "text_index"
         self.seg_dir = self.dir / "segments"
         self.seg_dir.mkdir(parents=True, exist_ok=True)
@@ -189,6 +207,7 @@ class TextIndex:
         self._deleted = set()
         self._rewrite_as_single_segment()
 
+    @_locked
     def commit(self) -> None:
         """Durable write (≙ tantivy writer.commit, text_indexer.rs:70,159).
         Appends one segment with the new docs (cost O(batch)); tombstones
@@ -214,6 +233,7 @@ class TextIndex:
 
     # -- mutation ----------------------------------------------------------------
 
+    @_locked
     def index_chunks(self, chunks: Sequence[Chunk]) -> None:
         """Add documents and commit (text_indexer.rs:58-73 commits per batch)."""
         for c in chunks:
@@ -231,6 +251,7 @@ class TextIndex:
                 self._pending_postings[term][rel_id] = tf
         self.commit()
 
+    @_locked
     def remove_file_chunks(self, file_path) -> int:
         """Tombstone a file's documents (delete-then-reindex support)."""
         target = str(file_path)
@@ -276,6 +297,7 @@ class TextIndex:
                 scores[doc_id] += idf * tf * (K1 + 1) / denom
         return scores
 
+    @_locked
     def search(self, query: str, limit: int) -> List[Tuple[Chunk, float]]:
         """OR-of-terms BM25 (tantivy QueryParser default); quoted
         substrings add an exact-phrase filter. Empty query → no results
@@ -320,6 +342,7 @@ class TextIndex:
                 content=d["content"]), float(score)))
         return out
 
+    @_locked
     def close(self) -> None:
         self.commit()
 
@@ -333,7 +356,9 @@ class NativeTextIndex:
     Python oracle; migrates round-1 ``index.native.bin`` snapshots)."""
 
     def __init__(self, data_dir: Path | str):
+        import threading
         from sema_tpu.native.bindings import NativeTextIndexHandle
+        self._lock = threading.RLock()
         self.dir = Path(data_dir) / "text_index"
         self.seg_dir = self.dir / "segments"
         self.seg_dir.mkdir(parents=True, exist_ok=True)
@@ -415,17 +440,20 @@ class NativeTextIndex:
     def num_live_docs(self) -> int:
         return self._h.num_live()
 
+    @_locked
     def index_chunks(self, chunks: Sequence[Chunk]) -> None:
         self._h.add((c.id, str(c.file_path), c.start_line, c.end_line,
                      c.content) for c in chunks)
         self.commit()
 
+    @_locked
     def remove_file_chunks(self, file_path) -> int:
         n = self._h.remove_file(str(file_path))
         if n:
             self._tombstones_dirty = True
         return n
 
+    @_locked
     def search(self, query: str, limit: int) -> List[Tuple[Chunk, float]]:
         query = query.strip()
         if not query:
@@ -435,6 +463,7 @@ class NativeTextIndex:
                    content=c), float(score))
             for i, p, s, e, c, score in self._h.search(query, limit)]
 
+    @_locked
     def commit(self) -> None:
         wrote = False
         n = self._h.num_docs()
@@ -455,6 +484,7 @@ class NativeTextIndex:
             self._write_manifest(self._h.deleted_ids())
             self._tombstones_dirty = False
 
+    @_locked
     def close(self) -> None:
         self.commit()
 

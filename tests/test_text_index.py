@@ -108,3 +108,59 @@ def test_bm25_idf_formula(idx):
     tf = 1
     expected = math.log(2.0) * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg))
     assert results[0][1] == pytest.approx(expected)
+
+
+def test_concurrent_index_and_search(tmp_path):
+    """The serve daemon re-indexes from a background thread while HTTP
+    threads run keyword searches; the coarse per-index lock must keep
+    that race-free (previously the postings dicts mutated under a
+    concurrent reader)."""
+    import threading
+    from sema_tpu.types import Chunk
+    from pathlib import Path as P
+
+    idx = TextIndex(tmp_path)
+    idx.index_chunks([Chunk(id=f"s:{i}", file_path=P("seed.txt"),
+                            start_line=1, end_line=1,
+                            content=f"shared seed token{i}")
+                      for i in range(50)])
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        g = 0
+        while not stop.is_set():
+            g += 1
+            try:
+                idx.index_chunks([
+                    Chunk(id=f"w{g}:{i}", file_path=P(f"w{g}.txt"),
+                          start_line=1, end_line=1,
+                          content=f"shared write{g} token{i}")
+                    for i in range(20)])
+                if g % 3 == 0:
+                    idx.remove_file_chunks(P(f"w{g - 1}.txt"))
+                idx.commit()
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    def reader():
+        while not stop.is_set():
+            try:
+                idx.search("shared", 10)
+                idx.search("'shared token3", 10)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=writer)] + \
+        [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    import time
+    time.sleep(1.5)
+    stop.set()
+    for t in threads:
+        t.join(timeout=10)
+    assert not errors, errors
+    assert len(idx.search("shared", 5)) == 5
