@@ -129,7 +129,11 @@ def run(config_name: str = "minilm-1m") -> int:
     scan_hier = jax.jit(partial(batched_topk_scores_hier, k=k, group=128))
     if jax.default_backend() == "tpu" and rows % 2048 == 0:
         from sema_tpu.ops.pallas_topk import pallas_topk_scores
-        scan_batch = jax.jit(partial(pallas_topk_scores, k=k, tile_n=2048))
+        # the synthetic store is exactly 2^20 rows with every row live,
+        # so the mask-free kernel variant applies (as the production
+        # store dispatches for all-live unpadded buckets)
+        scan_batch = jax.jit(partial(pallas_topk_scores, k=k, tile_n=2048,
+                                     masked=False))
         scan_single = scan_batch
         scan_name = "pallas"
     else:

@@ -520,6 +520,9 @@ class VectorStore:
         return {
             "store": store,
             "valid": self._put(valid, P(axis)),
+            # every row live AND no padding: eligible for the mask-free
+            # scan kernel (one fewer full VPU pass per tile)
+            "all_valid": bool(valid.all()),
             "n_pad": n_pad, "rows": rows,
             "seg_range": tuple(seg_range), "row_offset": row_offset,
             "sealed": sealed,
@@ -559,6 +562,7 @@ class VectorStore:
                                     row0)
         rows = bucket["rows"] + rows_add
         return {**bucket, "store": store, "valid": new_valid,
+                "all_valid": False,   # the arena keeps padded capacity
                 "rows": rows,
                 "seg_range": (bucket["seg_range"][0], seg_end),
                 "sealed": rows >= self.SEAL_ROWS}
@@ -648,10 +652,11 @@ class VectorStore:
             from jax.sharding import PartitionSpec as P
             for b in buckets:
                 if id(b) in reused:
-                    b["valid"] = self._put(
-                        self._bucket_valid_host(b["seg_range"],
-                                                b["n_pad"]),
-                        P(self.index_axis))
+                    host_valid = self._bucket_valid_host(
+                        b["seg_range"], b["n_pad"])
+                    b["valid"] = self._put(host_valid,
+                                           P(self.index_axis))
+                    b["all_valid"] = bool(host_valid.all())
         self._buckets = buckets
         self._valid_dirty = False
 
@@ -719,11 +724,15 @@ class VectorStore:
 
     # -- search -----------------------------------------------------------------
 
-    def _scan_fn(self, n_pad: int, k_eff: int):
+    def _scan_fn(self, n_pad: int, k_eff: int, all_valid: bool = False):
         """Compiled (store, queries, valid) -> (scores, ids), cached per
-        (rows, k). Single-device uses the hierarchical exact selection;
-        multi-device wraps it in the shard_map all-gather merge."""
-        key = (n_pad, k_eff, self.store_dtype)
+        (rows, k, maskedness). Single-device uses the fused Pallas scan;
+        multi-device wraps the local scan in the shard_map all-gather
+        merge. ``all_valid`` selects the mask-free kernel variant
+        (single-device bf16 only) for buckets with every row live."""
+        all_valid = all_valid and self.mesh is None \
+            and self.store_dtype != "int8"
+        key = (n_pad, k_eff, self.store_dtype, all_valid)
         fn = self._topk_fns.get(key)
         if fn is not None:
             return fn
@@ -771,7 +780,8 @@ class VectorStore:
             if pallas_ok:
                 from sema_tpu.ops.pallas_topk import pallas_topk_scores
                 pallas_fn = partial(pallas_topk_scores, tile_n=2048,
-                                    interpret=not on_tpu)
+                                    interpret=not on_tpu,
+                                    masked=not all_valid)
             else:
                 pallas_fn = None
 
@@ -831,7 +841,8 @@ class VectorStore:
         pending = []
         for b in buckets:
             k_scan = min(k_class, b["n_pad"])
-            fn = self._scan_fn(b["n_pad"], k_scan)
+            fn = self._scan_fn(b["n_pad"], k_scan,
+                               all_valid=b.get("all_valid", False))
             pending.append((b, fn(b["store"], q, b["valid"])))
         for b, (s, i) in pending:  # dispatch all, then sync
             all_scores.append(np.asarray(s))

@@ -133,6 +133,22 @@ def _scan_kernel(q_ref, store_ref, valid_ref, out_s_ref, out_i_ref,
                     run_s, run_i, wide, tmp_s, tmp_i, k=k, tile_n=tile_n)
 
 
+def _scan_kernel_nomask(q_ref, store_ref, out_s_ref, out_i_ref,
+                        run_s, run_i, wide, tmp_s, tmp_i, *, k: int,
+                        tile_n: int):
+    """Mask-free variant for stores where EVERY row is live (no
+    tombstones, no padding): drops the (Q, TILE_N) validity select —
+    one full VPU pass per tile — and the (1, N) mask load."""
+    i = pl.program_id(0)
+    q = q_ref[:]                                    # (Q, d)
+    tile = store_ref[:]                             # (TILE_N, d)
+    scores = jax.lax.dot_general(
+        q, tile, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (Q, TILE_N)
+    _merge_and_emit(scores, i, out_s_ref, out_i_ref,
+                    run_s, run_i, wide, tmp_s, tmp_i, k=k, tile_n=tile_n)
+
+
 def _scan_kernel_int8(q_ref, store_ref, scale_ref, valid_ref,
                       out_s_ref, out_i_ref,
                       run_s, run_i, wide, tmp_s, tmp_i, *, k: int,
@@ -154,25 +170,34 @@ def _scan_kernel_int8(q_ref, store_ref, scale_ref, valid_ref,
                     run_s, run_i, wide, tmp_s, tmp_i, k=k, tile_n=tile_n)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile_n", "interpret", "masked"))
 def _pallas_topk_padded(store, queries, valid, k: int, tile_n: int,
-                        interpret: bool):
+                        interpret: bool, masked: bool = True):
     n, d = store.shape
     qn = queries.shape[0]
     grid = (n // tile_n,)
 
-    kernel = functools.partial(_scan_kernel, k=k, tile_n=tile_n)
+    if masked:
+        kernel = functools.partial(_scan_kernel, k=k, tile_n=tile_n)
+    else:
+        kernel = functools.partial(_scan_kernel_nomask, k=k,
+                                   tile_n=tile_n)
+    in_specs = [
+        pl.BlockSpec((qn, d), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [queries.astype(store.dtype), store]
+    if masked:
+        in_specs.append(pl.BlockSpec((1, tile_n), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        operands.append(valid.astype(jnp.float32).reshape(1, n))
     out_s, out_i = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((qn, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((qn, K_PAD), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -191,15 +216,15 @@ def _pallas_topk_padded(store, queries, valid, k: int, tile_n: int,
             pltpu.VMEM((qn, K_PAD), jnp.int32),
         ],
         interpret=interpret,
-    )(queries.astype(store.dtype),
-      store,
-      valid.astype(jnp.float32).reshape(1, n))
+    )(*operands)
     return out_s, out_i
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile_n", "interpret", "masked"))
 def pallas_topk(store: jax.Array, queries: jax.Array, valid: jax.Array,
-                k: int, tile_n: int = 2048, interpret: bool = False):
+                k: int, tile_n: int = 2048, interpret: bool = False,
+                masked: bool = True):
     """Exact top-k of ``queries @ store.T`` with validity masking.
 
     Jitted as a whole (kernel + sentinel normalization + slicing): the
@@ -218,7 +243,7 @@ def pallas_topk(store: jax.Array, queries: jax.Array, valid: jax.Array,
     if k > K_PAD:
         raise ValueError(f"k={k} exceeds the kernel's K_PAD={K_PAD}")
     out_s, out_i = _pallas_topk_padded(store, queries, valid, k, tile_n,
-                                       interpret)
+                                       interpret, masked=masked)
     # normalize the masked-slot contract to match the XLA paths: inside the
     # kernel invalid/padded rows carry the finite sentinel NEG (Mosaic
     # embeds it literally); consumers filter masked slots with isfinite, so
@@ -229,11 +254,14 @@ def pallas_topk(store: jax.Array, queries: jax.Array, valid: jax.Array,
 
 
 def pallas_topk_scores(store, queries, valid, k, tile_n: int = 2048,
-                       interpret: bool = False):
+                       interpret: bool = False, masked: bool = True):
     """Drop-in replacement for ops.topk.batched_topk_scores (same contract);
-    pads are expected to be pre-masked via ``valid``."""
+    pads are expected to be pre-masked via ``valid``. Pass
+    ``masked=False`` ONLY when every row of the store is live (no
+    tombstones, no padding) — the validity input is then ignored and
+    the per-tile mask select is skipped."""
     return pallas_topk(store, queries, valid, k, tile_n=tile_n,
-                       interpret=interpret)
+                       interpret=interpret, masked=masked)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))

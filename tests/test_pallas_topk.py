@@ -244,3 +244,19 @@ def test_randomized_oracle_equivalence(seed):
             if ip[r, c] != ih[r, c]:
                 gap = abs(host[r, ip[r, c]] - host[r, ih[r, c]])
                 assert gap < 1e-4, (r, c, ip[r, c], ih[r, c], gap)
+
+
+def test_maskless_variant_matches_masked():
+    """masked=False (all rows live, no padding) must agree with the
+    masked kernel exactly."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    n, d, qn, k = 512, 128, 4, 10
+    store = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
+    q = jnp.asarray(rng.standard_normal((qn, d)), dtype=jnp.float32)
+    valid = jnp.ones((n,), dtype=bool)
+    s_m, i_m = pallas_topk(store, q, valid, k, tile_n=128, interpret=True)
+    s_u, i_u = pallas_topk(store, q, valid, k, tile_n=128, interpret=True,
+                           masked=False)
+    np.testing.assert_array_equal(np.asarray(s_m), np.asarray(s_u))
+    np.testing.assert_array_equal(np.asarray(i_m), np.asarray(i_u))

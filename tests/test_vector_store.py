@@ -502,3 +502,27 @@ class TestStreamingBuckets:
         cs0, v0 = chunks_and_vecs(32, path="s0.txt", seed=0)
         res = store.search(v0[4], k=3)
         assert all(str(r[0].file_path) != "s0.txt" for r in res)
+
+
+def test_all_valid_bucket_flag(tmp_path, monkeypatch):
+    """Buckets track all_valid (mask-free scan eligibility): unsealed
+    tail buckets carry arena headroom (padding) so they are never
+    eligible; an exactly-filled SEALED bucket is — until tombstoned.
+    Searches stay correct in every state."""
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(100, path="a.txt")   # padded + headroom
+    store.add_chunks(cs, vecs)
+    [b] = store.device_buckets()
+    assert b["all_valid"] is False                   # padding rows
+    assert store.search(vecs[7], k=1)[0][0].id == "a.txt:7"
+
+    monkeypatch.setattr(VectorStore, "SEAL_ROWS", 128)
+    store2 = make_store(tmp_path / "exact", d=32)
+    cs2, v2 = chunks_and_vecs(128, path="b.txt")     # one sealed bucket
+    store2.add_chunks(cs2, v2)
+    b2 = store2.device_buckets()[0]
+    assert b2["sealed"] and b2["all_valid"] is True
+    assert store2.search(v2[9], k=1)[0][0].id == "b.txt:9"
+    store2.remove_file_chunks(Path("b.txt"))
+    b3 = store2.device_buckets()[0]
+    assert b3["all_valid"] is False                  # tombstones
