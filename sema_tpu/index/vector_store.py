@@ -111,6 +111,7 @@ class _Segment:
         self._vectors: Optional[np.memmap] = None
         self._offsets: Optional[np.ndarray] = None  # (rows+1,) uint64
         self._meta_fd: Optional[int] = None
+        self._fd_lock = threading.Lock()
         self._file_rows: Optional[Dict[str, List[int]]] = None
 
     # -- paths
@@ -177,7 +178,12 @@ class _Segment:
         off = self.offsets
         start, end = int(off[i]), int(off[i + 1])
         if self._meta_fd is None:
-            self._meta_fd = os.open(self.meta_path, os.O_RDONLY)
+            # concurrent serving threads race the lazy open; without the
+            # lock a double-open leaks one fd per race (pread itself is
+            # thread-safe — only the open needs guarding)
+            with self._fd_lock:
+                if self._meta_fd is None:
+                    self._meta_fd = os.open(self.meta_path, os.O_RDONLY)
         return json.loads(os.pread(self._meta_fd, end - start, start))
 
     def iter_meta(self):
@@ -631,11 +637,14 @@ class VectorStore:
                 min_capacity_rows=headroom))
             row_offset += rows
             seg_start = seg_end
-        # consolidate a fragmented unsealed tail (unsealed buckets are a
-        # contiguous suffix by construction): one amortized upload instead
-        # of per-append whole-tail re-uploads
-        tail_from = next((i for i, b in enumerate(buckets)
-                          if not b["sealed"]), len(buckets))
+        # consolidate a fragmented unsealed tail. Anchor at the maximal
+        # all-unsealed SUFFIX (scan from the end), not the first unsealed
+        # bucket: a bulk append behind a small unsealed tail produces
+        # unsealed-then-sealed ordering, and anchoring early would
+        # re-upload sealed buckets the design promises never to touch
+        tail_from = len(buckets)
+        while tail_from > 0 and not buckets[tail_from - 1]["sealed"]:
+            tail_from -= 1
         if len(buckets) - tail_from > self.MAX_TAIL_BUCKETS:
             first = buckets[tail_from]
             rows = sum(b["rows"] for b in buckets[tail_from:])

@@ -227,10 +227,12 @@ def encoder_layer(x: jax.Array, layer: Params, mask_bias: jax.Array,
     # VMEM budget can hold alongside the activation blocks, so they take
     # the projection-outside attention kernel instead (no pinned
     # weights), like the int8-quantized path does.
+    # weights are cast to x.dtype inside the kernel, so the VMEM estimate
+    # must use the COMPUTE dtype's width (f32 doubles it vs bf16)
     fits_vmem = ("qkv_w" in layer and "attn_out_w" in layer
                  and sum(int(np.prod(layer[w].shape)) for w in
                          ("qkv_w", "attn_out_w", "ffn_in_w", "ffn_out_w")
-                         ) * 2 <= (15 << 20))
+                         ) * jnp.dtype(x.dtype).itemsize <= (15 << 20))
     if attn_impl == "fused" and s >= min_s and fits_vmem:
         # maximal fusion: the ENTIRE layer — qkv projection → attention
         # → out projection → residual → LN1 → FFN → residual → LN2 —

@@ -492,6 +492,38 @@ class TestStreamingBuckets:
         cs0, v0 = chunks_and_vecs(16, path="s0.txt", seed=0)
         assert store.search(v0[2], k=1)[0][0].id == "s0.txt:2"
 
+    def test_consolidation_skips_sealed_after_unsealed(self, tmp_path,
+                                                       monkeypatch):
+        """A bulk append behind a small unsealed tail produces
+        unsealed-then-sealed bucket ordering; consolidation must anchor at
+        the all-unsealed SUFFIX and never re-upload the sealed bucket."""
+        monkeypatch.setattr(VectorStore, "SEAL_ROWS", 100)
+        monkeypatch.setattr(VectorStore, "MAX_TAIL_BUCKETS", 2)
+        store = make_store(tmp_path)
+        cs, v_small = chunks_and_vecs(16, path="small.txt", seed=0)
+        store.add_chunks(cs, v_small)          # unsealed bucket A
+        cs, v_bulk = chunks_and_vecs(150, path="bulk.txt", seed=1)
+        store.add_chunks(cs, v_bulk)           # sealed bucket B behind A
+        buckets = store.device_buckets()
+        sealed = [b for b in buckets if b["sealed"]]
+        assert len(sealed) == 1
+        sealed_store_id = id(sealed[0]["store"])
+        sealed_range = sealed[0]["seg_range"]
+        # fragment the tail with appends too big for the arena headroom
+        vs = []
+        for g, n in enumerate((60, 70, 80, 90)):
+            cs, v = chunks_and_vecs(n, path=f"t{g}.txt", seed=10 + g)
+            store.add_chunks(cs, v)
+            vs.append(v)
+        buckets = store.device_buckets()
+        # the sealed bucket survived consolidation UNTOUCHED (same device
+        # array — no re-upload), and only the unsealed suffix merged
+        survivors = [b for b in buckets if b["seg_range"] == sealed_range]
+        assert survivors and id(survivors[0]["store"]) == sealed_store_id
+        assert store.search(v_small[3], k=1)[0][0].id == "small.txt:3"
+        assert store.search(v_bulk[42], k=1)[0][0].id == "bulk.txt:42"
+        assert store.search(vs[2][5], k=1)[0][0].id == "t2.txt:5"
+
     def test_tombstone_refreshes_masks_on_all_buckets(self, tmp_path):
         store = make_store(tmp_path)
         for g in range(3):
