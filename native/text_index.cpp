@@ -1,26 +1,35 @@
-// Native BM25 full-text index (≙ tantivy in the reference,
-// src/storage/text_indexer.rs). Semantics mirror the Python oracle
-// sema_tpu/index/text_index.py exactly:
-//   - tokenizer: split on non-word codepoints (generated BMP table matches
-//     Python [^\W_]), unicode lowercase (sparse BMP table), drop tokens
-//     longer than 40 chars (tantivy RemoveLongFilter);
-//   - BM25 k1=1.2 b=0.75, OR-of-terms, idf = ln(1 + (N-df+.5)/(df+.5)),
-//     df/avg-len over live docs only;
-//   - quoted phrases filter candidates to docs whose token stream contains
-//     the phrase tokens consecutively;
-//   - tombstone deletion by file path; durable binary serialization.
+// Native BM25 full-text engine over disk-resident v2 segments
+// (≙ tantivy in the reference, src/storage/text_indexer.rs: immutable
+// mmap'd segments, content left on disk and read per hit).
+//
+// The on-disk format is shared with the Python/numpy engine — see
+// sema_tpu/index/text_segment.py for the authoritative layout spec.
+// This file provides the two hot operations:
+//   sema_tseg_build   — tokenize a doc batch and write one segment
+//   sema_tseg_search  — BM25 OR-of-terms + phrase filter over a list of
+//                       mmap'd segments, df/avg over live docs only
+// Semantics (tokenizer, scoring constants, tie-breaks, phrase sentinel
+// convention) are bit-compatible with the Python oracle
+// sema_tpu/index/text_index.py; the parity suite asserts identical
+// rankings and scores.
 //
 // C ABI with the same [u64 len][payload] result convention as
-// sema_native.cpp. Handles are opaque pointers.
+// sema_native.cpp.
 
 #include "unicode_lower_table.h"
 #include "unicode_word_table.h"
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
-#include <fstream>
+#include <map>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -29,22 +38,7 @@
 
 namespace {
 
-struct Doc {
-    std::string id, path, content;
-    uint64_t start_line = 0, end_line = 0;
-    bool alive = true;
-};
-
-struct TextIndex {
-    std::vector<Doc> docs;
-    std::vector<uint32_t> doc_len;
-    std::unordered_map<std::string,
-                       std::vector<std::pair<uint32_t, uint32_t>>> postings;
-    uint32_t live = 0;
-    uint64_t live_len_sum = 0;
-};
-
-// -- utf8 tokenizer ----------------------------------------------------------
+// -- utf8 tokenizer (tantivy default analyzer semantics) ---------------------
 
 inline uint32_t decode_utf8(const std::string& s, size_t& i) {
     uint8_t c = s[i];
@@ -105,93 +99,317 @@ std::vector<std::string> tokenize(const std::string& text) {
 
 constexpr double K1 = 1.2, B = 0.75;
 
-// -- io helpers ----------------------------------------------------------------
+// -- v2 segment format --------------------------------------------------------
+
+constexpr uint32_t kMagic = 0x32544D53;   // "SMT2"
+constexpr uint32_t kVersion = 2;
+constexpr int kNumSections = 11;
+// header: u32 magic, u32 version, u64 n_docs, u64 total_len, u64 n_terms,
+//         u64 n_files, u64 off[11]
+constexpr size_t kHeaderSize = 4 + 4 + 8 * 4 + 8 * kNumSections;
+
+uint64_t fnv1a64(const std::string& s) {
+    uint64_t h = 0xCBF29CE484222325ULL;
+    for (unsigned char c : s) {
+        h ^= c;
+        h *= 0x100000001B3ULL;
+    }
+    return h;
+}
 
 struct Reader {
     const uint8_t* p;
     size_t n, off = 0;
     uint32_t u32() { uint32_t v; memcpy(&v, p + off, 4); off += 4; return v; }
     uint64_t u64() { uint64_t v; memcpy(&v, p + off, 8); off += 8; return v; }
+    double f64() { double v; memcpy(&v, p + off, 8); off += 8; return v; }
     std::string str() {
         uint32_t len = u32();
         std::string s(reinterpret_cast<const char*>(p + off), len);
         off += len;
         return s;
     }
+    const uint8_t* bytes(uint64_t len) {
+        const uint8_t* b = p + off;
+        off += len;
+        return b;
+    }
 };
 
-void write_str(std::ofstream& f, const std::string& s) {
-    uint32_t n = (uint32_t)s.size();
-    f.write((char*)&n, 4);
-    f.write(s.data(), n);
+void pad8(std::string& s) {
+    while (s.size() % 8) s += '\0';
 }
 
-std::string read_str(std::ifstream& f) {
-    uint32_t n = 0;
-    f.read((char*)&n, 4);
-    std::string s(n, '\0');
-    f.read(s.data(), n);
-    return s;
+// -- segment build ------------------------------------------------------------
+
+struct FileRun {
+    uint64_t hash;
+    uint32_t start, count;
+};
+
+// blob: u32 n; per doc: str id, str path, u64 start, u64 end, str content
+int build_segment(const uint8_t* blob, uint64_t blob_len, const char* path) {
+    Reader r{blob, blob_len};
+    uint32_t n = r.u32();
+
+    std::string doc_len, meta_idx, meta, content_idx, content;
+    std::map<std::string, std::vector<std::pair<uint32_t, uint32_t>>> postings;
+    std::vector<FileRun> runs;
+    std::string prev_path;
+    uint64_t moff = 0, coff = 0, total_len = 0;
+    put_u64(meta_idx, 0);
+    put_u64(content_idx, 0);
+
+    for (uint32_t i = 0; i < n; i++) {
+        std::string id = r.str();
+        std::string fpath = r.str();
+        uint64_t start = r.u64(), end = r.u64();
+        std::string body = r.str();
+
+        auto toks = tokenize(body);
+        put_u32(doc_len, (uint32_t)toks.size());
+        total_len += toks.size();
+        std::unordered_map<std::string, uint32_t> tf;
+        for (auto& t : toks) tf[t]++;
+        for (auto& [term, count] : tf)
+            postings[term].emplace_back(i, count);
+
+        put_u32(meta, (uint32_t)start);
+        put_u32(meta, (uint32_t)end);
+        uint16_t idl = (uint16_t)id.size(), pl = (uint16_t)fpath.size();
+        meta.append(reinterpret_cast<const char*>(&idl), 2);
+        meta.append(reinterpret_cast<const char*>(&pl), 2);
+        meta += id;
+        meta += fpath;
+        moff += 12 + idl + pl;
+        put_u64(meta_idx, moff);
+
+        content += body;
+        coff += body.size();
+        put_u64(content_idx, coff);
+
+        if (runs.empty() || fpath != prev_path) {
+            runs.push_back({fnv1a64(fpath), i, 1});
+            prev_path = fpath;
+        } else {
+            runs.back().count++;
+        }
+    }
+
+    // postings doc ids are ascending per term by construction (docs are
+    // processed in order); std::map keys are bytewise-sorted — the
+    // format's term order
+    std::string term_idx, terms, post_idx, post_ids, post_tfs;
+    uint64_t toff = 0, pcount = 0;
+    put_u64(term_idx, 0);
+    put_u64(post_idx, 0);
+    for (auto& [term, plist] : postings) {
+        terms += term;
+        toff += term.size();
+        put_u64(term_idx, toff);
+        for (auto& [doc, tf] : plist) {
+            put_u32(post_ids, doc);
+            put_u32(post_tfs, tf);
+        }
+        pcount += plist.size();
+        put_u64(post_idx, pcount);
+    }
+
+    std::stable_sort(runs.begin(), runs.end(),
+                     [](const FileRun& a, const FileRun& b) {
+                         return a.hash < b.hash;
+                     });
+    std::string files;
+    for (auto& fr : runs) {
+        put_u64(files, fr.hash);
+        put_u32(files, fr.start);
+        put_u32(files, fr.count);
+    }
+
+    const std::string* sections[kNumSections] = {
+        &doc_len, &meta_idx, &meta, &content_idx, &content,
+        &term_idx, &terms, &post_idx, &post_ids, &post_tfs, &files,
+    };
+    std::string out(kHeaderSize, '\0');
+    pad8(out);
+    uint64_t offs[kNumSections];
+    for (int s = 0; s < kNumSections; s++) {
+        offs[s] = out.size();
+        out += *sections[s];
+        pad8(out);
+    }
+    size_t o = 0;
+    memcpy(out.data() + o, &kMagic, 4); o += 4;
+    memcpy(out.data() + o, &kVersion, 4); o += 4;
+    uint64_t n64 = n, nterms = postings.size(), nfiles = runs.size();
+    memcpy(out.data() + o, &n64, 8); o += 8;
+    memcpy(out.data() + o, &total_len, 8); o += 8;
+    memcpy(out.data() + o, &nterms, 8); o += 8;
+    memcpy(out.data() + o, &nfiles, 8); o += 8;
+    memcpy(out.data() + o, offs, 8 * kNumSections);
+
+    std::string tmp = std::string(path) + ".tmp";
+    FILE* f = fopen(tmp.c_str(), "wb");
+    if (!f) return -1;
+    bool ok = fwrite(out.data(), 1, out.size(), f) == out.size();
+    ok = fflush(f) == 0 && ok;
+    ok = fsync(fileno(f)) == 0 && ok;
+    fclose(f);
+    if (!ok) return -1;
+    return rename(tmp.c_str(), path) == 0 ? 0 : -1;
 }
+
+// -- segment view (mmap) ------------------------------------------------------
+
+struct SegView {
+    int fd = -1;
+    const uint8_t* map = nullptr;
+    size_t map_len = 0;
+    uint64_t n_docs = 0, total_len = 0, n_terms = 0, n_files = 0;
+    uint64_t off[kNumSections] = {0};
+    uint64_t base = 0;                 // global doc-id offset
+    const uint8_t* del_bits = nullptr; // packed bitmap or null
+
+    bool open(const std::string& path) {
+        fd = ::open(path.c_str(), O_RDONLY);
+        if (fd < 0) return false;
+        struct stat st;
+        if (fstat(fd, &st) != 0 || (size_t)st.st_size < kHeaderSize) {
+            ::close(fd); fd = -1;
+            return false;
+        }
+        map_len = st.st_size;
+        void* m = mmap(nullptr, map_len, PROT_READ, MAP_SHARED, fd, 0);
+        if (m == MAP_FAILED) { ::close(fd); fd = -1; return false; }
+        map = static_cast<const uint8_t*>(m);
+        uint32_t magic, version;
+        memcpy(&magic, map, 4);
+        memcpy(&version, map + 4, 4);
+        if (magic != kMagic || version != kVersion) return false;
+        memcpy(&n_docs, map + 8, 8);
+        memcpy(&total_len, map + 16, 8);
+        memcpy(&n_terms, map + 24, 8);
+        memcpy(&n_files, map + 32, 8);
+        memcpy(off, map + 40, 8 * kNumSections);
+        return true;
+    }
+
+    ~SegView() {
+        if (map) munmap(const_cast<uint8_t*>(map), map_len);
+        if (fd >= 0) ::close(fd);
+    }
+
+    bool live(uint32_t i) const {
+        return !del_bits || ((del_bits[i >> 3] >> (i & 7)) & 1) == 0;
+    }
+    const uint32_t* doc_len() const {
+        return reinterpret_cast<const uint32_t*>(map + off[0]);
+    }
+    const uint64_t* meta_idx() const {
+        return reinterpret_cast<const uint64_t*>(map + off[1]);
+    }
+    const uint64_t* content_idx() const {
+        return reinterpret_cast<const uint64_t*>(map + off[3]);
+    }
+    const uint64_t* term_idx() const {
+        return reinterpret_cast<const uint64_t*>(map + off[5]);
+    }
+    const uint64_t* post_idx() const {
+        return reinterpret_cast<const uint64_t*>(map + off[7]);
+    }
+    const uint32_t* post_ids() const {
+        return reinterpret_cast<const uint32_t*>(map + off[8]);
+    }
+    const uint32_t* post_tfs() const {
+        return reinterpret_cast<const uint32_t*>(map + off[9]);
+    }
+
+    // bytewise binary search over the sorted term blob; -1 when absent
+    int64_t find_term(const std::string& term) const {
+        const uint64_t* tix = term_idx();
+        const char* blob = reinterpret_cast<const char*>(map + off[6]);
+        int64_t lo = 0, hi = (int64_t)n_terms;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) / 2;
+            size_t a = tix[mid], b = tix[mid + 1];
+            int c = std::char_traits<char>::compare(
+                blob + a, term.data(), std::min(b - a, term.size()));
+            if (c == 0) c = (b - a < term.size()) ? -1
+                            : (b - a > term.size()) ? 1 : 0;
+            if (c < 0) lo = mid + 1;
+            else if (c > 0) hi = mid;
+            else return mid;
+        }
+        return -1;
+    }
+
+    std::string content(uint32_t i) const {
+        const uint64_t* cix = content_idx();
+        return std::string(
+            reinterpret_cast<const char*>(map + off[4] + cix[i]),
+            cix[i + 1] - cix[i]);
+    }
+
+    void meta(uint32_t i, std::string& id, std::string& path,
+              uint32_t& start, uint32_t& end) const {
+        const uint64_t* mix = meta_idx();
+        const uint8_t* rec = map + off[2] + mix[i];
+        uint16_t idl, pl;
+        memcpy(&start, rec, 4);
+        memcpy(&end, rec + 4, 4);
+        memcpy(&idl, rec + 8, 2);
+        memcpy(&pl, rec + 10, 2);
+        id.assign(reinterpret_cast<const char*>(rec + 12), idl);
+        path.assign(reinterpret_cast<const char*>(rec + 12 + idl), pl);
+    }
+};
 
 }  // namespace
 
 extern "C" {
 
-void* sema_text_new() { return new TextIndex(); }
+int sema_tseg_build(const uint8_t* blob, uint64_t blob_len,
+                    const char* path) {
+    return build_segment(blob, blob_len, path);
+}
 
-void sema_text_free_index(void* h) { delete static_cast<TextIndex*>(h); }
-
-// blob: u32 n; per doc: str id, str path, u64 start, u64 end, str content
-void sema_text_add(void* h, const uint8_t* blob, uint64_t blob_len) {
-    auto* idx = static_cast<TextIndex*>(h);
-    Reader r{blob, blob_len};
-    uint32_t n = r.u32();
-    for (uint32_t i = 0; i < n; i++) {
-        Doc d;
-        d.id = r.str();
-        d.path = r.str();
-        d.start_line = r.u64();
-        d.end_line = r.u64();
-        d.content = r.str();
-        uint32_t doc_id = (uint32_t)idx->docs.size();
-        auto toks = tokenize(d.content);
-        std::unordered_map<std::string, uint32_t> tf;
-        for (auto& t : toks) tf[t]++;
-        for (auto& [term, count] : tf)
-            idx->postings[term].emplace_back(doc_id, count);
-        idx->doc_len.push_back((uint32_t)toks.size());
-        idx->live++;
-        idx->live_len_sum += toks.size();
-        idx->docs.push_back(std::move(d));
+// Open a persistent mmap handle over a segment. The mapping stays valid
+// after the file is unlinked (compaction), matching the Python engine's
+// eager-memmap reader semantics. NULL on failure.
+void* sema_tseg_open(const char* path) {
+    auto* sv = new SegView();
+    if (!sv->open(path)) {
+        delete sv;
+        return nullptr;
     }
+    return sv;
 }
 
-uint64_t sema_text_remove_file(void* h, const char* path) {
-    auto* idx = static_cast<TextIndex*>(h);
-    uint64_t removed = 0;
-    for (size_t i = 0; i < idx->docs.size(); i++) {
-        if (idx->docs[i].alive && idx->docs[i].path == path) {
-            idx->docs[i].alive = false;
-            idx->live--;
-            idx->live_len_sum -= idx->doc_len[i];
-            removed++;
-        }
-    }
-    return removed;
-}
+void sema_tseg_close(void* h) { delete static_cast<SegView*>(h); }
 
-uint64_t sema_text_num_live(void* h) {
-    return static_cast<TextIndex*>(h)->live;
-}
-
+// blob: f64 avg_len, u64 n_live, u32 n_segs;
+//       per seg: u64 handle (from sema_tseg_open), u64 base,
+//                u64 del_bytes, bitmap
 // payload: u32 n; per hit: str id, str path, u64 start, u64 end,
 //          str content, f64 score (bits)
-uint8_t* sema_text_search(void* h, const char* query_utf8, uint32_t limit) {
-    auto* idx = static_cast<TextIndex*>(h);
-    std::string query(query_utf8);
+uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
+                          const char* query_utf8, uint32_t limit) {
+    Reader r{blob, blob_len};
+    double avg = r.f64();
+    uint64_t n_live = r.u64();
+    uint32_t n_segs = r.u32();
+    std::vector<SegView*> segs(n_segs);
+    std::string payload;
+    for (uint32_t i = 0; i < n_segs; i++) {
+        segs[i] = reinterpret_cast<SegView*>(r.u64());
+        segs[i]->base = r.u64();
+        uint64_t del_bytes = r.u64();
+        segs[i]->del_bits = del_bytes ? r.bytes(del_bytes) : nullptr;
+    }
 
-    // split out "quoted phrases"
+    // split out "quoted phrases" (same convention as the Python regex:
+    // an unmatched quote stays in the bare part and tokenizes away)
+    std::string query(query_utf8);
     std::vector<std::string> phrases;
     std::string bare;
     size_t pos = 0;
@@ -205,335 +423,110 @@ uint8_t* sema_text_search(void* h, const char* query_utf8, uint32_t limit) {
         phrases.push_back(query.substr(open + 1, close - open - 1));
         pos = close + 1;
     }
-
     std::vector<std::string> terms = tokenize(bare);
     for (auto& p : phrases)
         for (auto& t : tokenize(p)) terms.push_back(t);
 
-    std::string payload;
-    if (terms.empty() || idx->live == 0) {
+    if (terms.empty() || n_live == 0) {
         put_u32(payload, 0);
         return make_result(payload);
     }
-
-    double avg = idx->live ? (double)idx->live_len_sum / idx->live : 1.0;
     if (avg == 0.0) avg = 1.0;
-    std::unordered_map<uint32_t, double> scores;
+
+    // pass 1: global live df per term (cache per-seg term indexes);
+    // pass 2: accumulate scores term-major — bit-identical to the numpy
+    // engine's bincount over the same concatenation order
+    std::unordered_map<uint64_t, double> scores;
     for (auto& term : terms) {
-        auto it = idx->postings.find(term);
-        if (it == idx->postings.end()) continue;
-        uint32_t df = 0;
-        for (auto& [doc, tf] : it->second)
-            if (idx->docs[doc].alive) df++;
+        std::vector<std::pair<uint32_t, int64_t>> found;  // (seg, term idx)
+        uint64_t df = 0;
+        for (uint32_t s = 0; s < n_segs; s++) {
+            int64_t t = segs[s]->find_term(term);
+            if (t < 0) continue;
+            const uint64_t* pix = segs[s]->post_idx();
+            const uint32_t* ids = segs[s]->post_ids();
+            for (uint64_t e = pix[t]; e < pix[t + 1]; e++)
+                if (segs[s]->live(ids[e])) df++;
+            found.emplace_back(s, t);
+        }
         if (df == 0) continue;
-        double idf = std::log(1.0 + (idx->live - df + 0.5) / (df + 0.5));
-        for (auto& [doc, tf] : it->second) {
-            if (!idx->docs[doc].alive) continue;
-            double dl = idx->doc_len[doc];
-            double denom = tf + K1 * (1 - B + B * dl / avg);
-            scores[doc] += idf * tf * (K1 + 1) / denom;
+        double idf = std::log(1.0 + (n_live - df + 0.5) / (df + 0.5));
+        for (auto& [s, t] : found) {
+            const SegView& sv = *segs[s];
+            const uint64_t* pix = sv.post_idx();
+            const uint32_t* ids = sv.post_ids();
+            const uint32_t* tfs = sv.post_tfs();
+            const uint32_t* dls = sv.doc_len();
+            for (uint64_t e = pix[t]; e < pix[t + 1]; e++) {
+                uint32_t doc = ids[e];
+                if (!sv.live(doc)) continue;
+                double tf = tfs[e];
+                double dl = dls[doc];
+                double denom = tf + K1 * (1 - B + B * dl / avg);
+                scores[sv.base + doc] += idf * tf * (K1 + 1) / denom;
+            }
         }
     }
 
-    std::vector<std::pair<uint32_t, double>> ranked(scores.begin(),
+    std::vector<std::pair<uint64_t, double>> ranked(scores.begin(),
                                                     scores.end());
-    if (!phrases.empty()) {
-        std::vector<std::vector<std::string>> ptoks;
-        for (auto& p : phrases) ptoks.push_back(tokenize(p));
-        // sentinel-wrapped join: '\x00' on BOTH sides of every token so a
-        // phrase term never matches a substring of a longer token ("bar"
-        // must not match "barometer"); identical to the Python oracle
-        auto has_phrases = [&](const Doc& d) {
-            auto toks = tokenize(d.content);
-            std::string joined(1, '\x00');
-            for (auto& t : toks) { joined += t; joined += '\x00'; }
-            for (auto& pt : ptoks) {
-                if (pt.empty()) continue;  // no-token phrase: no
-                                           // constraint (matches oracle)
-                std::string needle(1, '\x00');
-                for (auto& t : pt) { needle += t; needle += '\x00'; }
-                if (joined.find(needle) == std::string::npos) return false;
-            }
-            return true;
-        };
-        ranked.erase(std::remove_if(ranked.begin(), ranked.end(),
-                                    [&](auto& kv) {
-                                        return !has_phrases(idx->docs[kv.first]);
-                                    }),
-                     ranked.end());
-    }
-
     std::sort(ranked.begin(), ranked.end(), [](auto& a, auto& b) {
         if (a.second != b.second) return a.second > b.second;
         return a.first < b.first;
     });
-    if (ranked.size() > limit) ranked.resize(limit);
 
-    put_u32(payload, (uint32_t)ranked.size());
-    for (auto& [doc_id, score] : ranked) {
-        const Doc& d = idx->docs[doc_id];
-        put_str(payload, d.id);
-        put_str(payload, d.path);
-        put_u64(payload, d.start_line);
-        put_u64(payload, d.end_line);
-        put_str(payload, d.content);
+    std::vector<std::vector<std::string>> ptoks;
+    for (auto& p : phrases) {
+        auto pt = tokenize(p);
+        if (!pt.empty()) ptoks.push_back(std::move(pt));
+    }
+
+    // candidates verified in rank order until `limit` accepted — phrase
+    // verification reads content from the mapping per candidate only
+    std::string hits;
+    uint32_t n_hits = 0;
+    for (auto& [gid, score] : ranked) {
+        if (n_hits >= limit) break;
+        // locate the owning segment (bases ascend)
+        uint32_t s = n_segs - 1;
+        while (s > 0 && segs[s]->base > gid) s--;
+        const SegView& sv = *segs[s];
+        uint32_t row = (uint32_t)(gid - sv.base);
+        std::string body = sv.content(row);
+        if (!ptoks.empty()) {
+            auto toks = tokenize(body);
+            // sentinel-wrapped join: '\x00' on BOTH sides of every token
+            // so a phrase term never matches a substring of a longer
+            // token; identical to the Python engine
+            std::string joined(1, '\x00');
+            for (auto& t : toks) { joined += t; joined += '\x00'; }
+            bool ok = true;
+            for (auto& pt : ptoks) {
+                std::string needle(1, '\x00');
+                for (auto& t : pt) { needle += t; needle += '\x00'; }
+                if (joined.find(needle) == std::string::npos) {
+                    ok = false;
+                    break;
+                }
+            }
+            if (!ok) continue;
+        }
+        std::string id, path;
+        uint32_t start, end;
+        sv.meta(row, id, path, start, end);
+        put_str(hits, id);
+        put_str(hits, path);
+        put_u64(hits, start);
+        put_u64(hits, end);
+        put_str(hits, body);
         uint64_t bits;
         memcpy(&bits, &score, 8);
-        put_u64(payload, bits);
+        put_u64(hits, bits);
+        n_hits++;
     }
+    put_u32(payload, n_hits);
+    payload += hits;
     return make_result(payload);
-}
-
-static const uint32_t kMagic = 0x53454D54;  // "SEMT" (legacy full snapshot)
-static const uint32_t kSegMagic = 0x53454D53;  // "SEMS" (immutable segment)
-static const uint32_t kVersion = 1;
-
-uint64_t sema_text_num_docs(void* h) {
-    return static_cast<TextIndex*>(h)->docs.size();
-}
-
-// Immutable segment holding docs [from, end): the incremental-commit unit
-// (≙ tantivy's segment files, reference text_indexer.rs:58-73 — a commit
-// writes only the new docs, never the whole index). Postings doc ids are
-// stored relative to `from`; per-term lists are appended in doc order, so
-// the >=from tail is found by binary search (O(vocab·log) per commit, not
-// O(total postings)).
-int sema_text_save_segment(void* h, const char* path, uint64_t from) {
-    auto* idx = static_cast<TextIndex*>(h);
-    if (from > idx->docs.size()) return -3;
-    std::string tmp = std::string(path) + ".tmp";
-    {
-        std::ofstream f(tmp, std::ios::binary | std::ios::trunc);
-        if (!f) return -1;
-        f.write((char*)&kSegMagic, 4);
-        f.write((char*)&kVersion, 4);
-        uint64_t n = idx->docs.size() - from;
-        f.write((char*)&n, 8);
-        for (size_t i = from; i < idx->docs.size(); i++) {
-            const Doc& d = idx->docs[i];
-            write_str(f, d.id);
-            write_str(f, d.path);
-            f.write((char*)&d.start_line, 8);
-            f.write((char*)&d.end_line, 8);
-            write_str(f, d.content);
-            f.write((char*)&idx->doc_len[i], 4);
-        }
-        // count terms with entries in the window first (format wants the
-        // term count up front)
-        uint64_t nterms = 0;
-        for (auto& [term, plist] : idx->postings) {
-            auto it = std::lower_bound(
-                plist.begin(), plist.end(), from,
-                [](const std::pair<uint32_t, uint32_t>& e, uint64_t v) {
-                    return e.first < v;
-                });
-            if (it != plist.end()) nterms++;
-        }
-        f.write((char*)&nterms, 8);
-        for (auto& [term, plist] : idx->postings) {
-            auto it = std::lower_bound(
-                plist.begin(), plist.end(), from,
-                [](const std::pair<uint32_t, uint32_t>& e, uint64_t v) {
-                    return e.first < v;
-                });
-            if (it == plist.end()) continue;
-            write_str(f, term);
-            uint64_t np = plist.end() - it;
-            f.write((char*)&np, 8);
-            for (; it != plist.end(); ++it) {
-                uint32_t rel = it->first - (uint32_t)from, tf = it->second;
-                f.write((char*)&rel, 4);
-                f.write((char*)&tf, 4);
-            }
-        }
-        if (!f) return -1;
-    }
-    return rename(tmp.c_str(), path) == 0 ? 0 : -1;
-}
-
-// Append a segment; doc ids rebase onto the current doc count (segments
-// must be loaded in manifest order).
-int sema_text_load_segment(void* h, const char* path) {
-    auto* idx = static_cast<TextIndex*>(h);
-    std::ifstream f(path, std::ios::binary);
-    if (!f) return -1;
-    uint32_t magic = 0, version = 0;
-    f.read((char*)&magic, 4);
-    f.read((char*)&version, 4);
-    if (magic != kSegMagic || version != kVersion) return -2;
-    uint64_t base = idx->docs.size(), n = 0;
-    f.read((char*)&n, 8);
-    for (uint64_t i = 0; i < n; i++) {
-        Doc d;
-        d.id = read_str(f);
-        d.path = read_str(f);
-        f.read((char*)&d.start_line, 8);
-        f.read((char*)&d.end_line, 8);
-        d.content = read_str(f);
-        uint32_t dl = 0;
-        f.read((char*)&dl, 4);
-        idx->doc_len.push_back(dl);
-        idx->live++;
-        idx->live_len_sum += dl;
-        idx->docs.push_back(std::move(d));
-    }
-    uint64_t nterms = 0;
-    f.read((char*)&nterms, 8);
-    for (uint64_t i = 0; i < nterms; i++) {
-        std::string term = read_str(f);
-        uint64_t np = 0;
-        f.read((char*)&np, 8);
-        auto& plist = idx->postings[term];
-        plist.reserve(plist.size() + np);
-        for (uint64_t j = 0; j < np; j++) {
-            uint32_t rel = 0, tf = 0;
-            f.read((char*)&rel, 4);
-            f.read((char*)&tf, 4);
-            plist.emplace_back((uint32_t)(base + rel), tf);
-        }
-    }
-    return f ? 0 : -1;
-}
-
-// payload: u64 n, then u32 global doc ids of tombstoned docs
-uint8_t* sema_text_deleted_ids(void* h) {
-    auto* idx = static_cast<TextIndex*>(h);
-    std::string payload;
-    uint64_t n = idx->docs.size() - idx->live;
-    put_u64(payload, n);
-    for (size_t i = 0; i < idx->docs.size(); i++)
-        if (!idx->docs[i].alive) put_u32(payload, (uint32_t)i);
-    return make_result(payload);
-}
-
-// blob: u64 n, then u32 global doc ids to tombstone (idempotent)
-void sema_text_set_deleted(void* h, const uint8_t* blob, uint64_t blob_len) {
-    auto* idx = static_cast<TextIndex*>(h);
-    Reader r{blob, blob_len};
-    uint64_t n = r.u64();
-    for (uint64_t i = 0; i < n; i++) {
-        uint32_t doc = r.u32();
-        if (doc < idx->docs.size() && idx->docs[doc].alive) {
-            idx->docs[doc].alive = false;
-            idx->live--;
-            idx->live_len_sum -= idx->doc_len[doc];
-        }
-    }
-}
-
-// Drop tombstoned docs and remap ids (the wrapper re-saves the survivors
-// as one fresh segment afterwards). Returns the new doc count.
-uint64_t sema_text_compact(void* h) {
-    auto* idx = static_cast<TextIndex*>(h);
-    std::vector<uint32_t> remap(idx->docs.size(), UINT32_MAX);
-    std::vector<Doc> docs;
-    std::vector<uint32_t> doc_len;
-    docs.reserve(idx->live);
-    doc_len.reserve(idx->live);
-    for (size_t i = 0; i < idx->docs.size(); i++) {
-        if (!idx->docs[i].alive) continue;
-        remap[i] = (uint32_t)docs.size();
-        docs.push_back(std::move(idx->docs[i]));
-        doc_len.push_back(idx->doc_len[i]);
-    }
-    for (auto it = idx->postings.begin(); it != idx->postings.end();) {
-        auto& plist = it->second;
-        size_t w = 0;
-        for (auto& [doc, tf] : plist)
-            if (remap[doc] != UINT32_MAX) plist[w++] = {remap[doc], tf};
-        plist.resize(w);
-        if (w == 0) it = idx->postings.erase(it);
-        else ++it;
-    }
-    idx->docs = std::move(docs);
-    idx->doc_len = std::move(doc_len);
-    return idx->docs.size();
-}
-
-int sema_text_save(void* h, const char* path) {
-    auto* idx = static_cast<TextIndex*>(h);
-    std::string tmp = std::string(path) + ".tmp";
-    {
-        std::ofstream f(tmp, std::ios::binary | std::ios::trunc);
-        if (!f) return -1;
-        f.write((char*)&kMagic, 4);
-        f.write((char*)&kVersion, 4);
-        uint64_t n = idx->docs.size();
-        f.write((char*)&n, 8);
-        for (size_t i = 0; i < idx->docs.size(); i++) {
-            const Doc& d = idx->docs[i];
-            uint8_t alive = d.alive;
-            f.write((char*)&alive, 1);
-            write_str(f, d.id);
-            write_str(f, d.path);
-            f.write((char*)&d.start_line, 8);
-            f.write((char*)&d.end_line, 8);
-            write_str(f, d.content);
-            f.write((char*)&idx->doc_len[i], 4);
-        }
-        uint64_t nterms = idx->postings.size();
-        f.write((char*)&nterms, 8);
-        for (auto& [term, plist] : idx->postings) {
-            write_str(f, term);
-            uint64_t np = plist.size();
-            f.write((char*)&np, 8);
-            for (auto& [doc, tf] : plist) {
-                f.write((char*)&doc, 4);
-                f.write((char*)&tf, 4);
-            }
-        }
-        if (!f) return -1;
-    }
-    return rename(tmp.c_str(), path) == 0 ? 0 : -1;
-}
-
-int sema_text_load(void* h, const char* path) {
-    auto* idx = static_cast<TextIndex*>(h);
-    std::ifstream f(path, std::ios::binary);
-    if (!f) return -1;
-    uint32_t magic = 0, version = 0;
-    f.read((char*)&magic, 4);
-    f.read((char*)&version, 4);
-    if (magic != kMagic || version != kVersion) return -2;
-    uint64_t n = 0;
-    f.read((char*)&n, 8);
-    idx->docs.clear();
-    idx->doc_len.clear();
-    idx->postings.clear();
-    idx->live = 0;
-    idx->live_len_sum = 0;
-    for (uint64_t i = 0; i < n; i++) {
-        Doc d;
-        uint8_t alive = 0;
-        f.read((char*)&alive, 1);
-        d.alive = alive;
-        d.id = read_str(f);
-        d.path = read_str(f);
-        f.read((char*)&d.start_line, 8);
-        f.read((char*)&d.end_line, 8);
-        d.content = read_str(f);
-        uint32_t dl = 0;
-        f.read((char*)&dl, 4);
-        idx->doc_len.push_back(dl);
-        if (d.alive) { idx->live++; idx->live_len_sum += dl; }
-        idx->docs.push_back(std::move(d));
-    }
-    uint64_t nterms = 0;
-    f.read((char*)&nterms, 8);
-    for (uint64_t i = 0; i < nterms; i++) {
-        std::string term = read_str(f);
-        uint64_t np = 0;
-        f.read((char*)&np, 8);
-        auto& plist = idx->postings[term];
-        plist.reserve(np);
-        for (uint64_t j = 0; j < np; j++) {
-            uint32_t doc = 0, tf = 0;
-            f.read((char*)&doc, 4);
-            f.read((char*)&tf, 4);
-            plist.emplace_back(doc, tf);
-        }
-    }
-    return f ? 0 : -1;
 }
 
 }  // extern "C"

@@ -1,31 +1,37 @@
-"""BM25 full-text index.
+"""BM25 full-text index, disk-resident.
 
 Replaces the reference's Tantivy index (src/storage/text_indexer.rs):
 
 - tokenization matches tantivy's ``default`` analyzer: split on
   non-alphanumeric, lowercase, drop tokens longer than 40 chars;
-- scoring is BM25 with tantivy's parameters (k1=0.9? no — tantivy uses the
-  Lucene constants k1=1.2, b=0.75) over an OR-of-terms query, the behavior
-  of ``QueryParser`` + ``TopDocs`` at text_indexer.rs:81-83; quoted phrases
-  require all terms adjacent in order;
-- real scores are returned (text_indexer.rs:144-153 keeps them, unlike the
-  semantic path);
+- scoring is BM25 with the Lucene constants k1=1.2, b=0.75 over an
+  OR-of-terms query, the behavior of ``QueryParser`` + ``TopDocs`` at
+  text_indexer.rs:81-83; quoted phrases require all terms adjacent in
+  order;
+- real scores are returned (text_indexer.rs:144-153 keeps them, unlike
+  the semantic path);
 - ``commit()`` persists to disk; the index reopens incrementally
   (text_indexer.rs:159-162).
 
-Persistence is segmented like tantivy's (text_indexer.rs:58-73 commits per
-batch; tantivy writes immutable segment files): each commit appends ONE
-immutable segment holding just the docs added since the previous commit,
-plus a small manifest (ordered segment list + tombstoned doc ids) rewritten
-atomically. Per-batch commit cost is O(batch), not O(index) — the round-1
-whole-file rewrite was an O(N²) build at the 10M-chunk config. Tombstones
-accumulate in the manifest until the dead fraction crosses 25%, then the
-index compacts to a single fresh segment on load. Pre-segment single-file
-indexes (``index.json`` / ``index.native.bin``) migrate on first open.
+Storage is tantivy-shaped (text_indexer.rs:58-73: immutable mmap'd
+segments, content left on disk): one immutable binary segment per commit
+batch (format in text_segment.py), accessed by mmap/pread — host RSS is
+O(segments + tombstone bitmaps), NOT O(corpus), so the 10M/100M-chunk
+configs fit. Tombstones are per-segment ``.del`` bitmap sidecars (a
+delete is O(log n_files + rows-of-file) via the segment's sorted
+file-run table — never a corpus scan); segments merge Lucene-log-style
+(MERGE_FANOUT same-tier neighbors collapse into the next tier, so commit
+cost stays O(batch) amortized and a 10M-doc index holds ~O(log) small
+segments plus sealed TARGET_DOCS-sized ones); past 25% global dead the
+index compacts the tombstoned segments on open. Pre-v2 indexes (round-1
+single-file JSON/bin and round-2 JSON/bin segment formats, both
+backends) migrate on first open.
 
-The pure-Python implementation below is the semantics oracle; the C++
-native backend (sema_tpu/native, ≙ tantivy's role) accelerates it with an
-equivalent segmented layout (binary segment files).
+Two interchangeable compute engines over the SAME on-disk format:
+``TextIndex`` scores with numpy over the mmaps (the semantics oracle)
+and ``NativeTextIndex`` dispatches tokenize+build+search to C++
+(native/text_index.cpp, ≙ tantivy's role as the native full-text
+engine). The parity suite asserts identical rankings and scores.
 """
 
 from __future__ import annotations
@@ -34,10 +40,14 @@ import json
 import math
 import os
 import re
-from collections import Counter, defaultdict
+import struct
+import threading
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
+import numpy as np
+
+from sema_tpu.index.text_segment import Segment, write_segment
 from sema_tpu.types import Chunk
 from sema_tpu.utils.fsio import atomic_write_json as _atomic_write_json
 
@@ -45,10 +55,9 @@ from sema_tpu.utils.fsio import atomic_write_json as _atomic_write_json
 def _locked(fn):
     """Serialize a method behind the instance's RLock. The text index
     is mutated by the serve daemon's re-index thread while HTTP threads
-    run keyword searches (sema-tpu serve --reindex-interval); unlike the
-    vector store's snapshot-based buckets, the postings dicts (and the
-    native backend's C++ vectors, which reallocate) need the coarse
-    lock — searches are sub-ms, so contention is negligible."""
+    run keyword searches (sema-tpu serve --reindex-interval); the
+    segment list and tombstone bitmaps need the coarse lock — searches
+    are sub-ms, so contention is negligible."""
     import functools
 
     @functools.wraps(fn)
@@ -56,6 +65,7 @@ def _locked(fn):
         with self._lock:
             return fn(self, *a, **kw)
     return wrapper
+
 
 K1 = 1.2
 B = 0.75
@@ -78,224 +88,274 @@ def tokenize(text: str) -> List[str]:
     return out
 
 
-class TextIndex:
+def _parse_query(query: str) -> Tuple[List[str], List[List[str]]]:
+    """(terms incl. phrase terms in order, tokenized phrases)."""
+    phrases = re.findall(r'"([^"]+)"', query)
+    bare = re.sub(r'"[^"]*"', " ", query)
+    terms = tokenize(bare) + [t for p in phrases for t in tokenize(p)]
+    ptoks = [pt for pt in (tokenize(p) for p in phrases) if pt]
+    return terms, ptoks
+
+
+class DiskTextIndex:
+    """Manifest + segment-list orchestration shared by both engines."""
+
+    TARGET_DOCS = 65536      # sealed segment size; merge outputs flush here
+    MERGE_FANOUT = 8         # same-tier neighbors that trigger a merge
+    engine = "python"
+
     def __init__(self, data_dir: Path | str):
-        import threading
         self._lock = threading.RLock()
         self.dir = Path(data_dir) / "text_index"
         self.seg_dir = self.dir / "segments"
         self.seg_dir.mkdir(parents=True, exist_ok=True)
-        self.docs: List[Optional[dict]] = []      # None = deleted
-        self.doc_len: List[int] = []
-        self.postings: Dict[str, Dict[int, int]] = defaultdict(dict)
-        self._segments: List[dict] = []           # [{"name", "docs"}]
-        self._committed_docs = 0                  # docs persisted in segments
-        self._deleted: set = set()                # tombstoned global doc ids
-        self._committed_deleted: set = set()      # ids in the manifest
-        # postings of the not-yet-committed doc tail, ids relative to
-        # _committed_docs (accumulated at add time so a commit never walks
-        # the global postings table)
-        self._pending_postings: Dict[str, Dict[int, int]] = defaultdict(dict)
+        self.segments: List[Segment] = []
+        self._names: List[str] = []
+        self._gen = 0
+        self._seq = 0
         self._load()
 
     # -- persistence ------------------------------------------------------------
 
     @property
     def _manifest_path(self) -> Path:
-        return self.dir / "manifest.json"
-
-    @property
-    def _legacy_path(self) -> Path:
-        return self.dir / "index.json"
+        return self.dir / "manifest2.json"
 
     def _seg_path(self, name: str) -> Path:
-        return self.seg_dir / f"{name}.json"
+        return self.seg_dir / f"{name}.seg"
 
-    def _seg_name(self) -> str:
-        name = f"seg-{len(self._segments):06d}-{self._committed_docs:09d}"
-        if any(s["name"] == name for s in self._segments):
-            name = "seg-compact"  # post-compaction numbering restarted
+    def _next_name(self) -> str:
+        name = f"g{self._gen:04d}-{self._seq:06d}"
+        self._seq += 1
         return name
+
+    def _write_manifest(self) -> None:
+        _atomic_write_json(self._manifest_path, {
+            "version": 2,
+            "gen": self._gen,
+            "segments": [{"name": n} for n in self._names],
+        })
 
     def _load(self) -> None:
         if self._manifest_path.exists():
             m = json.loads(self._manifest_path.read_text())
+            self._gen = int(m.get("gen", 0))
             for s in m["segments"]:
-                seg = json.loads(self._seg_path(s["name"]).read_text())
-                base = len(self.docs)
-                self.docs.extend(seg["docs"])
-                self.doc_len.extend(seg["doc_len"])
-                for term, plist in seg["postings"].items():
-                    tgt = self.postings[term]
-                    for rel, tf in plist.items():
-                        tgt[base + int(rel)] = tf
-                self._segments.append(dict(s))
-            self._committed_docs = len(self.docs)
-            for i in m.get("deleted", []):
-                self.docs[i] = None
-                self._deleted.add(i)
-            self._committed_deleted = set(self._deleted)
+                self.segments.append(self._open_segment(s["name"]))
+                self._names.append(s["name"])
+            self._seq = 1 + max(
+                (int(n.split("-")[1]) for n in self._names
+                 if n.startswith(f"g{self._gen:04d}-")), default=-1)
+            self._gc_orphans()
             self._maybe_compact()
-        elif self._legacy_path.exists():
-            # one-time migration from the round-1 single-file format
-            data = json.loads(self._legacy_path.read_text())
-            self.docs = data["docs"]
-            self.doc_len = data["doc_len"]
-            for term, plist in data["postings"].items():
-                self.postings[term] = {int(d): tf for d, tf in
-                                       plist.items()}
-            self._deleted = {i for i, d in enumerate(self.docs)
-                             if d is None}
-            self._rewrite_as_single_segment()
-            self._legacy_path.unlink()
+        else:
+            migrated = list(self._iter_legacy_docs())
+            if migrated:
+                for start in range(0, len(migrated), self.TARGET_DOCS):
+                    self._append_segment(
+                        migrated[start:start + self.TARGET_DOCS])
+                self._write_manifest()
+            self._drop_legacy_files()
 
-    def _write_manifest(self) -> None:
-        _atomic_write_json(self._manifest_path, {
-            "version": 1,
-            "segments": self._segments,
-            "deleted": sorted(self._deleted),
-        })
-        self._committed_deleted = set(self._deleted)
-
-    def _rewrite_as_single_segment(self) -> None:
-        """Persist the whole in-memory index as one fresh segment
-        (migration and compaction tail).
-
-        Crash-atomicity: the new segment must be written under a name
-        ABSENT from the old manifest — the collision check has to run
-        against the OLD segment list (clearing the list first would
-        always pick the old first segment's name and overwrite a file
-        the still-committed manifest points at; a crash before the
-        manifest write would then corrupt the index on next load)."""
-        old_names = {s["name"] for s in self._segments}
-        old_files = [self._seg_path(s["name"]) for s in self._segments]
-        self._segments = []
-        self._committed_docs = 0
-        name = self._seg_name()
-        if name in old_names:
-            name = "seg-compact"
-        if self.docs:
-            _atomic_write_json(self._seg_path(name), {
-                "docs": self.docs,
-                "doc_len": self.doc_len,
-                "postings": {t: p for t, p in self.postings.items()},
-            })
-            self._segments = [{"name": name, "docs": len(self.docs)}]
-        self._committed_docs = len(self.docs)
-        self._pending_postings = defaultdict(dict)
-        self._write_manifest()
-        keep = self._seg_path(name)
-        for p in old_files:
-            if p != keep:
+    def _gc_orphans(self) -> None:
+        """Unlink segment/sidecar files a crash left unreferenced (writes
+        happen under fresh names BEFORE the manifest swap, so orphans are
+        always safe to drop)."""
+        live = set(self._names)
+        for p in self.seg_dir.iterdir():
+            if p.suffix in (".seg", ".del", ".tmp") and \
+                    p.name.split(".")[0] not in live:
                 p.unlink(missing_ok=True)
 
+    # -- legacy migration -------------------------------------------------------
+
+    def _iter_legacy_docs(self) -> Iterator[tuple]:
+        """Stream live docs out of every pre-v2 layout present (round-1
+        single files and round-2 JSON/bin segment formats, either
+        backend), in original doc order."""
+        # round-2 Python segmented
+        mpath = self.dir / "manifest.json"
+        if mpath.exists():
+            m = json.loads(mpath.read_text())
+            deleted = set(m.get("deleted", []))
+            base = 0
+            for s in m["segments"]:
+                seg = json.loads(
+                    (self.seg_dir / f"{s['name']}.json").read_text())
+                for rel, d in enumerate(seg["docs"]):
+                    if d is not None and base + rel not in deleted:
+                        yield (d["id"], d["file_path"], d["start_line"],
+                               d["end_line"], d["content"])
+                base += s["docs"]
+        # round-1 Python single file
+        lpath = self.dir / "index.json"
+        if lpath.exists():
+            data = json.loads(lpath.read_text())
+            for d in data["docs"]:
+                if d is not None:
+                    yield (d["id"], d["file_path"], d["start_line"],
+                           d["end_line"], d["content"])
+        # round-2 native segmented
+        nmpath = self.dir / "manifest.native.json"
+        if nmpath.exists():
+            m = json.loads(nmpath.read_text())
+            deleted = set(m.get("deleted", []))
+            base = 0
+            for s in m["segments"]:
+                for rel, doc in enumerate(_read_native_v1_segment(
+                        self.seg_dir / f"{s['name']}.bin")):
+                    if base + rel not in deleted:
+                        yield doc
+                base += s["docs"]
+        # round-1 native single file
+        nlpath = self.dir / "index.native.bin"
+        if nlpath.exists():
+            yield from _read_native_v1_snapshot(nlpath)
+
+    def _drop_legacy_files(self) -> None:
+        for name in ("manifest.json", "index.json", "manifest.native.json",
+                     "index.native.bin"):
+            (self.dir / name).unlink(missing_ok=True)
+        if self.seg_dir.exists():
+            for p in self.seg_dir.iterdir():
+                if p.suffix in (".json", ".bin"):
+                    p.unlink(missing_ok=True)
+
+    # -- segment building (engine dispatch) -------------------------------------
+
+    def _build_segment(self, path: Path, docs: Sequence[tuple]) -> None:
+        if self.engine == "native":
+            from sema_tpu.native.bindings import tseg_build
+            tseg_build(docs, str(path))
+        else:
+            write_segment(path, docs, [tokenize(d[4]) for d in docs])
+
+    def _open_segment(self, name: str) -> Segment:
+        seg = Segment(self._seg_path(name))
+        if self.engine == "native":
+            # eager, like the numpy memmap: the C++ mmap handle stays
+            # valid after compaction unlinks the file; freed at GC
+            import weakref
+            from sema_tpu.native.bindings import tseg_close, tseg_open
+            seg._nat_handle = tseg_open(str(seg.path))
+            weakref.finalize(seg, tseg_close, seg._nat_handle)
+        return seg
+
+    def _append_segment(self, docs: Sequence[tuple]) -> None:
+        name = self._next_name()
+        self._build_segment(self._seg_path(name), docs)
+        self.segments.append(self._open_segment(name))
+        self._names.append(name)
+
+    # -- merging / compaction ---------------------------------------------------
+
+    @staticmethod
+    def _tier(live: int) -> int:
+        return max(1, live).bit_length() // 3   # ~log8 buckets
+
+    def _pick_merge(self) -> Optional[Tuple[int, int]]:
+        """Rightmost window of MERGE_FANOUT consecutive unsealed segments
+        sharing a size tier (Lucene log-merge shape: each doc is
+        rewritten O(log_FANOUT N) times over the index's life)."""
+        segs = self.segments
+        f = self.MERGE_FANOUT
+        for i in range(len(segs) - f, -1, -1):
+            window = segs[i:i + f]
+            if any(s.n_live >= self.TARGET_DOCS for s in window):
+                continue
+            tiers = {self._tier(s.n_live) for s in window}
+            if len(tiers) == 1:
+                return i, i + f
+        return None
+
+    def _rebuild(self, i: int, j: int) -> None:
+        """Rewrite segments[i:j] as fresh segments holding only live docs,
+        flushed every TARGET_DOCS (RSS stays bounded by one flush group).
+        New files land under a bumped generation — names the committed
+        manifest cannot reference — then the manifest swaps atomically,
+        then the old files unlink: a crash at any point leaves a loadable
+        index."""
+        self._gen += 1
+        self._seq = 0
+        old_segments = self.segments[i:j]
+        new_names: List[str] = []
+        new_segments: List[Segment] = []
+        group: List[tuple] = []
+
+        def flush():
+            if not group:
+                return
+            name = self._next_name()
+            self._build_segment(self._seg_path(name), group)
+            new_segments.append(self._open_segment(name))
+            new_names.append(name)
+            group.clear()
+
+        for seg in old_segments:
+            for _, doc in seg.iter_live():
+                group.append(doc)
+                if len(group) >= self.TARGET_DOCS:
+                    flush()
+        flush()
+        self.segments[i:j] = new_segments
+        self._names[i:j] = new_names
+        self._write_manifest()
+        for seg in old_segments:
+            seg.unlink()
+
+    def _maybe_merge(self) -> None:
+        while True:
+            pick = self._pick_merge()
+            if pick is None:
+                return
+            self._rebuild(*pick)
+
     def _maybe_compact(self) -> None:
-        total = len(self.docs)
-        if total == 0 or len(self._deleted) / total <= \
-                _COMPACT_DEAD_FRACTION:
+        total = sum(s.n_docs for s in self.segments)
+        dead = sum(s.dead for s in self.segments)
+        if total == 0 or dead / total <= _COMPACT_DEAD_FRACTION:
             return
-        keep = [i for i in range(total) if self.docs[i] is not None]
-        remap = {old: new for new, old in enumerate(keep)}
-        self.docs = [self.docs[i] for i in keep]
-        self.doc_len = [self.doc_len[i] for i in keep]
-        postings: Dict[str, Dict[int, int]] = defaultdict(dict)
-        for term, plist in self.postings.items():
-            for d, tf in plist.items():
-                if d in remap:
-                    postings[term][remap[d]] = tf
-        self.postings = postings
-        self._deleted = set()
-        self._rewrite_as_single_segment()
+        # rewrite each maximal run of adjacent tombstoned segments; clean
+        # segments are left untouched (their files never rewritten)
+        i = len(self.segments)
+        while i > 0:
+            if self.segments[i - 1].dead == 0:
+                i -= 1
+                continue
+            j = i
+            while i > 0 and self.segments[i - 1].dead > 0:
+                i -= 1
+            self._rebuild(i, j)
 
-    @_locked
-    def commit(self) -> None:
-        """Durable write (≙ tantivy writer.commit, text_indexer.rs:70,159).
-        Appends one segment with the new docs (cost O(batch)); tombstones
-        ride the manifest."""
-        wrote = False
-        if len(self.docs) > self._committed_docs:
-            name = self._seg_name()
-            _atomic_write_json(self._seg_path(name), {
-                "docs": self.docs[self._committed_docs:],
-                "doc_len": self.doc_len[self._committed_docs:],
-                "postings": {t: p for t, p in
-                             self._pending_postings.items()},
-            })
-            self._segments.append(
-                {"name": name,
-                 "docs": len(self.docs) - self._committed_docs})
-            self._committed_docs = len(self.docs)
-            self._pending_postings = defaultdict(dict)
-            wrote = True
-        if wrote or self._deleted != self._committed_deleted \
-                or not self._manifest_path.exists():
-            self._write_manifest()
-
-    # -- mutation ----------------------------------------------------------------
-
-    @_locked
-    def index_chunks(self, chunks: Sequence[Chunk]) -> None:
-        """Add documents and commit (text_indexer.rs:58-73 commits per batch)."""
-        for c in chunks:
-            doc_id = len(self.docs)
-            rel_id = doc_id - self._committed_docs
-            tokens = tokenize(c.content)
-            self.docs.append({
-                "id": c.id, "file_path": str(c.file_path),
-                "start_line": c.start_line, "end_line": c.end_line,
-                "content": c.content,
-            })
-            self.doc_len.append(len(tokens))
-            for term, tf in Counter(tokens).items():
-                self.postings[term][doc_id] = tf
-                self._pending_postings[term][rel_id] = tf
-        self.commit()
-
-    @_locked
-    def remove_file_chunks(self, file_path) -> int:
-        """Tombstone a file's documents (delete-then-reindex support)."""
-        target = str(file_path)
-        removed = 0
-        for i, doc in enumerate(self.docs):
-            if doc is not None and doc["file_path"] == target:
-                self.docs[i] = None
-                self._deleted.add(i)
-                removed += 1
-        return removed
-
-    # -- search -------------------------------------------------------------------
+    # -- public API -------------------------------------------------------------
 
     @property
     def num_live_docs(self) -> int:
-        return sum(1 for d in self.docs if d is not None)
+        return sum(s.n_live for s in self.segments)
 
-    def _avg_len(self) -> float:
-        live = [(l, d) for l, d in zip(self.doc_len, self.docs) if d is not None]
-        if not live:
-            return 0.0
-        return sum(l for l, _ in live) / len(live)
+    @_locked
+    def index_chunks(self, chunks: Sequence[Chunk]) -> None:
+        """Add documents and commit: one immutable segment per batch
+        (text_indexer.rs:58-73 commits per batch), O(batch) amortized."""
+        docs = [(c.id, str(c.file_path), c.start_line, c.end_line,
+                 c.content) for c in chunks]
+        if not docs:
+            return
+        self._append_segment(docs)
+        self._maybe_merge()
+        self._write_manifest()
 
-    def _bm25_scores(self, terms: List[str]) -> Dict[int, float]:
-        n_docs = self.num_live_docs
-        if n_docs == 0:
-            return {}
-        avg = self._avg_len() or 1.0
-        scores: Dict[int, float] = defaultdict(float)
-        for term in terms:
-            plist = self.postings.get(term)
-            if not plist:
-                continue
-            df = sum(1 for d in plist if self.docs[d] is not None)
-            if df == 0:
-                continue
-            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-            for doc_id, tf in plist.items():
-                if self.docs[doc_id] is None:
-                    continue
-                dl = self.doc_len[doc_id]
-                denom = tf + K1 * (1 - B + B * dl / avg)
-                scores[doc_id] += idf * tf * (K1 + 1) / denom
-        return scores
+    @_locked
+    def remove_file_chunks(self, file_path) -> int:
+        """Tombstone a file's documents: O(log + rows-of-file) per segment
+        via the sorted file-run table — never a doc scan."""
+        pb = str(file_path).encode()
+        removed = 0
+        for seg in self.segments:
+            rows = seg.file_rows(pb)
+            if rows:
+                removed += seg.tombstone(rows)
+        return removed
 
     @_locked
     def search(self, query: str, limit: int) -> List[Tuple[Chunk, float]]:
@@ -305,206 +365,207 @@ class TextIndex:
         query = query.strip()
         if not query:
             return []
-
-        phrases = re.findall(r'"([^"]+)"', query)
-        bare = re.sub(r'"[^"]*"', " ", query)
-        terms = tokenize(bare) + [t for p in phrases for t in tokenize(p)]
+        terms, ptoks = _parse_query(query)
         if not terms:
             return []
-
-        scores = self._bm25_scores(terms)
-
-        if phrases:
-            def has_phrases(doc) -> bool:
-                # sentinel-wrapped join: every token is bounded by \x00 on
-                # BOTH sides so a phrase term can never match a substring of
-                # a longer token ("bar" must not match "barometer"); the
-                # native backend uses the identical convention
-                toks = tokenize(doc["content"])
-                joined = "\x00" + "\x00".join(toks) + "\x00"
-                # a phrase with no tokens (whitespace/punctuation only)
-                # carries no constraint — skip it, matching the native
-                # backend (a '"\x00\x00"' needle would instead reject
-                # every doc)
-                return all(
-                    ("\x00" + "\x00".join(pt) + "\x00") in joined
-                    for pt in (tokenize(p) for p in phrases) if pt)
-            scores = {d: s for d, s in scores.items()
-                      if has_phrases(self.docs[d])}
-
-        ranked = sorted(scores.items(), key=lambda kv: -kv[1])[:limit]
-        out: List[Tuple[Chunk, float]] = []
-        for doc_id, score in ranked:
-            d = self.docs[doc_id]
-            out.append((Chunk(
-                id=d["id"], file_path=Path(d["file_path"]),
-                start_line=d["start_line"], end_line=d["end_line"],
-                content=d["content"]), float(score)))
-        return out
-
-    @_locked
-    def close(self) -> None:
-        self.commit()
-
-
-class NativeTextIndex:
-    """C++-backed BM25 index (≙ tantivy's role; SURVEY.md §2 native
-    inventory). Same interface and semantics as :class:`TextIndex`; the
-    test suite asserts identical rankings and scores against the Python
-    oracle. Persists segmented binary files under ``text_index/segments/``
-    plus ``manifest.native.json`` (same incremental-commit design as the
-    Python oracle; migrates round-1 ``index.native.bin`` snapshots)."""
-
-    def __init__(self, data_dir: Path | str):
-        import threading
-        from sema_tpu.native.bindings import NativeTextIndexHandle
-        self._lock = threading.RLock()
-        self.dir = Path(data_dir) / "text_index"
-        self.seg_dir = self.dir / "segments"
-        self.seg_dir.mkdir(parents=True, exist_ok=True)
-        self._h = NativeTextIndexHandle()
-        self._segments: List[dict] = []
-        self._committed_docs = 0
-        self._committed_deleted: set = set()
-        self._tombstones_dirty = False
-        if self._manifest_path.exists():
-            m = json.loads(self._manifest_path.read_text())
-            for s in m["segments"]:
-                self._h.load_segment(str(self._seg_path(s["name"])))
-                self._segments.append(dict(s))
-            self._h.set_deleted(m.get("deleted", []))
-            self._committed_docs = self._h.num_docs()
-            self._committed_deleted = set(m.get("deleted", []))
-            self._maybe_compact()
-        elif self._legacy_path.exists():
-            # one-time migration from the round-1 full-snapshot format
-            self._h.load(str(self._legacy_path))
-            self._rewrite_as_single_segment()
-            self._legacy_path.unlink()
-
-    @property
-    def _manifest_path(self) -> Path:
-        return self.dir / "manifest.native.json"
-
-    @property
-    def _legacy_path(self) -> Path:
-        return self.dir / "index.native.bin"
-
-    def _seg_path(self, name: str) -> Path:
-        return self.seg_dir / f"{name}.bin"
-
-    def _seg_name(self) -> str:
-        name = f"seg-{len(self._segments):06d}-{self._committed_docs:09d}"
-        if any(s["name"] == name for s in self._segments):
-            name = "seg-compact"
-        return name
-
-    def _write_manifest(self, deleted) -> None:
-        _atomic_write_json(self._manifest_path, {
-            "version": 1,
-            "segments": self._segments,
-            "deleted": sorted(deleted),
-        })
-        self._committed_deleted = set(deleted)
-
-    def _rewrite_as_single_segment(self) -> None:
-        # fresh name vs the OLD manifest's segments (see the Python
-        # backend's docstring: crash-atomicity requires it)
-        old_names = {s["name"] for s in self._segments}
-        old_files = [self._seg_path(s["name"]) for s in self._segments]
-        self._segments = []
-        self._committed_docs = 0
-        name = self._seg_name()
-        if name in old_names:
-            name = "seg-compact"
-        n = self._h.num_docs()
-        if n:
-            self._h.save_segment(str(self._seg_path(name)), 0)
-            self._segments = [{"name": name, "docs": n}]
-        self._committed_docs = n
-        self._write_manifest(self._h.deleted_ids())
-        keep = self._seg_path(name)
-        for p in old_files:
-            if p != keep:
-                p.unlink(missing_ok=True)
-
-    def _maybe_compact(self) -> None:
-        total = self._h.num_docs()
-        dead = total - self._h.num_live()
-        if total == 0 or dead / total <= _COMPACT_DEAD_FRACTION:
-            return
-        self._h.compact()
-        self._rewrite_as_single_segment()
-
-    @property
-    def num_live_docs(self) -> int:
-        return self._h.num_live()
-
-    @_locked
-    def index_chunks(self, chunks: Sequence[Chunk]) -> None:
-        self._h.add((c.id, str(c.file_path), c.start_line, c.end_line,
-                     c.content) for c in chunks)
-        self.commit()
-
-    @_locked
-    def remove_file_chunks(self, file_path) -> int:
-        n = self._h.remove_file(str(file_path))
-        if n:
-            self._tombstones_dirty = True
-        return n
-
-    @_locked
-    def search(self, query: str, limit: int) -> List[Tuple[Chunk, float]]:
-        query = query.strip()
-        if not query:
+        n_live = self.num_live_docs
+        if n_live == 0:
             return []
-        return [
-            (Chunk(id=i, file_path=Path(p), start_line=s, end_line=e,
-                   content=c), float(score))
-            for i, p, s, e, c, score in self._h.search(query, limit)]
+        avg = sum(s.live_len for s in self.segments) / n_live
+        if avg == 0.0:
+            avg = 1.0
+        if self.engine == "native":
+            return self._search_native(query, limit, avg, n_live)
+        return self._search_py(terms, ptoks, limit, avg, n_live)
 
     @_locked
     def commit(self) -> None:
-        wrote = False
-        n = self._h.num_docs()
-        if n > self._committed_docs:
-            name = self._seg_name()
-            self._h.save_segment(str(self._seg_path(name)),
-                                 self._committed_docs)
-            self._segments.append(
-                {"name": name, "docs": n - self._committed_docs})
-            self._committed_docs = n
-            wrote = True
-        # materialize the tombstone list only when it could have changed:
-        # deleted_ids() walks every doc in C++ and marshals the full list
-        # through the FFI — O(total docs) work a per-batch commit must
-        # not pay unconditionally (review finding)
-        if wrote or self._tombstones_dirty \
-                or not self._manifest_path.exists():
-            self._write_manifest(self._h.deleted_ids())
-            self._tombstones_dirty = False
+        """Durable write (≙ tantivy writer.commit, text_indexer.rs:70,159).
+        Segments and tombstones are already durable at mutation time, so
+        this only materializes a manifest for an empty fresh index."""
+        if not self._manifest_path.exists():
+            self._write_manifest()
 
     @_locked
     def close(self) -> None:
         self.commit()
+        for s in self.segments:
+            s.close()
+
+    # -- python engine ----------------------------------------------------------
+
+    def _bases(self) -> List[int]:
+        bases = [0]
+        for s in self.segments:
+            bases.append(bases[-1] + s.n_docs)
+        return bases
+
+    def _search_py(self, terms: List[str], ptoks: List[List[str]],
+                   limit: int, avg: float, n_live: int
+                   ) -> List[Tuple[Chunk, float]]:
+        bases = self._bases()
+        gids_all: List[np.ndarray] = []
+        contribs_all: List[np.ndarray] = []
+        for term in terms:
+            tb = term.encode()
+            seg_hits = []
+            df = 0
+            for base, seg in zip(bases, self.segments):
+                t = seg.find_term(tb)
+                if t < 0:
+                    continue
+                ids, tfs = seg.postings(t)
+                live = seg.live_mask(ids)
+                if not live.all():
+                    ids, tfs = ids[live], tfs[live]
+                if len(ids) == 0:
+                    continue
+                df += len(ids)
+                seg_hits.append((base, seg, ids, tfs))
+            if df == 0:
+                continue
+            idf = math.log(1.0 + (n_live - df + 0.5) / (df + 0.5))
+            for base, seg, ids, tfs in seg_hits:
+                tf = tfs.astype(np.float64)
+                dl = seg.doc_len[ids].astype(np.float64)
+                denom = tf + K1 * (1 - B + B * dl / avg)
+                contribs_all.append(idf * tf * (K1 + 1) / denom)
+                gids_all.append(ids.astype(np.int64) + base)
+        if not gids_all:
+            return []
+        g = np.concatenate(gids_all)
+        c = np.concatenate(contribs_all)
+        # bincount accumulates in array order → per-doc contributions sum
+        # in query-term order, bit-identical to the C++ engine's
+        # term-major loop
+        uniq, inv = np.unique(g, return_inverse=True)
+        scores = np.bincount(inv, weights=c)
+        # stable sort on -score: ties break by ascending global doc id
+        # (uniq is sorted), matching the C++ comparator
+        order = np.argsort(-scores, kind="stable")
+
+        out: List[Tuple[Chunk, float]] = []
+        for oi in order:
+            gid = int(uniq[oi])
+            si = int(np.searchsorted(bases, gid, side="right")) - 1
+            seg = self.segments[si]
+            row = gid - bases[si]
+            if ptoks and not _has_phrases(seg.content(row), ptoks):
+                continue
+            doc_id, fpath, start, end = seg.meta(row)
+            out.append((Chunk(id=doc_id, file_path=Path(fpath),
+                              start_line=start, end_line=end,
+                              content=seg.content(row)),
+                        float(scores[oi])))
+            if len(out) >= limit:
+                break
+        return out
+
+    # -- native engine ----------------------------------------------------------
+
+    def _search_native(self, query: str, limit: int, avg: float,
+                       n_live: int) -> List[Tuple[Chunk, float]]:
+        from sema_tpu.native.bindings import tseg_search
+        descs = []
+        base = 0
+        for seg in self.segments:
+            bits = seg.del_bits
+            descs.append((seg._nat_handle, base,
+                          bits.tobytes() if bits is not None else b""))
+            base += seg.n_docs
+        hits = tseg_search(descs, query, limit, avg, n_live)
+        return [(Chunk(id=i, file_path=Path(p), start_line=s, end_line=e,
+                       content=content), float(score))
+                for i, p, s, e, content, score in hits]
+
+
+def _has_phrases(content: str, ptoks: List[List[str]]) -> bool:
+    # sentinel-wrapped join: every token is bounded by \x00 on BOTH sides
+    # so a phrase term can never match a substring of a longer token
+    # ("bar" must not match "barometer"); the C++ engine uses the
+    # identical convention
+    joined = "\x00" + "\x00".join(tokenize(content)) + "\x00"
+    return all(("\x00" + "\x00".join(pt) + "\x00") in joined
+               for pt in ptoks)
+
+
+# -- legacy native binary readers (pure Python, no lib required) ---------------
+
+_V1_SNAP_MAGIC = 0x53454D54   # "SEMT"
+_V1_SEG_MAGIC = 0x53454D53    # "SEMS"
+
+
+class _V1Reader:
+    def __init__(self, path: Path):
+        self.b = path.read_bytes()
+        self.off = 0
+
+    def u32(self) -> int:
+        (v,) = struct.unpack_from("<I", self.b, self.off)
+        self.off += 4
+        return v
+
+    def u64(self) -> int:
+        (v,) = struct.unpack_from("<Q", self.b, self.off)
+        self.off += 8
+        return v
+
+    def s(self) -> str:
+        n = self.u32()
+        v = self.b[self.off:self.off + n].decode()
+        self.off += n
+        return v
+
+
+def _read_native_v1_snapshot(path: Path) -> Iterator[tuple]:
+    r = _V1Reader(path)
+    if r.u32() != _V1_SNAP_MAGIC or r.u32() != 1:
+        return
+    for _ in range(r.u64()):
+        alive = r.b[r.off]
+        r.off += 1
+        doc = (r.s(), r.s(), r.u64(), r.u64(), r.s())
+        r.u32()   # doc_len — recomputed on re-index
+        if alive:
+            yield doc
+
+
+def _read_native_v1_segment(path: Path) -> Iterator[tuple]:
+    r = _V1Reader(path)
+    if r.u32() != _V1_SEG_MAGIC or r.u32() != 1:
+        return
+    for _ in range(r.u64()):
+        doc = (r.s(), r.s(), r.u64(), r.u64(), r.s())
+        r.u32()
+        yield doc
+
+
+class TextIndex(DiskTextIndex):
+    """numpy-engine index — the scoring-semantics oracle."""
+
+    engine = "python"
+
+
+class NativeTextIndex(DiskTextIndex):
+    """C++-engine index (≙ tantivy's role; SURVEY.md §2 native
+    inventory). Same on-disk format as :class:`TextIndex`; the parity
+    suite asserts identical rankings and scores."""
+
+    engine = "native"
+
+    def __init__(self, data_dir: Path | str):
+        import sema_tpu.native.bindings  # noqa: F401 — ImportError probe
+        super().__init__(data_dir)
 
 
 def make_text_index(data_dir: Path | str, backend: str = "auto"):
-    """Backend selection: 'native' (C++), 'python', or 'auto' (native when
-    built; SEMA_TPU_TEXT_BACKEND overrides). In auto mode an existing
-    on-disk index pins its backend — an index built by the Python backend
-    must not silently appear empty when the native library shows up later."""
+    """Engine selection: 'native' (C++), 'python', or 'auto' (native when
+    built). Both engines share the v2 on-disk format, so auto no longer
+    needs to pin a backend to an existing index — any engine opens any
+    index (round-2 formats migrate on open either way)."""
     backend = os.environ.get("SEMA_TPU_TEXT_BACKEND", backend)
     if backend == "python":
         return TextIndex(data_dir)
-    if backend == "auto":
-        tdir = Path(data_dir) / "text_index"
-        py_index = (tdir / "index.json").exists() or \
-            (tdir / "manifest.json").exists()
-        native_index = (tdir / "index.native.bin").exists() or \
-            (tdir / "manifest.native.json").exists()
-        if py_index and not native_index:
-            return TextIndex(data_dir)
     try:
         return NativeTextIndex(data_dir)
     except ImportError:

@@ -44,38 +44,16 @@ _lib.sema_crawl.argtypes = [
     ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
     ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p]
 _lib.sema_crawl.restype = ctypes.c_void_p
-_lib.sema_text_new.argtypes = []
-_lib.sema_text_new.restype = ctypes.c_void_p
-_lib.sema_text_free_index.argtypes = [ctypes.c_void_p]
-_lib.sema_text_free_index.restype = None
-_lib.sema_text_add.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
-                               ctypes.c_uint64]
-_lib.sema_text_add.restype = None
-_lib.sema_text_remove_file.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
-_lib.sema_text_remove_file.restype = ctypes.c_uint64
-_lib.sema_text_num_live.argtypes = [ctypes.c_void_p]
-_lib.sema_text_num_live.restype = ctypes.c_uint64
-_lib.sema_text_search.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
-                                  ctypes.c_uint32]
-_lib.sema_text_search.restype = ctypes.c_void_p
-_lib.sema_text_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
-_lib.sema_text_save.restype = ctypes.c_int
-_lib.sema_text_load.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
-_lib.sema_text_load.restype = ctypes.c_int
-_lib.sema_text_num_docs.argtypes = [ctypes.c_void_p]
-_lib.sema_text_num_docs.restype = ctypes.c_uint64
-_lib.sema_text_save_segment.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
-                                        ctypes.c_uint64]
-_lib.sema_text_save_segment.restype = ctypes.c_int
-_lib.sema_text_load_segment.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
-_lib.sema_text_load_segment.restype = ctypes.c_int
-_lib.sema_text_deleted_ids.argtypes = [ctypes.c_void_p]
-_lib.sema_text_deleted_ids.restype = ctypes.c_void_p
-_lib.sema_text_set_deleted.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
-                                       ctypes.c_uint64]
-_lib.sema_text_set_deleted.restype = None
-_lib.sema_text_compact.argtypes = [ctypes.c_void_p]
-_lib.sema_text_compact.restype = ctypes.c_uint64
+_lib.sema_tseg_build.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                                 ctypes.c_char_p]
+_lib.sema_tseg_build.restype = ctypes.c_int
+_lib.sema_tseg_open.argtypes = [ctypes.c_char_p]
+_lib.sema_tseg_open.restype = ctypes.c_void_p
+_lib.sema_tseg_close.argtypes = [ctypes.c_void_p]
+_lib.sema_tseg_close.restype = None
+_lib.sema_tseg_search.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                                  ctypes.c_char_p, ctypes.c_uint32]
+_lib.sema_tseg_search.restype = ctypes.c_void_p
 
 
 def _take(ptr) -> bytes:
@@ -150,106 +128,85 @@ def chunk_files_native(files: List[str], n_threads: int = 0) -> List[Chunk]:
     return chunks
 
 
-class NativeTextIndexHandle:
-    """Thin RAII wrapper over the C++ BM25 index handle."""
-
-    def __init__(self):
-        self._h = _lib.sema_text_new()
-
-    def __del__(self):
-        if getattr(self, "_h", None):
-            _lib.sema_text_free_index(self._h)
-            self._h = None
-
-    def add(self, docs) -> None:
-        """docs: iterable of (id, path, start_line, end_line, content)."""
-        docs = list(docs)
-        parts = [struct.pack("<I", len(docs))]
-        for doc_id, path, start, end, content in docs:
-            for s in (doc_id, path):
-                b = s.encode("utf-8")
-                parts.append(struct.pack("<I", len(b)))
-                parts.append(b)
-            parts.append(struct.pack("<QQ", start, end))
-            b = content.encode("utf-8")
+def _pack_docs(docs) -> bytes:
+    """u32 n; per doc: str id, str path, u64 start, u64 end, str content
+    (str = u32 length + utf8 bytes)."""
+    docs = list(docs)
+    parts = [struct.pack("<I", len(docs))]
+    for doc_id, path, start, end, content in docs:
+        for s in (doc_id, path):
+            b = s.encode("utf-8")
             parts.append(struct.pack("<I", len(b)))
             parts.append(b)
-        blob = b"".join(parts)
-        _lib.sema_text_add(self._h, blob, len(blob))
+        parts.append(struct.pack("<QQ", start, end))
+        b = content.encode("utf-8")
+        parts.append(struct.pack("<I", len(b)))
+        parts.append(b)
+    return b"".join(parts)
 
-    def remove_file(self, path: str) -> int:
-        return _lib.sema_text_remove_file(self._h, str(path).encode())
 
-    def num_live(self) -> int:
-        return _lib.sema_text_num_live(self._h)
+def tseg_build(docs, path: str) -> None:
+    """Tokenize a doc batch in C++ and write one immutable v2 segment
+    (format: sema_tpu/index/text_segment.py). docs: iterable of
+    (id, path, start_line, end_line, content)."""
+    blob = _pack_docs(docs)
+    rc = _lib.sema_tseg_build(blob, len(blob), str(path).encode())
+    if rc != 0:
+        raise OSError(f"native segment build failed ({rc}): {path}")
 
-    def search(self, query: str, limit: int):
-        payload = _take(_lib.sema_text_search(
-            self._h, query.encode("utf-8"), limit))
-        off = 0
 
-        def u32():
-            nonlocal off
-            (v,) = struct.unpack_from("<I", payload, off)
-            off += 4
-            return v
+def tseg_open(path: str) -> int:
+    """Persistent C++ mmap handle over a segment (valid across unlink,
+    like the Python engine's eager memmap). Freed with tseg_close."""
+    h = _lib.sema_tseg_open(str(path).encode())
+    if not h:
+        raise OSError(f"native segment open failed: {path}")
+    return h
 
-        def u64():
-            nonlocal off
-            (v,) = struct.unpack_from("<Q", payload, off)
-            off += 8
-            return v
 
-        def s():
-            nonlocal off
-            n = u32()
-            v = payload[off:off + n].decode("utf-8")
-            off += n
-            return v
+def tseg_close(handle: int) -> None:
+    _lib.sema_tseg_close(handle)
 
-        out = []
-        for _ in range(u32()):
-            doc_id, path = s(), s()
-            start, end = u64(), u64()
-            content = s()
-            (score,) = struct.unpack("<d", struct.pack("<Q", u64()))
-            out.append((doc_id, path, start, end, content, score))
-        return out
 
-    def save(self, path: str) -> None:
-        rc = _lib.sema_text_save(self._h, str(path).encode())
-        if rc != 0:
-            raise OSError(f"native text index save failed ({rc}): {path}")
+def tseg_search(segments, query: str, limit: int, avg_len: float,
+                n_live: int):
+    """BM25 search over v2 segments in C++. ``segments``: iterables of
+    (handle from tseg_open, global_base, del_bitmap_bytes — empty when
+    nothing is deleted). Returns (id, path, start, end, content, score)
+    tuples."""
+    parts = [struct.pack("<dQI", avg_len, n_live, len(segments))]
+    for handle, base, bits in segments:
+        parts.append(struct.pack("<QQQ", handle, base, len(bits)))
+        parts.append(bits)
+    blob = b"".join(parts)
+    payload = _take(_lib.sema_tseg_search(blob, len(blob),
+                                          query.encode("utf-8"), limit))
+    off = 0
 
-    def load(self, path: str) -> None:
-        rc = _lib.sema_text_load(self._h, str(path).encode())
-        if rc != 0:
-            raise OSError(f"native text index load failed ({rc}): {path}")
+    def u32():
+        nonlocal off
+        (v,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        return v
 
-    def num_docs(self) -> int:
-        return _lib.sema_text_num_docs(self._h)
+    def u64():
+        nonlocal off
+        (v,) = struct.unpack_from("<Q", payload, off)
+        off += 8
+        return v
 
-    def save_segment(self, path: str, from_doc: int) -> None:
-        rc = _lib.sema_text_save_segment(self._h, str(path).encode(),
-                                         from_doc)
-        if rc != 0:
-            raise OSError(f"native segment save failed ({rc}): {path}")
+    def s():
+        nonlocal off
+        n = u32()
+        v = payload[off:off + n].decode("utf-8")
+        off += n
+        return v
 
-    def load_segment(self, path: str) -> None:
-        rc = _lib.sema_text_load_segment(self._h, str(path).encode())
-        if rc != 0:
-            raise OSError(f"native segment load failed ({rc}): {path}")
-
-    def deleted_ids(self) -> List[int]:
-        payload = _take(_lib.sema_text_deleted_ids(self._h))
-        (n,) = struct.unpack_from("<Q", payload, 0)
-        return list(struct.unpack_from(f"<{n}I", payload, 8))
-
-    def set_deleted(self, ids) -> None:
-        ids = list(ids)
-        blob = struct.pack("<Q", len(ids)) + struct.pack(
-            f"<{len(ids)}I", *ids)
-        _lib.sema_text_set_deleted(self._h, blob, len(blob))
-
-    def compact(self) -> int:
-        return _lib.sema_text_compact(self._h)
+    out = []
+    for _ in range(u32()):
+        doc_id, path = s(), s()
+        start, end = u64(), u64()
+        content = s()
+        (score,) = struct.unpack("<d", struct.pack("<Q", u64()))
+        out.append((doc_id, path, start, end, content, score))
+    return out

@@ -145,15 +145,21 @@ def test_make_text_index_backend_selection(tmp_path, monkeypatch):
     assert isinstance(make_text_index(tmp_path / "b"), TextIndex)
 
 
-def test_auto_respects_existing_python_index(tmp_path):
-    """An index written by the Python backend keeps answering after the
-    native library becomes available (no silent empty results)."""
+def test_auto_opens_python_written_index(tmp_path):
+    """The v2 on-disk format is engine-shared: an index written by the
+    Python engine keeps answering when auto selects the native engine
+    (no silent empty results, no backend pinning needed)."""
     p = TextIndex(tmp_path)
     p.index_chunks([chunk(0, "legacy data survives")])
     p.close()
     idx = make_text_index(tmp_path)
-    assert isinstance(idx, TextIndex)
     assert len(idx.search("legacy", 10)) == 1
+    # and the reverse: native-written, python-read
+    n = NativeTextIndex(tmp_path / "n")
+    n.index_chunks([chunk(0, "native written corpus")])
+    n.close()
+    p2 = TextIndex(tmp_path / "n")
+    assert len(p2.search("corpus", 10)) == 1
 
 
 def test_whitespace_only_phrase_parity(tmp_path):
