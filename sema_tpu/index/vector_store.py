@@ -797,10 +797,23 @@ class VectorStore:
         def compile_one(local_fn):
             if self.mesh is not None:
                 from sema_tpu.parallel.sharded_topk import make_sharded_topk
-                return make_sharded_topk(
+                inner = make_sharded_topk(
                     self.mesh, n_pad, k_eff, axis=self.index_axis,
                     local_fn=local_fn, store_specs=self._store_specs)
-            return jax.jit(partial(local_fn, k=k_eff))
+            else:
+                inner = partial(local_fn, k=k_eff)
+
+            # pack (scores f32, ids i32-bitcast) into ONE (Q, 2k) array
+            # inside the jit: each bucket result then costs a single
+            # device→host fetch instead of two. On tunneled hosts a fetch
+            # is ~27 ms of pump RTT — with several LSM buckets this
+            # halved the serving batch p50 (round-3 profiling, PERF.md)
+            def packed(store, queries, valid):
+                s, i = inner(store, queries, valid)
+                return jnp.concatenate(
+                    [s, jax.lax.bitcast_convert_type(i, jnp.float32)],
+                    axis=1)
+            return jax.jit(packed)
 
         if backend == "pallas" and pallas_fn is not None:
             fn = compile_one(pallas_fn)
@@ -816,24 +829,17 @@ class VectorStore:
         self._topk_fns[key] = fn
         return fn
 
-    def search_batch(self, query_vecs: np.ndarray, k: int
-                     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Batched scan: (Q, dim) queries → (scores (Q,k'), ids (Q,k')).
-
-        Each device bucket is scanned with its own compiled executable —
-        all buckets dispatch asynchronously before the first (tiny) result
-        is fetched — and the per-bucket candidate sets merge on host. A
-        device-side merge was tried and measured SLOWER on remote/tunneled
-        devices: it adds one dispatch round-trip (~27 ms tunneled) and a
-        fresh XLA compile per bucket-count while the host merge costs two
-        ~1 ms fetches per bucket plus a sub-ms argsort. int8 mode scans for
-        ``rescore_k`` candidates and re-ranks them at full precision from
-        the host originals (BASELINE config 4)."""
+    def search_batch_async(self, query_vecs: np.ndarray, k: int):
+        """Dispatch a batched scan WITHOUT waiting for the device: every
+        bucket's executable is enqueued (PJRT dispatch is async) and an
+        opaque pending handle is returned. ``search_batch_finish``
+        fetches + merges. The split lets a serving dispatcher overlap the
+        next batch's dispatch with this batch's device time + tunnel
+        round-trip (QueryBatcher's pipeline)."""
         buckets = self.device_buckets()
         quantized = self.store_dtype == "int8"
         if not buckets:  # empty store: nothing to scan
-            return (np.full((len(query_vecs), k), -np.inf, dtype=np.float32),
-                    np.zeros((len(query_vecs), k), dtype=np.int32))
+            return (len(query_vecs), k, quantized, [])
         q = jnp.asarray(query_vecs, dtype=jnp.float32)
 
         # round the scanned k up to the class ladder (16, 64, 128, 1024) so
@@ -845,22 +851,54 @@ class VectorStore:
         k_class = next((c for c in (16, 64, 128, 1024) if c >= k_want),
                        k_want)
 
-        all_scores = []
-        all_idx = []
         pending = []
         for b in buckets:
             k_scan = min(k_class, b["n_pad"])
             fn = self._scan_fn(b["n_pad"], k_scan,
                                all_valid=b.get("all_valid", False))
-            pending.append((b, fn(b["store"], q, b["valid"])))
-        for b, (s, i) in pending:  # dispatch all, then sync
-            all_scores.append(np.asarray(s))
-            all_idx.append(np.asarray(i) + b["row_offset"])
+            pending.append((b, fn(b["store"], q, b["valid"]), k_scan))
+        return (len(query_vecs), k, quantized, pending)
+
+    def search_batch_finish(self, handle, query_vecs: np.ndarray
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fetch + merge a pending batched scan (see search_batch_async).
+
+        Each bucket's result is ONE packed (Q, 2k) array — a single
+        device→host fetch (scores + bitcast ids, unpacked here); the
+        per-bucket candidate sets merge on host. A device-side merge was
+        tried and measured SLOWER on remote/tunneled devices: it adds one
+        dispatch round-trip (~27 ms tunneled) and a fresh XLA compile per
+        bucket-count while the host merge costs one ~1 ms fetch per
+        bucket plus a sub-ms argsort. int8 mode scans for ``rescore_k``
+        candidates and re-ranks them at full precision from the host
+        originals (BASELINE config 4)."""
+        nq, k, quantized, pending = handle
+        if not pending:
+            return (np.full((nq, k), -np.inf, dtype=np.float32),
+                    np.zeros((nq, k), dtype=np.int32))
+        all_scores = []
+        all_idx = []
+        for b, packed, k_scan in pending:  # dispatched; now sync
+            buf = np.asarray(packed)
+            all_scores.append(buf[:, :k_scan])
+            all_idx.append(buf[:, k_scan:].view(np.int32)
+                           + b["row_offset"])
         scores = np.concatenate(all_scores, axis=1)
         idx = np.concatenate(all_idx, axis=1)
+        return self._merge_candidates(scores, idx, query_vecs, k,
+                                      quantized, n_parts=len(pending))
+
+    def search_batch(self, query_vecs: np.ndarray, k: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched scan: (Q, dim) queries → (scores (Q,k'), ids (Q,k'))."""
+        return self.search_batch_finish(
+            self.search_batch_async(query_vecs, k), query_vecs)
+
+    def _merge_candidates(self, scores, idx, query_vecs, k: int,
+                          quantized: bool, n_parts: int):
         k_keep = min(max(k, self.rescore_k) if quantized else k,
                      scores.shape[1])
-        if len(buckets) > 1 or scores.shape[1] > k_keep:
+        if n_parts > 1 or scores.shape[1] > k_keep:
             order = np.argsort(-scores, axis=1, kind="stable")
             order = order[:, :k_keep]
             scores = np.take_along_axis(scores, order, axis=1)

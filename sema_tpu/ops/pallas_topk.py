@@ -78,13 +78,18 @@ def _merge_and_emit(scores, i, out_s_ref, out_i_ref,
     # threshold screen: the running top-k is stored rank-descending, so
     # column k-1 holds each query's current k-th best. A tile with no
     # score above any query's threshold cannot change the result — skip
-    # its merge entirely (one cheap pass instead of k).
+    # its merge entirely. The screen itself is ONE full-width pass (the
+    # per-row max); everything survivor-shaped (compare, count, select)
+    # happens inside the merge branch, which the steady state of a scan
+    # never takes (round-3 A/B: this cut ~2 full-width VPU passes per
+    # tile vs computing surv/scores-thr unconditionally).
     thr = run_s[:, k - 1:k]                         # (Q, 1)
-    surv = scores > thr
-    tile_best = jnp.max(scores - thr)               # scalar
+    rowmax = jnp.max(scores, axis=1, keepdims=True)  # (Q, 1)
+    tile_best = jnp.max(rowmax - thr)               # scalar
 
     @pl.when(tile_best > 0)
     def _():
+        surv = scores > thr
         cnt_max = jnp.max(jnp.sum(surv.astype(jnp.int32), axis=1))
         wide[:] = jnp.where(surv, scores, NEG)
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)

@@ -24,7 +24,7 @@ import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
-from sema_tpu.search.server import QueryBatcher
+from sema_tpu.search.server import QueryBatcher, ServerOverloaded
 
 
 def _result_row(chunk, score: float) -> dict:
@@ -39,11 +39,14 @@ class SearchService:
     """Shared state behind the HTTP handlers (and reusable headlessly)."""
 
     def __init__(self, index_manager, max_batch: int = 64,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0,
+                 max_queue: Optional[int] = None,
+                 deadline_ms: Optional[float] = 10_000.0):
         self.manager = index_manager
         self.batcher = QueryBatcher(
             index_manager.vector_store, max_batch=max_batch,
-            max_wait_ms=max_wait_ms)
+            max_wait_ms=max_wait_ms, max_queue=max_queue,
+            deadline_ms=deadline_ms)
 
     def search(self, query: str, k: int):
         query = query.strip()
@@ -61,6 +64,9 @@ class SearchService:
             "model": self.manager.encoder.spec.name,
             "rows": self.manager.vector_store.live_rows,
             "text_docs": self.manager.text_index.num_live_docs,
+            # live serving breakdown (per-stage p50/p99 over the last
+            # stats window) — the production view of where batch time goes
+            "batcher": self.batcher.stats(),
         }
 
     def close(self):
@@ -88,6 +94,17 @@ class _Handler(BaseHTTPRequestHandler):
         t0 = time.perf_counter()
         try:
             results = self.service.search(query, k)
+        except ServerOverloaded as e:
+            # shed load explicitly: clients should back off and retry
+            # rather than pile onto a 60 s timeout
+            self.send_response(503)
+            body = json.dumps({"error": str(e)}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Retry-After", "1")
+            self.end_headers()
+            self.wfile.write(body)
+            return
         except Exception as e:  # noqa: BLE001
             self._send(500, {"error": str(e)})
             return

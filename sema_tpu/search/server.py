@@ -6,11 +6,26 @@ pass costs barely more than a (1, N) pass, so concurrent callers should
 ride the same device dispatch. ``QueryBatcher`` coalesces requests from any
 number of threads into fixed-size device batches:
 
-- callers block on a per-request event; a single dispatcher thread drains
-  the queue, pads the query batch to a static shape (one compiled
-  executable), runs the scan, and distributes results;
+- callers block on a per-request event; a DISPATCH thread drains the
+  queue, pads the query batch to a static shape (one compiled
+  executable) and enqueues the device work WITHOUT waiting for it
+  (``search_batch_async``); a COMPLETION thread fetches results
+  (``search_batch_finish``) and wakes callers. The two-stage pipeline
+  overlaps batch t+1's dispatch with batch t's device time and tunnel
+  round-trip — on tunneled hosts the round-trip (~27 ms + trickling
+  result transfer) dominated the serving batch p50 (round-3 profiling:
+  docs/PERF.md serving breakdown);
 - batches close either when ``max_batch`` queries are waiting or after
   ``max_wait_ms`` — the usual latency/throughput knob;
+- OVERLOAD DEGRADES FAST, not with 60 s client timeouts: the request
+  queue is bounded (``max_queue``, default 16×max_batch) and
+  ``search`` raises :class:`ServerOverloaded` immediately when it is
+  full; requests that waited longer than ``deadline_ms`` in the queue
+  are failed with ServerOverloaded *without* being scanned (the HTTP
+  layer maps this to 503 + Retry-After);
+- per-stage timings (queue wait, dispatch, device+fetch, distribute)
+  accumulate in a ring buffer exposed by :meth:`stats` — the serving
+  breakdown is measurable in production, not just in the load test;
 - keyword ('-prefixed) queries bypass the batcher (host-side BM25).
 """
 
@@ -18,16 +33,23 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
+from collections import deque
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
 import numpy as np
 
 
+class ServerOverloaded(RuntimeError):
+    """Queue full or queue-wait deadline exceeded — shed load now."""
+
+
 @dataclass
 class _Request:
     query_vec: np.ndarray
     k: int
+    t_enq: float
     event: threading.Event = field(default_factory=threading.Event)
     # raw (scores, ids) row — chunk metadata materializes in the CALLER
     # thread so the dispatcher's next device batch isn't stalled behind
@@ -38,21 +60,39 @@ class _Request:
 
 class QueryBatcher:
     def __init__(self, vector_store, max_batch: int = 64,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0,
+                 max_queue: Optional[int] = None,
+                 deadline_ms: Optional[float] = None,
+                 stats_window: int = 512):
         self.store = vector_store
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
-        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self.deadline = (deadline_ms / 1e3) if deadline_ms else None
+        self._queue: "queue.Queue[_Request]" = queue.Queue(
+            maxsize=max_queue if max_queue is not None else 16 * max_batch)
+        # depth 2: one batch in flight on device while the next one is
+        # drained/padded/dispatched; deeper pipelines only add queue wait
+        self._inflight: "queue.Queue[tuple]" = queue.Queue(maxsize=2)
+        self._stats = deque(maxlen=stats_window)
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        self._dispatch_thread = threading.Thread(target=self._dispatch_loop,
+                                                 daemon=True)
+        self._complete_thread = threading.Thread(target=self._complete_loop,
+                                                 daemon=True)
+        self._dispatch_thread.start()
+        self._complete_thread.start()
 
     # -- caller side -----------------------------------------------------------
 
     def search(self, query_vec: np.ndarray, k: int,
                timeout: Optional[float] = 60.0):
-        req = _Request(np.asarray(query_vec, dtype=np.float32), k)
-        self._queue.put(req)
+        req = _Request(np.asarray(query_vec, dtype=np.float32), k,
+                       time.perf_counter())
+        try:
+            self._queue.put_nowait(req)
+        except queue.Full:
+            raise ServerOverloaded(
+                f"request queue full ({self._queue.maxsize})") from None
         if not req.event.wait(timeout):
             raise TimeoutError("query batch timed out")
         if req.error is not None:
@@ -67,11 +107,33 @@ class QueryBatcher:
                 break
         return out
 
+    def stats(self) -> dict:
+        """Per-stage p50/p99 over the last ``stats_window`` batches (ms)."""
+        recs = list(self._stats)
+        if not recs:
+            return {"batches": 0}
+        arr = np.asarray(recs)  # columns: size, wait, dispatch, device, dist
+
+        def pct(col, p):
+            return round(float(np.percentile(arr[:, col], p)) * 1e3, 2)
+
+        return {
+            "batches": len(recs),
+            "batch_size_mean": round(float(arr[:, 0].mean()), 1),
+            "queue_wait_p50_ms": pct(1, 50),
+            "queue_wait_p99_ms": pct(1, 99),
+            "dispatch_p50_ms": pct(2, 50),
+            "device_fetch_p50_ms": pct(3, 50),
+            "device_fetch_p99_ms": pct(3, 99),
+            "distribute_p50_ms": pct(4, 50),
+        }
+
     def close(self) -> None:
         self._stop.set()
-        self._thread.join(timeout=5)
+        self._dispatch_thread.join(timeout=5)
+        self._complete_thread.join(timeout=5)
 
-    # -- dispatcher -------------------------------------------------------------
+    # -- dispatch stage ----------------------------------------------------------
 
     def _drain_batch(self) -> List[_Request]:
         batch: List[_Request] = []
@@ -87,9 +149,31 @@ class QueryBatcher:
                 break
         return batch
 
-    def _loop(self) -> None:
+    def _expire(self, batch: List[_Request], now: float) -> List[_Request]:
+        """Fail queue-expired requests without scanning them: under
+        overload the client gets a fast 503 instead of a 60 s timeout,
+        and the device batch is spent on requests that still have a
+        waiting caller."""
+        if self.deadline is None:
+            return batch
+        live = []
+        for r in batch:
+            if now - r.t_enq > self.deadline:
+                r.error = ServerOverloaded(
+                    f"queued {1e3 * (now - r.t_enq):.0f} ms "
+                    f"> deadline {1e3 * self.deadline:.0f} ms")
+                r.event.set()
+            else:
+                live.append(r)
+        return live
+
+    def _dispatch_loop(self) -> None:
         while not self._stop.is_set():
             batch = self._drain_batch()
+            if not batch:
+                continue
+            t0 = time.perf_counter()
+            batch = self._expire(batch, t0)
             if not batch:
                 continue
             try:
@@ -99,10 +183,35 @@ class QueryBatcher:
                 q = np.zeros((self.max_batch, dim), dtype=np.float32)
                 for i, r in enumerate(batch):
                     q[i] = r.query_vec
-                scores, ids = self.store.search_batch(q, k_max)
+                handle = self.store.search_batch_async(q, k_max)
+                t1 = time.perf_counter()
+                # blocks when 2 batches are already in flight — the
+                # natural backpressure that keeps device queueing bounded
+                self._inflight.put((batch, handle, q, t0, t1))
+            except Exception as e:  # noqa: BLE001 — deliver to callers
+                for r in batch:
+                    if not r.event.is_set():
+                        r.error = e
+                        r.event.set()
+
+    # -- completion stage --------------------------------------------------------
+
+    def _complete_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                batch, handle, q, t0, t1 = self._inflight.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                scores, ids = self.store.search_batch_finish(handle, q)
+                t2 = time.perf_counter()
                 for i, r in enumerate(batch):
                     r.raw = (scores[i], ids[i])
                     r.event.set()
+                t3 = time.perf_counter()
+                wait = t0 - min(r.t_enq for r in batch)
+                self._stats.append(
+                    (len(batch), wait, t1 - t0, t2 - t1, t3 - t2))
             except Exception as e:  # noqa: BLE001 — deliver to callers
                 for r in batch:
                     if not r.event.is_set():

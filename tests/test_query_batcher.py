@@ -112,3 +112,66 @@ def test_streaming_reindex_while_serving(store):
         mut.join(timeout=10)
         b.close()
     assert not errors, errors
+
+
+def test_overload_sheds_with_503_class_error(store):
+    """A full request queue fails FAST with ServerOverloaded (→ HTTP
+    503) instead of queueing toward a 60 s client timeout."""
+    from sema_tpu.search.server import ServerOverloaded
+
+    class SlowStore:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def search_batch_async(self, q, k):
+            import time
+            time.sleep(0.2)
+            return self._inner.search_batch_async(q, k)
+
+    b = QueryBatcher(SlowStore(store), max_batch=1, max_wait_ms=0.1,
+                     max_queue=2)
+    try:
+        errors = []
+        done = []
+
+        def worker(i):
+            try:
+                done.append(b.search(store._test_vecs[i], k=1, timeout=30))
+            except ServerOverloaded:
+                errors.append(i)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert errors, "overload must shed some requests"
+        assert done, "non-shed requests must still answer"
+    finally:
+        b.close()
+
+
+def test_queue_deadline_fails_stale_requests(store):
+    """Requests that waited past deadline_ms are failed without being
+    scanned — overload degrades instead of serving dead clients."""
+    from sema_tpu.search.server import ServerOverloaded, _Request
+    import time as _time
+
+    b = QueryBatcher(store, max_batch=4, deadline_ms=500.0)
+    try:
+        # enqueue a pre-expired request directly (deterministic)
+        req = _Request(np.asarray(store._test_vecs[0], dtype=np.float32),
+                       1, _time.perf_counter() - 10.0)
+        b._queue.put(req)
+        assert req.event.wait(10)
+        assert isinstance(req.error, ServerOverloaded)
+        # fresh requests still answer fine
+        res = b.search(store._test_vecs[5], k=1, timeout=30)
+        assert res[0][0].id == "f.txt:5"
+        assert b.stats()["batches"] >= 1
+    finally:
+        b.close()

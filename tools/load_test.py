@@ -111,12 +111,29 @@ def run(rows: int, dim: int, clients: int, max_batch: int,
     cap_queries = np.repeat(probes, max(1, max_batch // n_probe + 1),
                             axis=0)[:max_batch]
     cap_times: list[float] = []
+    cap_seq_times: list[float] = []
 
-    def capacity(n_iters: int = 24) -> None:
+    def capacity(n_iters: int = 24, depth: int = 2) -> None:
+        # sequential: one batch at a time — pays the full dispatch +
+        # device + tunnel-fetch round trip per batch (what a naive
+        # serving loop would see)
         for _ in range(n_iters):
             t = time.perf_counter()
             store.search_batch(cap_queries, k)
-            cap_times.append(time.perf_counter() - t)
+            cap_seq_times.append(time.perf_counter() - t)
+        # pipelined: keep `depth` batches in flight (what QueryBatcher's
+        # dispatch/completion pipeline sustains) — dispatch overlaps the
+        # previous batch's device time and tunnel round-trip
+        handles: list = []
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            handles.append(store.search_batch_async(cap_queries, k))
+            if len(handles) > depth:
+                store.search_batch_finish(handles.pop(0), cap_queries)
+        while handles:
+            store.search_batch_finish(handles.pop(0), cap_queries)
+        per = (time.perf_counter() - t0) / n_iters
+        cap_times.extend([per] * n_iters)
 
     def client(ci: int) -> None:
         rng = np.random.default_rng(1000 + ci)
@@ -174,10 +191,17 @@ def run(rows: int, dim: int, clients: int, max_batch: int,
 
     lats = np.asarray(sorted(x for l in latencies for x in l))
     cap_p50 = float(np.percentile(cap_times, 50)) if cap_times else None
+    cap_seq_p50 = (float(np.percentile(cap_seq_times, 50))
+                   if cap_seq_times else None)
     result = {
         "capacity_qps": round(max_batch / cap_p50, 1) if cap_p50 else None,
         "capacity_batch_p50_ms": round(cap_p50 * 1e3, 2) if cap_p50
         else None,
+        "capacity_seq_qps": round(max_batch / cap_seq_p50, 1)
+        if cap_seq_p50 else None,
+        "capacity_seq_batch_p50_ms": round(cap_seq_p50 * 1e3, 2)
+        if cap_seq_p50 else None,
+        "batcher": batcher.stats(),
         "clients": clients,
         "max_batch": max_batch,
         "rows": rows, "dim": dim, "k": k,
