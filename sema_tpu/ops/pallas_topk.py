@@ -91,7 +91,13 @@ def _merge_and_emit(scores, i, out_s_ref, out_i_ref,
     def _():
         surv = scores > thr
         cnt_max = jnp.max(jnp.sum(surv.astype(jnp.int32), axis=1))
-        wide[:] = jnp.where(surv, scores, NEG)
+        # plain copy, no survivor select: a row whose survivors run out
+        # extracts a sub-threshold value whose insert position lands at
+        # or past column k — the garbage zone of the running state — so
+        # masking non-survivors to NEG is unnecessary work (one full
+        # (Q, TILE_N) select saved per merging tile; ids verified
+        # identical in the round-3 A/B)
+        wide[:] = scores
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         out_col = jax.lax.broadcasted_iota(jnp.int32, (qn, K_PAD), 1)
         big = jnp.int32(2**30)
