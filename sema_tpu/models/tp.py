@@ -21,7 +21,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def tp_param_specs(model_axis: str) -> Dict[str, Dict[str, P]]:
-    """PartitionSpec per param-tree leaf (layer-stacked leaves lead with L)."""
+    """PartitionSpec per param-tree leaf (layer-stacked leaves lead with
+    L). Covers both full-precision and int8-quantized leaves — the
+    quantized weight shards with its per-output-channel scales (scales
+    of row-parallel projections are replicated: they index the OUTPUT
+    dim, which row-parallel keeps whole)."""
     return {
         "embeddings": {
             "word": P(), "position": P(), "token_type": P(),
@@ -30,13 +34,21 @@ def tp_param_specs(model_axis: str) -> Dict[str, Dict[str, P]]:
         "layers": {
             # column-parallel: output features sharded
             "qkv_w": P(None, None, model_axis),
+            "qkv_w_q": P(None, None, model_axis),
+            "qkv_w_s": P(None, model_axis),
             "qkv_b": P(None, model_axis),
             "ffn_in_w": P(None, None, model_axis),
+            "ffn_in_w_q": P(None, None, model_axis),
+            "ffn_in_w_s": P(None, model_axis),
             "ffn_in_b": P(None, model_axis),
-            # row-parallel: input features sharded; XLA reduces after
+            # row-parallel: input features sharded; reduce after
             "attn_out_w": P(None, model_axis, None),
+            "attn_out_w_q": P(None, model_axis, None),
+            "attn_out_w_s": P(None, None),
             "attn_out_b": P(None, None),
             "ffn_out_w": P(None, model_axis, None),
+            "ffn_out_w_q": P(None, model_axis, None),
+            "ffn_out_w_s": P(None, None),
             "ffn_out_b": P(None, None),
             # layernorms replicated
             "attn_ln_scale": P(None, None), "attn_ln_bias": P(None, None),
@@ -45,8 +57,54 @@ def tp_param_specs(model_axis: str) -> Dict[str, Dict[str, P]]:
     }
 
 
-def shard_params_tp(params, mesh: Mesh, model_axis: str = "model"):
-    """Place a param pytree onto the mesh with the TP layout."""
+def tp_spec_tree(params, model_axis: str):
+    """The pytree of PartitionSpecs matching ``params``' structure (for
+    shard_map in_specs / device_put)."""
+    specs = tp_param_specs(model_axis)
+    return {group: {name: specs[group][name] for name in params[group]}
+            for group in ("embeddings", "layers")}
+
+
+def permute_qkv_heads(params, tp: int):
+    """Reorder the fused qkv projection's output columns so a contiguous
+    1/tp column shard holds exactly [q|k|v] of a contiguous head block.
+
+    The natural (H, 3H) q|k|v concatenation puts each chip's contiguous
+    shard ACROSS the q/k/v boundary; per-chip mini-attention needs local
+    heads. attn_out's rows are already head-contiguous, so only qkv_w /
+    qkv_b (and their quantized twins — per-column scales move with their
+    columns) permute. Applied BEFORE sharding; a pure host-side layout
+    step, numerics unchanged."""
+    import jax.numpy as jnp
+
+    layers = dict(params["layers"])
+    some_w = layers.get("qkv_w", layers.get("qkv_w_q"))
+    h3 = some_w.shape[-1]
+    h = h3 // 3
+    hl = h // tp
+    # new column order: for chip c: q[c·hl:(c+1)·hl] | k[...] | v[...]
+    perm = []
+    for c in range(tp):
+        for third in range(3):
+            start = third * h + c * hl
+            perm.extend(range(start, start + hl))
+    perm = jnp.asarray(perm)
+    for name in ("qkv_w", "qkv_w_q"):
+        if name in layers:
+            layers[name] = layers[name][..., perm]
+    for name in ("qkv_b", "qkv_w_s"):
+        if name in layers:
+            layers[name] = layers[name][..., perm]
+    return {**params, "layers": layers}
+
+
+def shard_params_tp(params, mesh: Mesh, model_axis: str = "model",
+                    permute: bool = True):
+    """Place a param pytree onto the mesh with the TP layout (qkv
+    columns pre-permuted to head-contiguous shards unless ``permute``
+    is False)."""
+    if permute:
+        params = permute_qkv_heads(params, mesh.shape[model_axis])
     specs = tp_param_specs(model_axis)
 
     def place(group: str):

@@ -158,17 +158,21 @@ def _attn_block_kernel(x_ref, w_ref, b_ref, bias_ref, out_ref, *,
     dtype, rounded once to the compute dtype."""
     h = x_ref.shape[-1]
     s = x_ref.shape[1]
+    # under tensor parallelism the weight holds only the LOCAL heads'
+    # columns (h_out = H/tp, num_heads = heads/tp) — the kernel is the
+    # same mini-attention either way
+    h_out = w_ref.shape[-1] // 3
     x = x_ref[:].reshape(tb * s, h)               # (TB*S, H)
     acc = jnp.float32
     qkv = jax.lax.dot_general(
         x, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=acc)               # (TB*S, 3H) f32
+        preferred_element_type=acc)               # (TB*S, 3H_out) f32
     qkv = (qkv + b_ref[0][None, :].astype(acc)).astype(x.dtype)
-    qkv = qkv.reshape(tb, s, 3 * h)
+    qkv = qkv.reshape(tb, s, 3 * h_out)
     for t in range(tb):                           # static unroll
         ctx = _heads_attention(qkv[t], bias_ref[t, 0][None, :],
                                num_heads, scale)
-        out_ref[t] = ctx.astype(out_ref.dtype)    # (S, H)
+        out_ref[t] = ctx.astype(out_ref.dtype)    # (S, H_out)
 
 
 @functools.partial(jax.jit,
@@ -192,13 +196,14 @@ def fused_attention_block(x: jax.Array, qkv_w: jax.Array,
     width — resident, trivially re-fetched).
     """
     b, s, h = x.shape
+    h_out = qkv_w.shape[-1] // 3   # < h under tensor parallelism
     w = qkv_w.astype(x.dtype)
     bias1 = qkv_b.reshape(1, -1).astype(x.dtype)
 
     itemsize = jnp.dtype(x.dtype).itemsize
     # in + out blocks double-buffered, plus the in-kernel (TB*S, 3H) qkv
     # value; budget ~12 MB of scoped VMEM
-    per_row = s * (2 * 2 * h + 2 * 3 * h) * itemsize
+    per_row = s * (2 * 2 * h + 2 * 3 * h_out) * itemsize
     tb_cap = max(1, (12 << 20) // per_row)
     tb = next((d for d in range(min(block_b, b, tb_cap), 0, -1)
                if b % d == 0), 1)
@@ -219,9 +224,9 @@ def fused_attention_block(x: jax.Array, qkv_w: jax.Array,
             pl.BlockSpec((tb, 1, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tb, s, h), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((tb, s, h_out), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s, h), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, s, h_out), x.dtype),
         interpret=interpret,
     )(x, w, bias1, mask_bias.astype(jnp.float32)[:, None, :])
 
@@ -342,6 +347,143 @@ def fused_encoder_layer(x: jax.Array, layer: dict, mask_bias: jax.Array,
         row1(layer["attn_ln_bias"], jnp.float32),
         layer["ffn_in_w"].astype(dt), row1(layer["ffn_in_b"], dt),
         layer["ffn_out_w"].astype(dt), row1(layer["ffn_out_b"], dt),
+        row1(layer["ffn_ln_scale"], jnp.float32),
+        row1(layer["ffn_ln_bias"], jnp.float32),
+        mask_bias.astype(jnp.float32)[:, None, :],
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((tb, s, h), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pin(a.shape) for a in args[1:-1]]
+        + [pl.BlockSpec((tb, 1, s), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tb, s, h), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, h), dt),
+        scratch_shapes=[pltpu.VMEM((tb * s, h), dt)],
+        interpret=interpret,
+    )(*args)
+
+
+def _qmm(x, wq_ref, ws_ref):
+    """In-kernel dynamic W8A8 matmul: per-token activation quant on the
+    VPU (the pass that made unfused int8 LOSE at narrow widths — here the
+    activation is already in VMEM/registers, so the quant fuses into the
+    matmul feed instead of costing an HBM round-trip), int8×int8 MXU dot
+    with i32 accumulation, rescale by token × channel scales. Numerics
+    match models/bert.py:_int8_matmul op-for-op.
+
+    x: (R, H) any float dtype; wq_ref: (H, O) int8; ws_ref: (1, O) f32.
+    Returns (R, O) f32.
+    """
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                     1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, wq_ref[:],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * sx * ws_ref[0][None, :]
+
+
+def _encoder_layer_kernel_int8(x_ref, wq_ref, ws_ref, b_ref, woq_ref,
+                               wos_ref, bo_ref, g1_ref, be1_ref, wiq_ref,
+                               wis_ref, bi_ref, wdq_ref, wds_ref, bd_ref,
+                               g2_ref, be2_ref, bias_ref, out_ref,
+                               h1_ref, *, scale: float, tb: int,
+                               num_heads: int, ln_eps: float):
+    """The int8 (W8A8) variant of _encoder_layer_kernel: all four linears
+    run as in-kernel dynamic-quant int8 MXU matmuls (2× the bf16 rate on
+    v5e), attention scores/softmax stay full precision. int8 weights
+    HALVE the pinned-VMEM footprint vs bf16 — gte-large-class layers
+    (~25 MB bf16, too big for the fused kernel) fit at ~12.6 MB int8, so
+    the widest models get the full-layer fusion AND the int8 rate
+    together."""
+    h = x_ref.shape[-1]
+    s = x_ref.shape[1]
+    xb = x_ref[:]                                 # (TB, S, H)
+    x = xb.reshape(tb * s, h)
+    f32 = jnp.float32
+    acc = x.dtype if x.dtype == jnp.bfloat16 else f32
+    qkv = _qmm(x, wq_ref, ws_ref)
+    qkv = (qkv + b_ref[0][None, :].astype(f32)).astype(x.dtype)
+    qkv = qkv.reshape(tb, s, 3 * h)
+    for t in range(tb):                           # static unroll
+        ctx = _heads_attention(qkv[t], bias_ref[t, 0][None, :],
+                               num_heads, scale).astype(x.dtype)
+        attn = _qmm(ctx, woq_ref, wos_ref).astype(acc)
+        attn = (attn + bo_ref[0][None, :].astype(acc)).astype(x.dtype)
+        resid = xb[t].astype(f32) + attn.astype(f32)
+        mean = jnp.mean(resid, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(resid - mean), axis=-1, keepdims=True)
+        normed = (resid - mean) * jax.lax.rsqrt(var + ln_eps)
+        y = (normed * g1_ref[0][None, :].astype(f32)
+             + be1_ref[0][None, :].astype(f32))
+        h1_ref[t * s:(t + 1) * s, :] = y.astype(x.dtype)
+
+    y = h1_ref[:]                                 # (TB*S, H) post-LN1
+    up = _qmm(y, wiq_ref, wis_ref).astype(acc)
+    up = (up + bi_ref[0][None, :].astype(acc)).astype(f32)
+    up = 0.5 * up * (1.0 + _erf_as(up * np.float32(1 / math.sqrt(2))))
+    down = _qmm(up.astype(x.dtype), wdq_ref, wds_ref).astype(acc)
+    down = down + bd_ref[0][None, :].astype(acc)
+    resid2 = y.astype(f32) + down.astype(f32)
+    mean2 = jnp.mean(resid2, axis=-1, keepdims=True)
+    var2 = jnp.mean(jnp.square(resid2 - mean2), axis=-1, keepdims=True)
+    normed2 = (resid2 - mean2) * jax.lax.rsqrt(var2 + ln_eps)
+    out = (normed2 * g2_ref[0][None, :].astype(f32)
+           + be2_ref[0][None, :].astype(f32))
+    out_ref[:] = out.astype(out_ref.dtype).reshape(tb, s, h)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "scale", "ln_eps",
+                                    "block_b", "interpret"))
+def fused_encoder_layer_int8(x: jax.Array, layer: dict,
+                             mask_bias: jax.Array, *, num_heads: int,
+                             scale: float, ln_eps: float,
+                             block_b: int = 8,
+                             interpret: bool = False) -> jax.Array:
+    """One full post-LN BERT encoder layer, W8A8, as a single kernel.
+
+    ``layer`` is the QUANTIZED per-layer param dict (qkv_w_q/_s etc.
+    from models/bert.py:quantize_params_int8) plus the full-precision
+    biases and LN params.
+    """
+    b, s, h = x.shape
+    inter = layer["ffn_in_w_q"].shape[-1]
+    dt = x.dtype
+    row1 = lambda a, d: a.reshape(1, -1).astype(d)
+
+    itemsize = jnp.dtype(dt).itemsize
+    # activations as in the bf16 kernel plus the int8/f32 quant
+    # temporaries of the widest matmul; int8 weights are grid-constant
+    per_row = s * (2 * 2 * h + 3 * h + h + 2 * inter) * itemsize
+    weights_bytes = h * 3 * h + h * h + h * inter + inter * h  # int8
+    budget = (13 << 20) - weights_bytes
+    tb_cap = max(1, budget // per_row)
+    tb = next((d for d in range(min(block_b, b, tb_cap), 0, -1)
+               if b % d == 0), 1)
+    grid = (b // tb,)
+
+    kernel = functools.partial(_encoder_layer_kernel_int8, scale=scale,
+                               tb=tb, num_heads=num_heads, ln_eps=ln_eps)
+    pin = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    args = [
+        x,
+        layer["qkv_w_q"], row1(layer["qkv_w_s"], jnp.float32),
+        row1(layer["qkv_b"], dt),
+        layer["attn_out_w_q"], row1(layer["attn_out_w_s"], jnp.float32),
+        row1(layer["attn_out_b"], dt),
+        row1(layer["attn_ln_scale"], jnp.float32),
+        row1(layer["attn_ln_bias"], jnp.float32),
+        layer["ffn_in_w_q"], row1(layer["ffn_in_w_s"], jnp.float32),
+        row1(layer["ffn_in_b"], dt),
+        layer["ffn_out_w_q"], row1(layer["ffn_out_w_s"], jnp.float32),
+        row1(layer["ffn_out_b"], dt),
         row1(layer["ffn_ln_scale"], jnp.float32),
         row1(layer["ffn_ln_bias"], jnp.float32),
         mask_bias.astype(jnp.float32)[:, None, :],

@@ -157,3 +157,58 @@ def test_full_layer_kernel_matches_composition():
         interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_full_layer_kernel_int8_matches_xla_int8():
+    """fused_encoder_layer_int8 == the composed XLA W8A8 encoder_layer
+    (same dynamic-quant numerics, op-for-op) in f32 compute."""
+    from sema_tpu.ops.fused_attention import fused_encoder_layer_int8
+    from sema_tpu.models.bert import (LN_EPS, encoder_layer,
+                                      quantize_params_int8)
+    from sema_tpu.models import get_spec
+    from sema_tpu.models.loader import random_params
+
+    spec = get_spec("test-tiny")
+    qparams = quantize_params_int8(random_params(spec, seed=2))
+    layer = {k: v[0] for k, v in qparams["layers"].items()}  # layer 0
+    rng = np.random.default_rng(6)
+    b, s, h = 2, 32, spec.hidden_size
+    x = jnp.asarray(rng.standard_normal((b, s, h)), dtype=jnp.float32)
+    lengths = rng.integers(1, s + 1, size=b)
+    mask = (np.arange(s)[None, :] < lengths[:, None]).astype(np.float32)
+    mbias = jnp.asarray((1.0 - mask) * -1e9)
+
+    want = encoder_layer(x, layer, mbias, spec.num_heads,
+                         attn_impl="xla")
+    got = fused_encoder_layer_int8(
+        x, layer, mbias, num_heads=spec.num_heads,
+        scale=1.0 / math.sqrt(h // spec.num_heads), ln_eps=LN_EPS,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_quantized_layer_dispatches_fused_int8(monkeypatch):
+    """encoder_layer routes quantized params to the int8 full-layer
+    kernel when it fits VMEM (gte-large's route to the fusion)."""
+    from sema_tpu.models.loader import random_params
+    from sema_tpu.models.bert import encoder_layer, quantize_params_int8
+    import sema_tpu.ops.fused_attention as fa
+
+    called = {}
+    real = fa.fused_encoder_layer_int8
+
+    def spy(*a, **kw):
+        called["int8"] = True
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fa, "fused_encoder_layer_int8", spy)
+    spec = get_spec("test-tiny")
+    qparams = quantize_params_int8(random_params(spec, seed=0))
+    layer = {k: v[0] for k, v in qparams["layers"].items()}
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 32, spec.hidden_size)),
+                    dtype=jnp.float32)
+    mbias = jnp.zeros((2, 32), dtype=jnp.float32)
+    encoder_layer(x, layer, mbias, spec.num_heads, attn_impl="fused")
+    assert called.get("int8")
