@@ -92,12 +92,25 @@ def test_encoder_quant_mode(minilm, monkeypatch):
     assert enc2.quant == "int8"
 
 
-def test_int8_rejects_tensor_parallel(minilm):
-    spec, params = minilm
+def test_int8_composes_with_tensor_parallel():
+    """r2 refused int8 + TP; r3 composes them (full coverage in
+    test_tensor_parallel.py::test_tp_composes_with_int8 — this is the
+    no-raise construction check on the virtual mesh)."""
+    import jax
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sema_tpu.models import get_spec
+    from sema_tpu.models.loader import random_params
+    from sema_tpu.parallel.mesh import make_mesh
     from sema_tpu.tokenizer.wordpiece import HashTokenizer
-    with pytest.raises(ValueError, match="tensor parallelism"):
-        Encoder(spec, params, HashTokenizer(spec.vocab_size),
-                quant="int8", model_axis="model")
+    spec = get_spec("test-tiny")
+    mesh = make_mesh(shape=[2, 4], axis_names=("data", "model"))
+    enc = Encoder(spec, random_params(spec, seed=0),
+                  HashTokenizer(spec.vocab_size), quant="int8",
+                  batch_size=8, mesh=mesh, data_axis="data",
+                  model_axis="model")
+    assert enc.quant == "int8"
+    assert "qkv_w_q" in enc.params["layers"]
 
 
 def test_quant_config_roundtrip(tmp_path, monkeypatch):
