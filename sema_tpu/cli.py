@@ -182,10 +182,11 @@ def make_index_manager(config: Config, metrics=None):
     encoder = Encoder.from_config(config.model, mesh=mesh,
                                   data_axis="index")
     if encoder.weights_source == "random":
-        print("Warning: no local weights found for model "
-              f"{config.model.name!r}; using random init (rankings will be "
-              "meaningless). Pass --weights or populate the HF cache.",
-              file=sys.stderr)
+        print("Warning: no weights for model "
+              f"{config.model.name!r} (auto-fetch from the HF hub failed "
+              "or was disabled); using random init (rankings will be "
+              "meaningless). Pass --weights, populate the HF cache, or "
+              "run on a networked machine.", file=sys.stderr)
     return IndexManager(
         data_dir(), encoder, store_dtype=config.index.store_dtype,
         mesh=mesh, metrics=metrics, rescore_k=config.index.rescore_k)

@@ -149,13 +149,49 @@ def _load_tensor_file(path: Path) -> Dict[str, np.ndarray]:
 
 
 _WEIGHT_FILES = ("model.safetensors", "pytorch_model.bin")
+_FETCH_PATTERNS = ["model.safetensors", "pytorch_model.bin",
+                   "tokenizer.json", "vocab.txt", "config.json",
+                   "tokenizer_config.json", "special_tokens_map.json"]
+
+
+def try_autofetch(spec: EncoderSpec):
+    """First-run weight download into the HF cache (≙ the reference's
+    automatic hub fetch, embeddings.rs:93-103, cached by hf-hub).
+
+    Offline-first contract unchanged: ANY failure — no network, hub
+    package absent, rate limit — returns None and the caller continues
+    down the fallback chain (random init + warning). Opt out with
+    ``SEMA_TPU_NO_AUTOFETCH=1`` (or the standard HF offline env vars).
+    Returns the snapshot dir on success.
+    """
+    import sys
+    if not spec.hf_repo:
+        return None
+    if any(os.environ.get(v) not in (None, "", "0")
+           for v in ("SEMA_TPU_NO_AUTOFETCH", "HF_HUB_OFFLINE",
+                     "TRANSFORMERS_OFFLINE")):
+        return None
+    try:
+        from huggingface_hub import snapshot_download
+        print(f"downloading {spec.hf_repo} from the Hugging Face hub "
+              "(first run; SEMA_TPU_NO_AUTOFETCH=1 disables)",
+              file=sys.stderr)
+        return Path(snapshot_download(repo_id=spec.hf_repo,
+                                      allow_patterns=_FETCH_PATTERNS))
+    except Exception as e:  # noqa: BLE001 — degrade, never fail startup
+        print(f"Warning: weight auto-fetch for {spec.hf_repo} failed "
+              f"({type(e).__name__}: {e}); continuing offline",
+              file=sys.stderr)
+        return None
 
 
 def load_params(spec: EncoderSpec, weights_path: str = "",
                 param_dtype=jnp.float32, seed: int = 0):
-    """Resolve weights per the priority order above.
+    """Resolve weights per the priority order above (plus a first-run
+    hub auto-fetch between the cache and the random fallback).
 
-    Returns (params, source) where source ∈ {"local", "hf-cache", "random"}.
+    Returns (params, source) where source ∈ {"local", "hf-cache",
+    "hf-download", "random"}.
     """
     if weights_path:
         p = Path(weights_path)
@@ -168,11 +204,15 @@ def load_params(spec: EncoderSpec, weights_path: str = "",
 
     if spec.hf_repo:
         snap = _hf_cache_snapshot(spec.hf_repo)
+        source = "hf-cache"
+        if snap is None:
+            snap = try_autofetch(spec)
+            source = "hf-download"
         if snap is not None:
             for name in _WEIGHT_FILES:
                 if (snap / name).exists():
                     return (from_hf_tensors(
                         _load_tensor_file(snap / name), spec, param_dtype),
-                        "hf-cache")
+                        source)
 
     return random_params(spec, seed=seed, param_dtype=param_dtype), "random"
