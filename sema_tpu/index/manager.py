@@ -127,7 +127,9 @@ class IndexManager:
                 return self.text_index.search(stripped, limit)
         try:
             with self.metrics.timer("embed_query"):
-                qvec = self.encoder.encode_query(query)
+                # device-resident: the embedding feeds the scan without a
+                # host round-trip (one fewer fetch per semantic query)
+                qvec = self.encoder.encode_query_device(query)
         except Exception as e:  # noqa: BLE001 — parity: degrade, don't fail
             # embed-failure fallback: the reference degrades a failed query
             # embedding to a substring scan (lance_indexer.rs:143-148)

@@ -954,8 +954,10 @@ class VectorStore:
         if self.live_rows == 0:
             return []
         k_eff = min(k, self.live_rows)
+        # jnp.asarray keeps an already-device-resident query (the serve
+        # path's encode_query_device output) on device — no host hop
         scores, idx = self.search_batch(
-            np.asarray(query_vec, dtype=np.float32)[None, :], k_eff)
+            jnp.asarray(query_vec, dtype=jnp.float32)[None, :], k_eff)
         out: List[Tuple[Chunk, float]] = []
         for s, i in zip(scores[0], idx[0]):
             if not np.isfinite(s):

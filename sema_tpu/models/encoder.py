@@ -258,7 +258,15 @@ class Encoder:
         one encoder forward (the reference reloads the whole model here,
         lance_indexer.rs:114-118).
         """
+        return np.asarray(self.encode_query_device(text))
+
+    def encode_query_device(self, text: str) -> "jax.Array":
+        """Single-query embedding left ON DEVICE, (dim,) f32.
+
+        The serve path hands this straight to the scan: the embedding
+        never round-trips to the host, which removes one device→host
+        fetch (~a full pump RTT on tunneled hosts) from every semantic
+        query (r3 single-query latency work, docs/PERF.md)."""
         rows = max(self._dp, 1)
         ids, mask = self.tokenize_batch([text], pad_to=rows)
-        emb = self.embed_ids(jnp.asarray(ids), jnp.asarray(mask))
-        return np.asarray(emb)[0]
+        return self.embed_ids(jnp.asarray(ids), jnp.asarray(mask))[0]

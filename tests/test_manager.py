@@ -100,7 +100,7 @@ def test_query_embed_failure_falls_back_to_substring(tmp_path, tree,
 
     def boom(*a, **kw):
         raise RuntimeError("device lost")
-    monkeypatch.setattr(mgr.encoder, "encode_query", boom)
+    monkeypatch.setattr(mgr.encoder, "encode_query_device", boom)
     results = mgr.search("sockets", limit=10)
     assert results  # degraded, not empty
     assert all("sockets" in c.content for c, _ in results)
