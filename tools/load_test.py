@@ -113,27 +113,31 @@ def run(rows: int, dim: int, clients: int, max_batch: int,
     cap_times: list[float] = []
     cap_seq_times: list[float] = []
 
-    def capacity(n_iters: int = 24, depth: int = 2) -> None:
-        # sequential: one batch at a time — pays the full dispatch +
-        # device + tunnel-fetch round trip per batch (what a naive
-        # serving loop would see)
-        for _ in range(n_iters):
-            t = time.perf_counter()
-            store.search_batch(cap_queries, k)
-            cap_seq_times.append(time.perf_counter() - t)
-        # pipelined: keep `depth` batches in flight (what QueryBatcher's
-        # dispatch/completion pipeline sustains) — dispatch overlaps the
-        # previous batch's device time and tunnel round-trip
-        handles: list = []
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            handles.append(store.search_batch_async(cap_queries, k))
-            if len(handles) > depth:
+    def capacity(rounds: int = 4, depth: int = 2) -> None:
+        """Sequential vs pipelined batches, INTERLEAVED so both see the
+        same average store state (the mutator keeps adding buckets —
+        measuring one after the other confounds phase with state).
+
+        - sequential: one batch end-to-end at a time — dispatch + device
+          + tunnel fetch per batch, a naive serving loop;
+        - pipelined: `depth` batches in flight (what QueryBatcher's
+          dispatch/completion pipeline sustains)."""
+        for _ in range(rounds):
+            for _ in range(4):
+                t = time.perf_counter()
+                store.search_batch(cap_queries, k)
+                cap_seq_times.append(time.perf_counter() - t)
+            handles: list = []
+            n_pipe = 8
+            t0 = time.perf_counter()
+            for _ in range(n_pipe):
+                handles.append(store.search_batch_async(cap_queries, k))
+                if len(handles) > depth:
+                    store.search_batch_finish(handles.pop(0), cap_queries)
+            while handles:
                 store.search_batch_finish(handles.pop(0), cap_queries)
-        while handles:
-            store.search_batch_finish(handles.pop(0), cap_queries)
-        per = (time.perf_counter() - t0) / n_iters
-        cap_times.extend([per] * n_iters)
+            per = (time.perf_counter() - t0) / n_pipe
+            cap_times.extend([per] * n_pipe)
 
     def client(ci: int) -> None:
         rng = np.random.default_rng(1000 + ci)
