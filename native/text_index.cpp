@@ -176,6 +176,10 @@ int build_segment(const uint8_t* blob, uint64_t blob_len, const char* path) {
 
         put_u32(meta, (uint32_t)start);
         put_u32(meta, (uint32_t)end);
+        // the meta record stores u16 lengths; silently wrapping would
+        // desync every later offset in the segment (the Python engine
+        // raises struct.error for the same input) — refuse instead
+        if (id.size() > 0xFFFF || fpath.size() > 0xFFFF) return -3;
         uint16_t idl = (uint16_t)id.size(), pl = (uint16_t)fpath.size();
         meta.append(reinterpret_cast<const char*>(&idl), 2);
         meta.append(reinterpret_cast<const char*>(&pl), 2);

@@ -130,15 +130,19 @@ class IndexManager:
                 # device-resident: the embedding feeds the scan without a
                 # host round-trip (one fewer fetch per semantic query)
                 qvec = self.encoder.encode_query_device(query)
+            with self.metrics.timer("vector_search"):
+                # inside the try: with the embedding left on device, a
+                # device-side embed failure only materializes at the
+                # scan's fetch — it must hit the same degrade path
+                # (review finding, r3)
+                return self.vector_store.search(qvec, limit)
         except Exception as e:  # noqa: BLE001 — parity: degrade, don't fail
             # embed-failure fallback: the reference degrades a failed query
             # embedding to a substring scan (lance_indexer.rs:143-148)
-            print(f"Warning: query embedding failed ({e}); falling back "
+            print(f"Warning: semantic query failed ({e}); falling back "
                   "to substring scan", file=sys.stderr)
             with self.metrics.timer("fallback_search"):
                 return self.vector_store.substring_scan(query, limit)
-        with self.metrics.timer("vector_search"):
-            return self.vector_store.search(qvec, limit)
 
     def close(self) -> None:
         self.text_index.close()

@@ -163,7 +163,9 @@ class DiskTextIndex:
         always safe to drop)."""
         live = set(self._names)
         for p in self.seg_dir.iterdir():
-            if p.suffix in (".seg", ".del", ".tmp") and \
+            if p.suffix == ".tmp":   # interrupted atomic write, any name
+                p.unlink(missing_ok=True)
+            elif p.suffix in (".seg", ".del") and \
                     p.name.split(".")[0] not in live:
                 p.unlink(missing_ok=True)
 
@@ -450,12 +452,13 @@ class DiskTextIndex:
             si = int(np.searchsorted(bases, gid, side="right")) - 1
             seg = self.segments[si]
             row = gid - bases[si]
-            if ptoks and not _has_phrases(seg.content(row), ptoks):
+            content = seg.content(row)   # one read serves both uses
+            if ptoks and not _has_phrases(content, ptoks):
                 continue
             doc_id, fpath, start, end = seg.meta(row)
             out.append((Chunk(id=doc_id, file_path=Path(fpath),
                               start_line=start, end_line=end,
-                              content=seg.content(row)),
+                              content=content),
                         float(scores[oi])))
             if len(out) >= limit:
                 break

@@ -626,6 +626,20 @@ class VectorStore:
                 rows += self.segments[seg_end].rows
                 seg_end += 1
             sealed = rows >= self.SEAL_ROWS
+            if sealed:
+                # a sealing-size bulk append BYPASSES any earlier
+                # unsealed buckets: only the last bucket is ever
+                # arena-extended, so an unsealed bucket behind a sealed
+                # one could neither grow nor (suffix-anchored)
+                # consolidate — each bulk/small cycle would strand one
+                # more fragment, and per-query dispatches would grow
+                # without bound (review finding, r3). Freeze them: they
+                # become ordinary small sealed buckets, and the disk-
+                # level segment compaction merges their segments on the
+                # next load.
+                for b in buckets:
+                    if not b["sealed"]:
+                        b["sealed"] = True
             # unsealed single-device tail buckets get 2× headroom so the
             # next streamed appends land in-place (arena extension above);
             # with the pow2 ladder this doubles capacity per overflow

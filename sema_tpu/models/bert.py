@@ -237,9 +237,14 @@ def encoder_layer(x: jax.Array, layer: Params, mask_bias: jax.Array,
               if quantized else
               ("qkv_w", "attn_out_w", "ffn_in_w", "ffn_out_w"))
     wbytes = (1 if quantized else jnp.dtype(x.dtype).itemsize)
+    # gate at the MEASURED pinned-weight envelope: e5-base bf16 (14.16 MB
+    # grid-constant weights, tb=1) compiles and runs; beyond ~14.5 MB is
+    # unproven territory where the kernel's own activation budget has
+    # already gone negative — fall back to the unfused path instead of
+    # risking a Mosaic compile failure at runtime
     fits_vmem = (all(w in layer for w in wnames)
                  and sum(int(np.prod(layer[w].shape)) for w in wnames
-                         ) * wbytes <= (15 << 20))
+                         ) * wbytes <= int(14.5 * (1 << 20)))
     if attn_impl == "fused" and s >= min_s and fits_vmem:
         # maximal fusion: the ENTIRE layer — qkv projection → attention
         # → out projection → residual → LN1 → FFN → residual → LN2 —

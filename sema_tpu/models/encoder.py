@@ -79,6 +79,14 @@ class Encoder:
                 from sema_tpu.models.tp import (permute_qkv_heads,
                                                 tp_spec_tree)
                 tp = mesh.shape[model_axis]
+                if spec.num_heads % tp:
+                    # the fused per-chip attention derives the head dim
+                    # from the shard width — a non-dividing tp would
+                    # slice across true head boundaries and compute
+                    # silently wrong embeddings. Fail loudly instead.
+                    raise ValueError(
+                        f"model {spec.name!r} has {spec.num_heads} heads;"
+                        f" tensor-parallel degree {tp} must divide them")
                 self.params = permute_qkv_heads(self.params, tp)
                 pspecs = tp_spec_tree(self.params, model_axis)
                 tp_fn = partial(bert.embed_tp, spec=spec,

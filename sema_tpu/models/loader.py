@@ -203,16 +203,25 @@ def load_params(spec: EncoderSpec, weights_path: str = "",
         raise FileNotFoundError(f"no weights found under: {weights_path}")
 
     if spec.hf_repo:
-        snap = _hf_cache_snapshot(spec.hf_repo)
-        source = "hf-cache"
-        if snap is None:
-            snap = try_autofetch(spec)
-            source = "hf-download"
-        if snap is not None:
+        def find_weights(snap):
+            if snap is None:
+                return None
             for name in _WEIGHT_FILES:
                 if (snap / name).exists():
-                    return (from_hf_tensors(
-                        _load_tensor_file(snap / name), spec, param_dtype),
-                        source)
+                    return snap / name
+            return None
+
+        wfile = find_weights(_hf_cache_snapshot(spec.hf_repo))
+        source = "hf-cache"
+        if wfile is None:
+            # also reached when a cached snapshot exists but carries no
+            # weight file (an interrupted first download) — without the
+            # retry that state would degrade to random init forever
+            # (review finding, r3)
+            wfile = find_weights(try_autofetch(spec))
+            source = "hf-download"
+        if wfile is not None:
+            return (from_hf_tensors(_load_tensor_file(wfile), spec,
+                                    param_dtype), source)
 
     return random_params(spec, seed=seed, param_dtype=param_dtype), "random"

@@ -81,6 +81,10 @@ def permute_qkv_heads(params, tp: int):
     some_w = layers.get("qkv_w", layers.get("qkv_w_q"))
     h3 = some_w.shape[-1]
     h = h3 // 3
+    if h % tp:
+        raise ValueError(
+            f"hidden size {h} not divisible by tensor-parallel degree "
+            f"{tp}")
     hl = h // tp
     # new column order: for chip c: q[c·hl:(c+1)·hl] | k[...] | v[...]
     perm = []

@@ -186,8 +186,19 @@ class QueryBatcher:
                 handle = self.store.search_batch_async(q, k_max)
                 t1 = time.perf_counter()
                 # blocks when 2 batches are already in flight — the
-                # natural backpressure that keeps device queueing bounded
-                self._inflight.put((batch, handle, q, t0, t1))
+                # natural backpressure that keeps device queueing bounded.
+                # Bounded put: on shutdown the completion thread stops
+                # consuming, and an unbounded put would strand this
+                # thread (and this batch's callers) forever
+                while not self._stop.is_set():
+                    try:
+                        self._inflight.put((batch, handle, q, t0, t1),
+                                           timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                else:
+                    raise RuntimeError("batcher shut down")
             except Exception as e:  # noqa: BLE001 — deliver to callers
                 for r in batch:
                     if not r.event.is_set():
@@ -197,7 +208,10 @@ class QueryBatcher:
     # -- completion stage --------------------------------------------------------
 
     def _complete_loop(self) -> None:
-        while not self._stop.is_set():
+        # keeps draining after stop until _inflight is empty: dispatched
+        # batches have callers blocked on their events — stranding them
+        # at shutdown means 60 s client timeouts (review finding, r3)
+        while not self._stop.is_set() or not self._inflight.empty():
             try:
                 batch, handle, q, t0, t1 = self._inflight.get(timeout=0.1)
             except queue.Empty:

@@ -503,12 +503,15 @@ class TestStreamingBuckets:
         cs, v_small = chunks_and_vecs(16, path="small.txt", seed=0)
         store.add_chunks(cs, v_small)          # unsealed bucket A
         cs, v_bulk = chunks_and_vecs(150, path="bulk.txt", seed=1)
-        store.add_chunks(cs, v_bulk)           # sealed bucket B behind A
+        store.add_chunks(cs, v_bulk)           # sealing bucket B behind A
         buckets = store.device_buckets()
-        sealed = [b for b in buckets if b["sealed"]]
-        assert len(sealed) == 1
-        sealed_store_id = id(sealed[0]["store"])
-        sealed_range = sealed[0]["seg_range"]
+        # A gets FROZEN sealed when B bypasses it (it can never be
+        # arena-extended again), so every unsealed bucket stays a suffix
+        assert all(b["sealed"] for b in buckets)
+        bulk_bucket = [b for b in buckets if b["rows"] >= 100]
+        assert len(bulk_bucket) == 1
+        sealed_store_id = id(bulk_bucket[0]["store"])
+        sealed_range = bulk_bucket[0]["seg_range"]
         # fragment the tail with appends too big for the arena headroom
         vs = []
         for g, n in enumerate((60, 70, 80, 90)):

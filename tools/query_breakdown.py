@@ -136,7 +136,9 @@ def main() -> int:
         qv = enc.encode_query_device(query_text)
         res = store.search(qv, 10)
         ts.append(time.perf_counter() - t0)
-    assert res[0][0].id.startswith("planted") or res, res
+    # random-init encoder: rankings are meaningless by design — assert
+    # only that the path returns results
+    assert res, "semantic search returned nothing"
     search_e2e_ms = _p50(ts) * 1e3
 
     residual = search_e2e_ms - tokenize_ms - embed_dev_ms - scan_dev_ms
