@@ -437,12 +437,24 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
     }
     if (avg == 0.0) avg = 1.0;
 
-    // pass 1: global live df per term (cache per-seg term indexes);
-    // pass 2: accumulate scores term-major — bit-identical to the numpy
-    // engine's bincount over the same concatenation order
-    std::unordered_map<uint64_t, double> scores;
+    std::vector<std::vector<std::string>> ptoks;
+    for (auto& p : phrases) {
+        auto pt = tokenize(p);
+        if (!pt.empty()) ptoks.push_back(std::move(pt));
+    }
+
+    // pass 1: global live df per term (cache per-seg term indexes)
+    struct TermHits {
+        double idf;
+        std::vector<std::pair<uint32_t, int64_t>> found;  // (seg, t idx)
+    };
+    std::vector<TermHits> hits_by_term;
+    uint64_t total_docs = 0;
+    for (uint32_t s = 0; s < n_segs; s++)
+        total_docs = std::max(total_docs, segs[s]->base + segs[s]->n_docs);
+    uint64_t sum_df = 0;
     for (auto& term : terms) {
-        std::vector<std::pair<uint32_t, int64_t>> found;  // (seg, term idx)
+        TermHits th;
         uint64_t df = 0;
         for (uint32_t s = 0; s < n_segs; s++) {
             int64_t t = segs[s]->find_term(term);
@@ -451,38 +463,64 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
             const uint32_t* ids = segs[s]->post_ids();
             for (uint64_t e = pix[t]; e < pix[t + 1]; e++)
                 if (segs[s]->live(ids[e])) df++;
-            found.emplace_back(s, t);
+            th.found.emplace_back(s, t);
         }
         if (df == 0) continue;
-        double idf = std::log(1.0 + (n_live - df + 0.5) / (df + 0.5));
-        for (auto& [s, t] : found) {
-            const SegView& sv = *segs[s];
-            const uint64_t* pix = sv.post_idx();
-            const uint32_t* ids = sv.post_ids();
-            const uint32_t* tfs = sv.post_tfs();
-            const uint32_t* dls = sv.doc_len();
-            for (uint64_t e = pix[t]; e < pix[t + 1]; e++) {
-                uint32_t doc = ids[e];
-                if (!sv.live(doc)) continue;
-                double tf = tfs[e];
-                double dl = dls[doc];
-                double denom = tf + K1 * (1 - B + B * dl / avg);
-                scores[sv.base + doc] += idf * tf * (K1 + 1) / denom;
-            }
-        }
+        sum_df += df;
+        th.idf = std::log(1.0 + (n_live - df + 0.5) / (df + 0.5));
+        hits_by_term.push_back(std::move(th));
     }
 
-    std::vector<std::pair<uint64_t, double>> ranked(scores.begin(),
-                                                    scores.end());
-    std::sort(ranked.begin(), ranked.end(), [](auto& a, auto& b) {
+    // pass 2: accumulate scores term-major. High-match queries (stop-
+    // word-like terms over millions of docs) use a DENSE accumulator +
+    // nth_element selection instead of a hashmap + full sort — ~10×
+    // cheaper at corpus scale; per-doc contributions sum in the same
+    // term-major order either way, so scores are bit-identical. Phrase
+    // queries keep the sparse path (verification walks the full rank
+    // order).
+    auto cmp = [](const std::pair<uint64_t, double>& a,
+                  const std::pair<uint64_t, double>& b) {
         if (a.second != b.second) return a.second > b.second;
         return a.first < b.first;
-    });
-
-    std::vector<std::vector<std::string>> ptoks;
-    for (auto& p : phrases) {
-        auto pt = tokenize(p);
-        if (!pt.empty()) ptoks.push_back(std::move(pt));
+    };
+    bool dense = ptoks.empty() && sum_df * 8 >= total_docs;
+    std::vector<std::pair<uint64_t, double>> ranked;
+    auto score_into = [&](auto&& add) {
+        for (auto& th : hits_by_term) {
+            for (auto& [s, t] : th.found) {
+                const SegView& sv = *segs[s];
+                const uint64_t* pix = sv.post_idx();
+                const uint32_t* ids = sv.post_ids();
+                const uint32_t* tfs = sv.post_tfs();
+                const uint32_t* dls = sv.doc_len();
+                for (uint64_t e = pix[t]; e < pix[t + 1]; e++) {
+                    uint32_t doc = ids[e];
+                    if (!sv.live(doc)) continue;
+                    double tf = tfs[e];
+                    double dl = dls[doc];
+                    double denom = tf + K1 * (1 - B + B * dl / avg);
+                    add(sv.base + doc, th.idf * tf * (K1 + 1) / denom);
+                }
+            }
+        }
+    };
+    if (dense) {
+        std::vector<double> acc(total_docs, 0.0);
+        score_into([&](uint64_t gid, double c) { acc[gid] += c; });
+        ranked.reserve(sum_df);  // upper bound on candidates
+        for (uint64_t gid = 0; gid < total_docs; gid++)
+            if (acc[gid] > 0.0) ranked.emplace_back(gid, acc[gid]);
+        if (ranked.size() > limit) {
+            std::nth_element(ranked.begin(), ranked.begin() + limit,
+                             ranked.end(), cmp);
+            ranked.resize(limit);
+        }
+        std::sort(ranked.begin(), ranked.end(), cmp);
+    } else {
+        std::unordered_map<uint64_t, double> scores;
+        score_into([&](uint64_t gid, double c) { scores[gid] += c; });
+        ranked.assign(scores.begin(), scores.end());
+        std::sort(ranked.begin(), ranked.end(), cmp);
     }
 
     // candidates verified in rank order until `limit` accepted — phrase

@@ -437,14 +437,37 @@ class DiskTextIndex:
             return []
         g = np.concatenate(gids_all)
         c = np.concatenate(contribs_all)
-        # bincount accumulates in array order → per-doc contributions sum
-        # in query-term order, bit-identical to the C++ engine's
-        # term-major loop
-        uniq, inv = np.unique(g, return_inverse=True)
-        scores = np.bincount(inv, weights=c)
-        # stable sort on -score: ties break by ascending global doc id
-        # (uniq is sorted), matching the C++ comparator
-        order = np.argsort(-scores, kind="stable")
+        total = bases[-1]
+        # High-match queries (stop-word-like terms over a multi-million
+        # doc corpus) would pay an O(P log P) unique/sort on millions of
+        # postings; a dense accumulator + threshold selection is ~10×
+        # cheaper there. Both paths sum per-doc contributions in the
+        # same (query-term-major) order, so scores are bit-identical;
+        # phrase queries keep the sparse path (verification needs the
+        # full rank order).
+        if not ptoks and len(g) * 8 >= total:
+            dense = np.bincount(g, weights=c, minlength=total)
+            if limit < total:
+                thr = -np.partition(-dense, limit - 1)[limit - 1]
+            else:
+                thr = 0.0
+            cand = np.nonzero(dense >= max(thr, 1e-300))[0]
+            cand = cand[dense[cand] > 0]
+            # sort candidates by (-score, gid); gid asc via stable sort
+            order_c = np.argsort(-dense[cand], kind="stable")
+            uniq = cand[order_c][:limit * 4 + 64]
+            scores_arr = dense[uniq]
+            order = np.arange(len(uniq))
+            scores = scores_arr
+        else:
+            # bincount accumulates in array order → per-doc contributions
+            # sum in query-term order, bit-identical to the C++ engine's
+            # term-major loop
+            uniq, inv = np.unique(g, return_inverse=True)
+            scores = np.bincount(inv, weights=c)
+            # stable sort on -score: ties break by ascending global doc
+            # id (uniq is sorted), matching the C++ comparator
+            order = np.argsort(-scores, kind="stable")
 
         out: List[Tuple[Chunk, float]] = []
         for oi in order:

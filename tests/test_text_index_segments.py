@@ -313,3 +313,44 @@ def test_compaction_never_overwrites_committed_segment(tmp_path, backend):
     final = json.loads(manifest.read_text())
     assert final["gen"] > new["gen"]
     assert idx4.num_live_docs == 2
+
+
+def test_dense_path_tie_break_and_parity(tmp_path):
+    """High-match queries take the dense-accumulator path; ties at the
+    selection boundary must still break by ascending doc id, identically
+    across engines and identically to the low-match (sparse) path."""
+    import sema_tpu.index.text_index as ti
+    engines = [ti.TextIndex(tmp_path / "py")]
+    try:
+        import sema_tpu.native  # noqa: F401
+        engines.append(ti.NativeTextIndex(tmp_path / "nt"))
+    except ImportError:
+        pass
+    # 120 docs with IDENTICAL content → equal scores for "common";
+    # plus a few docs with a rare term (sparse-path comparison)
+    docs = [chunk(i, "common filler words here", path=f"f{i//8}.txt")
+            for i in range(120)]
+    docs += [chunk(200 + i, f"rareterm{i} common extra", path="r.txt")
+             for i in range(3)]
+    for e in engines:
+        e.index_chunks(docs)
+    for q, limit in (("common", 10), ("common", 50),
+                     ("rareterm1", 10), ('"common filler"', 5)):
+        results = [e.search(q, limit) for e in engines]
+        a = [(c.id, s) for c, s in results[0]]
+        for r in results[1:]:
+            assert a == [(c.id, s) for c, s in r], q
+        assert len(a) == min(limit, 123 if "rare" not in q else 1)
+    # equal scores → ascending global doc id (= insertion order here)
+    # wins at the selection boundary, for every engine
+    for e in engines:
+        top = e.search("common", 50)
+        scores = [s for _, s in top]
+        rows = [int(c.id.rsplit(":", 1)[1]) for c, _ in top]
+        i = 0
+        while i < len(top):
+            j = i
+            while j + 1 < len(top) and scores[j + 1] == scores[i]:
+                j += 1
+            assert rows[i:j + 1] == sorted(rows[i:j + 1]), (i, j, rows)
+            i = j + 1
