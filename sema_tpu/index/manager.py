@@ -128,8 +128,14 @@ class IndexManager:
         try:
             with self.metrics.timer("embed_query"):
                 # device-resident: the embedding feeds the scan without a
-                # host round-trip (one fewer fetch per semantic query)
-                qvec = self.encoder.encode_query_device(query)
+                # host round-trip (one fewer fetch per semantic query).
+                # Encoder-like objects (quality-gate stubs, tools) may
+                # only implement the host-array encode_query — accept
+                # either.
+                enc = self.encoder
+                qvec = (enc.encode_query_device(query)
+                        if hasattr(enc, "encode_query_device")
+                        else enc.encode_query(query))
             with self.metrics.timer("vector_search"):
                 # inside the try: with the embedding left on device, a
                 # device-side embed failure only materializes at the
