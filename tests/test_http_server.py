@@ -115,3 +115,68 @@ def test_concurrent_requests(server):
     assert not errors
     assert len(results) == 16
     assert all(s == 200 for s, _ in results)
+
+
+def test_overload_returns_503_with_retry_after(tmp_path):
+    """A saturated batcher surfaces as HTTP 503 + Retry-After through
+    the daemon (load shedding, not 60 s client timeouts)."""
+    import numpy as np
+    import time as _time
+    from sema_tpu.search.server import QueryBatcher
+
+    spec = get_spec("test-tiny")
+    enc = Encoder(spec, random_params(spec), HashTokenizer(spec.vocab_size),
+                  batch_size=8)
+    mgr = IndexManager(tmp_path / "data", enc)
+    tree = tmp_path / "tree"
+    tree.mkdir()
+    (tree / "a.md").write_text("alpha beta gamma delta " * 20)
+    mgr.process_and_index_files(sorted(tree.glob("*")))
+
+    service = SearchService(mgr, max_batch=1, max_wait_ms=0.1,
+                            max_queue=1)
+
+    class SlowStore:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def search_batch_async(self, q, k):
+            _time.sleep(0.3)
+            return self._inner.search_batch_async(q, k)
+
+    service.batcher.close()
+    service.batcher = QueryBatcher(SlowStore(mgr.vector_store),
+                                   max_batch=1, max_wait_ms=0.1,
+                                   max_queue=1)
+    httpd = make_server(service, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        codes = []
+
+        def hit(i):
+            try:
+                with urllib.request.urlopen(f"{base}/search?q=alpha&k=2",
+                                            timeout=30) as r:
+                    codes.append(r.status)
+            except urllib.error.HTTPError as e:
+                codes.append(e.code)
+                if e.code == 503:
+                    assert e.headers.get("Retry-After") == "1"
+
+        threads = [threading.Thread(target=hit, args=(i,))
+                   for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert 503 in codes, codes
+        assert 200 in codes, codes
+    finally:
+        httpd.shutdown()
+        service.close()
+        mgr.close()
