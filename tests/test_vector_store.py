@@ -561,3 +561,23 @@ def test_all_valid_bucket_flag(tmp_path, monkeypatch):
     store2.remove_file_chunks(Path("b.txt"))
     b3 = store2.device_buckets()[0]
     assert b3["all_valid"] is False                  # tombstones
+
+
+def test_search_batch_async_finish_split(tmp_path):
+    """The serving pipeline's two-phase API: async dispatch returns
+    immediately-usable handles; finish produces results identical to the
+    one-shot search_batch, including with multiple handles in flight."""
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(200)
+    store.add_chunks(cs, vecs)
+    q = vecs[:8]
+    want = store.search_batch(q, 5)
+    handles = [store.search_batch_async(q, 5) for _ in range(3)]
+    for h in handles:
+        scores, ids = store.search_batch_finish(h, q)
+        np.testing.assert_array_equal(ids, want[1])
+        np.testing.assert_array_equal(scores, want[0])
+    # empty store path
+    empty = make_store(tmp_path / "e")
+    s, i = empty.search_batch_finish(empty.search_batch_async(q, 5), q)
+    assert s.shape == (8, 5) and not np.isfinite(s).any()
