@@ -1,0 +1,166 @@
+"""Randomized differential test for the disk-resident text index.
+
+A deterministic (seeded) random op sequence — batched adds, per-file
+deletes, searches, reopens (which trigger merges/compaction) — runs
+against BOTH engines and a naive in-memory oracle that recomputes BM25
+from first principles on every query. Catches state-machine bugs the
+scenario tests can't enumerate: merge/tombstone interactions, dense- vs
+sparse-path selection, file-run lookups after compaction, manifest
+reload edge cases.
+"""
+
+import math
+import random
+import re
+from collections import Counter
+from pathlib import Path
+
+import pytest
+
+import sema_tpu.index.text_index as ti
+from sema_tpu.types import Chunk
+
+K1, B = 1.2, 0.75
+_SPLIT = re.compile(r"[^\W_]+", re.UNICODE)
+
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "red green blue cyan violet shade tone hue tint "
+         "parse build merge split scan read write sync").split()
+
+
+def toks(text):
+    return [m.group(0).lower() for m in _SPLIT.finditer(text)
+            if len(m.group(0)) <= 40]
+
+
+class Oracle:
+    """Naive reference: list of (id, path, content, alive)."""
+
+    def __init__(self):
+        self.docs = []
+
+    def add(self, chunks):
+        for c in chunks:
+            self.docs.append([c.id, str(c.file_path), c.content, True])
+
+    def remove_file(self, path):
+        n = 0
+        for d in self.docs:
+            if d[3] and d[1] == str(path):
+                d[3] = False
+                n += 1
+        return n
+
+    def live(self):
+        return [d for d in self.docs if d[3]]
+
+    def search(self, query, limit):
+        phrases = re.findall(r'"([^"]+)"', query)
+        bare = re.sub(r'"[^"]*"', " ", query)
+        terms = toks(bare) + [t for p in phrases for t in toks(p)]
+        ptoks = [pt for pt in (toks(p) for p in phrases) if pt]
+        live = self.live()
+        n = len(live)
+        if not terms or n == 0:
+            return []
+        lens = [len(toks(d[2])) for d in live]
+        avg = (sum(lens) / n) or 1.0
+        scores = [0.0] * n
+        for term in terms:
+            hits = [(i, Counter(toks(d[2]))[term])
+                    for i, d in enumerate(live)
+                    if term in toks(d[2])]
+            df = len(hits)
+            if df == 0:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for i, tf in hits:
+                denom = tf + K1 * (1 - B + B * lens[i] / avg)
+                scores[i] += idf * tf * (K1 + 1) / denom
+        def has_phrases(content):
+            joined = "\x00" + "\x00".join(toks(content)) + "\x00"
+            return all(("\x00" + "\x00".join(pt) + "\x00") in joined
+                       for pt in ptoks)
+
+        ranked = [i for i in sorted(
+            (i for i in range(n) if scores[i] > 0),
+            key=lambda i: (-scores[i], i))
+            if not ptoks or has_phrases(live[i][2])][:limit]
+        return [(live[i][0], scores[i]) for i in ranked]
+
+
+def make_content(rng, common_bias):
+    n = rng.randint(3, 12)
+    out = []
+    for _ in range(n):
+        if rng.random() < common_bias:
+            out.append(WORDS[0])       # stop-word-like: dense path food
+        else:
+            out.append(rng.choice(WORDS))
+    return " ".join(out)
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_differential_fuzz(tmp_path, seed):
+    rng = random.Random(seed)
+    engines = [("py", ti.TextIndex(tmp_path / "py"))]
+    try:
+        import sema_tpu.native  # noqa: F401
+        engines.append(("nt", ti.NativeTextIndex(tmp_path / "nt")))
+    except ImportError:
+        pass
+    oracle = Oracle()
+    next_id = 0
+    files_alive = []
+
+    def check(query, limit):
+        want = oracle.search(query, limit)
+        for name, e in engines:
+            got = [(c.id, s) for c, s in e.search(query, limit)]
+            got_ids = [g[0] for g in got]
+            want_ids = [w[0] for w in want]
+            assert got_ids == want_ids, (
+                seed, query, name, got_ids[:5], want_ids[:5])
+            for (gi, gs), (wi, ws) in zip(got, want):
+                assert gs == pytest.approx(ws, rel=1e-9), (seed, query)
+
+    for step in range(60):
+        op = rng.random()
+        if op < 0.45 or not oracle.live():
+            nb = rng.randint(1, 12)
+            path = f"f{rng.randint(0, 30):03d}.txt"
+            batch = [Chunk(id=f"{path}:{next_id + j}",
+                           file_path=Path(path), start_line=1, end_line=2,
+                           content=make_content(rng, 0.4))
+                     for j in range(nb)]
+            next_id += nb
+            files_alive.append(path)
+            oracle.add(batch)
+            for _, e in engines:
+                e.index_chunks(batch)
+        elif op < 0.6 and files_alive:
+            path = rng.choice(files_alive)
+            want_n = oracle.remove_file(path)
+            for _, e in engines:
+                assert e.remove_file_chunks(Path(path)) == want_n, (
+                    seed, step, path)
+        elif op < 0.72:
+            # reopen: manifests reload, compaction may trigger
+            for i, (name, e) in enumerate(engines):
+                e.close()
+                cls = type(e)
+                engines[i] = (name, cls(tmp_path / name))
+        else:
+            q = " ".join(rng.sample(WORDS, rng.randint(1, 3)))
+            if rng.random() < 0.2:
+                q += f' "{rng.choice(WORDS)} {rng.choice(WORDS)}"'
+            check(q, rng.choice((3, 10, 50)))
+
+        if step % 9 == 0:
+            for _, e in engines:
+                assert e.num_live_docs == len(oracle.live()), (seed, step)
+
+    # final sweep: common term (dense path), rare pair, phrase
+    check(WORDS[0], 50)
+    check(f"{WORDS[5]} {WORDS[17]}", 10)
+    check(f'"{WORDS[0]} {WORDS[1]}"', 10)
