@@ -1,0 +1,95 @@
+"""Randomized differential test for the device vector store.
+
+Seeded random op sequences — batched adds (sizes crossing the arena
+headroom and SEAL boundaries), per-file deletes, searches, reopens —
+against a numpy brute-force oracle. Exercises the LSM bucket state
+machine: arena in-place extension, overflow rebuilds, bulk-append
+sealing + bypassed-bucket freezing, tail consolidation, tombstone mask
+refresh, and disk compaction on reload.
+"""
+
+import random
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from sema_tpu.index.vector_store import VectorStore
+from sema_tpu.types import Chunk
+
+
+@pytest.mark.parametrize("seed", [3, 41])
+def test_differential_fuzz(tmp_path, seed, monkeypatch):
+    monkeypatch.setattr(VectorStore, "SEAL_ROWS", 96)
+    monkeypatch.setattr(VectorStore, "MAX_TAIL_BUCKETS", 3)
+    rng = np.random.default_rng(seed)
+    pyrng = random.Random(seed)
+    d = 32
+    store = VectorStore(tmp_path, dim=d, model="fuzz")
+
+    rows = []          # (id, vec, alive)
+    by_file = {}       # path -> [row indices]
+    next_ord = 0
+
+    def add_batch(n, path):
+        nonlocal next_ord
+        vecs = rng.standard_normal((n, d)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        cs = [Chunk(id=f"{path}:{next_ord + j}", file_path=Path(path),
+                    start_line=1, end_line=2, content="c")
+              for j in range(n)]
+        next_ord += n
+        store.add_chunks(cs, vecs)
+        for c, v in zip(cs, vecs):
+            by_file.setdefault(path, []).append(len(rows))
+            rows.append([c.id, v, True])
+
+    def check(k=5):
+        live = [(r[0], r[1]) for r in rows if r[2]]
+        if not live:
+            assert store.search(rng.standard_normal(d).astype(
+                np.float32), k=k) == []
+            return
+        q = rng.standard_normal(d).astype(np.float32)
+        q /= np.linalg.norm(q)
+        mat = np.stack([v for _, v in live]).astype(np.float32)
+        # oracle in bf16 like the store (scores rounded identically)
+        import ml_dtypes
+        mat16 = mat.astype(ml_dtypes.bfloat16).astype(np.float32)
+        want = mat16 @ q
+        order = np.argsort(-want, kind="stable")[:k]
+        want_ids = [live[i][0] for i in order]
+        got = store.search(q, k=k)
+        got_ids = [c.id for c, _ in got]
+        # scores can tie at bf16 precision; compare score sequences and
+        # membership rather than exact id order
+        got_scores = np.array([s for _, s in got], dtype=np.float32)
+        want_scores = want[order][:len(got)]
+        np.testing.assert_allclose(got_scores, want_scores, atol=2e-3)
+        assert len(got_ids) == len(want_ids)
+        mism = [i for i, (g, w) in enumerate(zip(got_ids, want_ids))
+                if g != w]
+        for i in mism:   # any mismatch must be a genuine near-tie
+            assert abs(got_scores[i] - want_scores[i]) <= 2e-3
+
+    for step in range(40):
+        op = pyrng.random()
+        if op < 0.5 or not rows:
+            n = pyrng.choice((3, 7, 16, 40, 100, 150))
+            add_batch(n, f"f{pyrng.randint(0, 12)}.txt")
+        elif op < 0.65 and by_file:
+            path = pyrng.choice(list(by_file))
+            want_n = sum(1 for i in by_file[path] if rows[i][2])
+            got_n = store.remove_file_chunks(Path(path))
+            assert got_n == want_n, (seed, step, path)
+            for i in by_file[path]:
+                rows[i][2] = False
+        elif op < 0.75:
+            store.close()
+            store = VectorStore(tmp_path, dim=d, model="fuzz")
+        else:
+            check(pyrng.choice((1, 5, 20)))
+        assert store.live_rows == sum(1 for r in rows if r[2]), (
+            seed, step)
+    check(10)
+    store.close()
