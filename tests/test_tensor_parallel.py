@@ -109,3 +109,29 @@ def test_tp_composes_with_int8(mesh):
     # and the quantized weights are actually sharded
     q = tp8.params["layers"]["qkv_w_q"]
     assert q.sharding.shard_shape(q.shape)[2] == q.shape[2] // 4
+
+
+def test_tp_gte_large_correctness(mesh):
+    """TP=2 on the REAL gte-large architecture (1024 hidden, 16 heads,
+    24 layers) matches single-device — the model class TP exists for
+    (VERDICT r2 weak #6's done-criterion names gte-large). XLA path,
+    tiny batch/seq to keep the virtual-CPU run fast; the fused-kernel
+    and int8 compositions are covered on test-tiny above and their
+    dispatch is architecture-independent."""
+    from sema_tpu.parallel.mesh import make_mesh as mk
+    spec = get_spec("gte-large")
+    params = random_params(spec, seed=5)
+    tok = HashTokenizer(spec.vocab_size)
+    mesh2 = mk(shape=[4, 2], axis_names=("data", "model"))
+    ref = Encoder(spec, params, tok, batch_size=4,
+                  compute_dtype=jnp.float32, max_length=32)
+    tp = Encoder(spec, params, tok, batch_size=4,
+                 compute_dtype=jnp.float32, max_length=32,
+                 mesh=mesh2, data_axis="data", model_axis="model")
+    texts = [f"gte tensor parallel doc {i}" for i in range(4)]
+    out_ref = ref.encode_texts(texts)
+    out_tp = tp.encode_texts(texts)
+    cos = np.sum(out_ref * out_tp, axis=1)
+    np.testing.assert_allclose(cos, 1.0, atol=1e-5)
+    q = tp.params["layers"]["qkv_w"]
+    assert q.sharding.shard_shape(q.shape)[2] == q.shape[2] // 2
