@@ -63,9 +63,48 @@ def _is_cjk(cp: int) -> bool:
         or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F)
 
 
+def _build_ascii_table(lowercase: bool) -> Dict[int, Optional[str]]:
+    """str.translate table implementing basic_tokenize for pure-ASCII
+    text in one C-speed pass: \\t/\\n/\\r → space, other C0 controls and
+    DEL deleted, punctuation isolated with surrounding spaces (so
+    ``.split()`` yields it as its own token — equivalent to the slow
+    path's per-token punctuation split), uppercase lowered. ASCII has no
+    CJK, no Zs beyond space, and is NFD-invariant, so the fast path is
+    semantics-identical (asserted differentially in test_tokenizer)."""
+    table: Dict[int, Optional[str]] = {}
+    for cp in range(128):
+        ch = chr(cp)
+        if ch in "\t\n\r":
+            table[cp] = " "
+        elif cp < 32 or cp == 127:
+            table[cp] = None
+        elif _is_punctuation(ch):
+            table[cp] = f" {ch} "
+        elif lowercase and "A" <= ch <= "Z":
+            table[cp] = ch.lower()
+    return table
+
+
+_ASCII_TABLES = {True: _build_ascii_table(True),
+                 False: _build_ascii_table(False)}
+
+
 def basic_tokenize(text: str, lowercase: bool = True) -> List[str]:
     """BERT BasicTokenizer: clean, CJK-isolate, lowercase+strip accents,
-    split punctuation, split whitespace."""
+    split punctuation, split whitespace.
+
+    Pure-ASCII input (the overwhelming case for code corpora) takes a
+    single translate+split pass — ~20× the per-char loop, measured on
+    the 1-core dev box where host tokenization gated the e2e index
+    build (docs/PERF.md)."""
+    if text.isascii():
+        return text.translate(_ASCII_TABLES[lowercase]).split()
+    return _basic_tokenize_slow(text, lowercase)
+
+
+def _basic_tokenize_slow(text: str, lowercase: bool = True) -> List[str]:
+    """Per-character reference path (any unicode); the differential
+    oracle for the ASCII fast lane in test_tokenizer."""
     cleaned = []
     for ch in text:
         cp = ord(ch)
@@ -112,6 +151,9 @@ class WordPieceTokenizer:
         self.unk_id = vocab.get(UNK, 1)
         self.cls_id = vocab.get(CLS, 2)
         self.sep_id = vocab.get(SEP, 3)
+        # word→pieces memo: corpora repeat words heavily, and the greedy
+        # longest-match loop is the pure-Python path's hot spot
+        self._piece_cache: Dict[str, List[str]] = {}
 
     @classmethod
     def from_vocab_file(cls, path: Path | str, **kw) -> "WordPieceTokenizer":
@@ -132,6 +174,16 @@ class WordPieceTokenizer:
         return cls(vocab, lowercase=lowercase)
 
     def wordpiece(self, word: str) -> List[str]:
+        cached = self._piece_cache.get(word)
+        if cached is not None:
+            return cached
+        pieces = self._wordpiece_uncached(word)
+        if len(self._piece_cache) >= 1_000_000:   # bound host RSS
+            self._piece_cache.clear()
+        self._piece_cache[word] = pieces
+        return pieces
+
+    def _wordpiece_uncached(self, word: str) -> List[str]:
         if len(word) > self.max_word_chars:
             return [UNK]
         pieces: List[str] = []
@@ -183,11 +235,21 @@ class HashTokenizer:
         self.lowercase = lowercase
         self.pad_id, self.unk_id, self.cls_id, self.sep_id = 0, 1, 2, 3
         self._reserved = 5
+        # word→bucket memo (words repeat heavily; blake2s is cheap but
+        # not free at millions of words on the 1-core dev box)
+        self._bucket_cache: Dict[str, int] = {}
 
     def _bucket(self, word: str) -> int:
-        h = int.from_bytes(
-            hashlib.blake2s(word.encode("utf-8"), digest_size=8).digest(), "big")
-        return self._reserved + h % (self.vocab_size - self._reserved)
+        b = self._bucket_cache.get(word)
+        if b is None:
+            h = int.from_bytes(
+                hashlib.blake2s(word.encode("utf-8"),
+                                digest_size=8).digest(), "big")
+            b = self._reserved + h % (self.vocab_size - self._reserved)
+            if len(self._bucket_cache) >= 1_000_000:   # bound host RSS
+                self._bucket_cache.clear()
+            self._bucket_cache[word] = b
+        return b
 
     def tokenize(self, text: str) -> List[str]:
         return basic_tokenize(text, self.lowercase)

@@ -130,3 +130,60 @@ def test_load_tokenizer_from_vocab_file(tmp_path):
     ids, _ = tok.encode("hello world", 8)
     assert ids == [VOCAB["[CLS]"], VOCAB["hello"], VOCAB["world"],
                    VOCAB["[SEP]"]]
+
+
+# -- ASCII fast lane (translate+split) vs the per-char reference path ------
+
+def test_ascii_fast_lane_matches_slow_path():
+    from sema_tpu.tokenizer.wordpiece import _basic_tokenize_slow
+    import random
+    rng = random.Random(7)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " \t\n\r!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~\x00\x01\x1f\x7f")
+    for _ in range(200):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 120)))
+        assert s.isascii()
+        for lc in (True, False):
+            assert (basic_tokenize(s, lc)
+                    == _basic_tokenize_slow(s, lc)), (repr(s), lc)
+
+
+def test_ascii_fast_lane_code_like_inputs():
+    from sema_tpu.tokenizer.wordpiece import _basic_tokenize_slow
+    cases = [
+        "def foo(bar, baz=3):\n    return bar*baz  # comment",
+        "x = a[i] + b->c::d; /* ok */",
+        "URL: https://example.com/path?q=1&r=2",
+        "\tif (x != y) { z += 1; }\r\n",
+        "snake_case camelCase SCREAMING_CASE dunder__init__",
+        "",
+        "   ",
+        "!!!",
+    ]
+    for s in cases:
+        for lc in (True, False):
+            assert basic_tokenize(s, lc) == _basic_tokenize_slow(s, lc), s
+
+
+def test_non_ascii_still_takes_reference_path():
+    # accents + CJK still handled (slow path); results unchanged
+    assert basic_tokenize("Héllo 中国 Wörld!") == [
+        "hello", "中", "国", "world", "!"]
+
+
+def test_hash_bucket_cache_consistent():
+    t = HashTokenizer(1000)
+    a = t.encode("alpha beta alpha", 16)[0]
+    b = t.encode("alpha beta alpha", 16)[0]   # cached second time
+    assert a == b
+    fresh = HashTokenizer(1000).encode("alpha beta alpha", 16)[0]
+    assert a == fresh
+
+
+def test_wordpiece_cache_consistent(tok):
+    first = tok.tokenize("the quick jumps unaffable")
+    again = tok.tokenize("the quick jumps unaffable")
+    assert first == again
+    assert tok.wordpiece("jumps") == tok._wordpiece_uncached("jumps")
