@@ -32,21 +32,12 @@ from sema_tpu.tokenizer import load_tokenizer
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
            "float16": jnp.float16}
 
-# rows per device output slab in encode_texts (see _slab_append): 16k rows
-# ≈ 25 MB f32 at 384-d — one device→host fetch per slab instead of one per
-# batch. Sized so a fetch is bandwidth-bound (~30 MB/s bulk on the
-# tunneled dev box, vs ~40 ms fixed cost per small fetch), while at most
-# 3 slabs (~200 MB at 1024-d) are ever alive in HBM.
-SLAB_ROWS = 16384
-
-
-@partial(jax.jit, donate_argnums=0)
-def _slab_append(slab: jax.Array, vals: jax.Array,
-                 row0: jax.Array) -> jax.Array:
-    """Append a batch's embeddings into the output slab on device. The
-    write offset is traced (one executable per batch shape); the slab
-    buffer is donated so XLA updates it in place."""
-    return jax.lax.dynamic_update_slice(slab, vals, (row0, jnp.int32(0)))
+# encode_texts holds batch outputs ON DEVICE until this many megabytes of
+# f32 embeddings have accumulated, then drains them host-side in one bulk
+# pass (see encode_texts docstring). 256 MB ≈ 170k rows at 384-d — big
+# corpora take a handful of drains; small ones take exactly one, after
+# all compute has been dispatched. Override: SEMA_TPU_EMBED_HOLD_MB.
+HOLD_MB = 256
 
 
 class Encoder:
@@ -216,8 +207,23 @@ class Encoder:
         MXU stays filled. Output order matches input order (embeddings are
         padding-invariant: masked attention + masked pooling).
 
-        ``progress(done, total)`` is called after each device batch (feeds
-        the TUI spinner / metrics).
+        Result transfer is DEFERRED: every batch dispatch is a pure async
+        enqueue (plus a ``copy_to_host_async`` so the DMA runs behind
+        compute), and the device arrays are held in a list until either
+        ~HOLD_MB megabytes of f32 output have accumulated or the corpus
+        is exhausted — then drained in one bulk pass. Measured on the
+        tunneled dev box: interleaving one blocking fetch per batch
+        drops the pipeline to ~7.9k chunks/s (a fetch under dispatch
+        load stalls ~400 ms while transfers compete with in-flight
+        compute and host tokenization on the 1-core host); deferring the
+        drain runs at the full device rate, 12.5k chunks/s
+        (/tmp/defer_probe-style A/B, docs/PERF.md round-3 build-path
+        section). This replaces both the r3 per-batch async-prefetch
+        pipeline and the opt-in device slab — it strictly dominated both
+        in the same-process A/B.
+
+        ``progress(done, total)`` is called after each batch dispatch
+        (feeds the TUI spinner / metrics).
         """
         n = len(texts)
         if n == 0:
@@ -225,57 +231,20 @@ class Encoder:
         B = self.batch_size
         out = np.empty((n, self.spec.dim), dtype=np.float32)
         bucketing = os.environ.get("SEMA_TPU_BUCKETS", "on") != "off"
-        # Device output slabs (opt-in): batch results accumulate into a
-        # fixed-shape (SLAB_ROWS, dim) device buffer via traced-offset
-        # updates and are fetched ONE SLAB AT A TIME — fewer, larger
-        # transfers for environments where per-fetch overhead dominates.
-        # The DEFAULT path instead starts a background device→host DMA
-        # per batch at dispatch time (copy_to_host_async below): the
-        # same-process A/B on the tunneled dev box measured 12.6k
-        # chunks/s async-prefetch vs 8.6k slab vs ~40 ms/batch blocking
-        # cold fetches (docs/PERF.md, round-3 build-path section).
-        # Single-device only — under a mesh the batch outputs are
-        # sharded and take the per-batch drain.
-        use_slab = (self.mesh is None
-                    and os.environ.get("SEMA_TPU_EMBED_SLAB", "off") == "on")
+        hold_bytes = int(float(os.environ.get("SEMA_TPU_EMBED_HOLD_MB",
+                                              str(HOLD_MB))) * 1e6)
+        row_bytes = self.spec.dim * 4  # f32 output rows
 
-        # software pipeline: jax dispatch is async, so host tokenization of
-        # the next super-batch overlaps device compute; only result fetches
-        # block. (SURVEY.md §7: host↔device streaming hard part.)
-        done = 0
         submitted = 0
-        pending = None  # legacy path: (device_embeddings, row_indices)
-        slab = None     # active device slab
-        fill = 0        # rows consumed in the active slab (incl. padding)
-        idx_map: list = []   # (global_row_indices, slab_row_start)
-        ready: list = []     # flushed slabs awaiting fetch
+        held: list = []   # (device_embeddings, global_row_indices)
+        held_rows = 0     # padded rows resident on device (HBM bound)
 
-        def drain(p):
-            nonlocal done
-            emb, idxs = p
-            out[idxs] = np.asarray(emb)[:len(idxs)]
-            done += len(idxs)
-            if progress is not None:
-                progress(done, n)
-
-        def flush_slab():
-            nonlocal slab, fill, idx_map
-            if slab is not None:
-                # start the device→host DMA now; np.asarray in
-                # drain_ready completes it (measured ~2× cheaper than a
-                # cold fetch on the tunneled box)
-                slab.copy_to_host_async()
-                ready.append((slab, idx_map))
-                slab, fill, idx_map = None, 0, []
-
-        def drain_ready():
-            nonlocal done
-            for dev, imap in ready:
-                host = np.asarray(dev)
-                for rows_idx, start in imap:
-                    out[rows_idx] = host[start:start + len(rows_idx)]
-                    done += len(rows_idx)
-            ready.clear()
+        def drain():
+            nonlocal held, held_rows
+            for emb, idxs in held:
+                out[idxs] = np.asarray(emb)[:len(idxs)]
+            held = []
+            held_rows = 0
 
         SB = 8 * B  # super-batch: bucketing granularity
         for soff in range(0, n, SB):
@@ -306,41 +275,20 @@ class Encoder:
                         ids[r, :k] = tok_ids[:k]
                         mask[r, :k] = tok_mask[:k]
                     emb = self.embed_ids(jnp.asarray(ids), jnp.asarray(mask))
-                    global_rows = np.asarray([soff + i for i in chunk])
-                    if not use_slab:
-                        if pending is not None:
-                            drain(pending)
-                        try:
-                            # start the device→host DMA at dispatch time;
-                            # drain's np.asarray then completes an
-                            # in-flight copy (~2× cheaper than a cold
-                            # fetch on the tunneled box)
-                            emb.copy_to_host_async()
-                        except Exception:  # noqa: BLE001 — sharded arrays
-                            pass           # may not support it; drain works
-                        pending = (emb, global_rows)
-                        continue
-                    if fill + rows > SLAB_ROWS:
-                        flush_slab()
-                        if len(ready) >= 2:   # bound live slabs in HBM
-                            drain_ready()
-                    if slab is None:
-                        slab = jnp.zeros((max(SLAB_ROWS, rows),
-                                          self.spec.dim), jnp.float32)
-                    # the whole padded batch is appended (dead rows and
-                    # all) so the executable set stays one per batch
-                    # shape; idx_map records which slab rows are live
-                    slab = _slab_append(slab, emb, jnp.int32(fill))
-                    idx_map.append((global_rows, fill))
-                    fill += rows
+                    try:
+                        # start the device→host DMA now; drain's
+                        # np.asarray completes an in-flight copy
+                        emb.copy_to_host_async()
+                    except Exception:  # noqa: BLE001 — sharded arrays
+                        pass           # may not support it; drain works
+                    held.append((emb, np.asarray([soff + i for i in chunk])))
+                    held_rows += rows
                     submitted += len(chunk)
                     if progress is not None:
                         progress(submitted, n)
-        if use_slab:
-            flush_slab()
-            drain_ready()
-        else:
-            drain(pending)
+                    if held_rows * row_bytes >= hold_bytes:
+                        drain()
+        drain()
         return out
 
     def encode_query(self, text: str) -> np.ndarray:
