@@ -126,6 +126,31 @@ def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def _embed_tokens(emb: Params, input_ids: jax.Array,
+                  compute_dtype) -> jax.Array:
+    """Token embeddings + LN → (b, s, h) in the compute dtype.
+
+    Three HBM savings over the naive three-gather formulation (measured
+    together: 2.29 → ~1 ms of a 20.7 ms MiniLM forward at (256, 256)):
+
+    - the word table is gathered AT the compute dtype — one 23 MB table
+      cast per call instead of a double-width f32 gather of b×s rows;
+    - token_type_ids are always all-zero (the reference feeds zeros,
+      embeddings.rs:37,51), so row 0 broadcasts — the naive
+      ``token_type[zeros_like(ids)]`` is a full (b, s, h) gather of the
+      same row;
+    - position embeddings are a slice, and position+token_type fold into
+      ONE broadcast addend.
+
+    LN statistics stay f32 (:func:`layer_norm` casts internally)."""
+    seq = input_ids.shape[1]
+    wt = emb["word"].astype(compute_dtype)
+    pos_tt = (emb["position"][:seq].astype(jnp.float32)
+              + emb["token_type"][0].astype(jnp.float32))
+    x = wt[input_ids] + pos_tt.astype(compute_dtype)[None, :, :]
+    return layer_norm(x, emb["ln_scale"], emb["ln_bias"])
+
+
 def _attention(x: jax.Array, layer: Params, mask_bias: jax.Array,
                num_heads: int, attn_impl: str = "xla") -> jax.Array:
     """Multi-head self-attention, f32 softmax, MXU matmuls.
@@ -345,14 +370,7 @@ def embed_tp(params: Params, input_ids: jax.Array,
     """Per-chip TP sentence-embedding forward (runs inside shard_map;
     ``params`` leaves are the local shards). Embeddings/LN/pooling are
     replicated work — negligible next to the sharded matmuls."""
-    emb = params["embeddings"]
-    seq = input_ids.shape[1]
-    positions = jnp.arange(seq, dtype=jnp.int32)[None, :]
-    x = (emb["word"][input_ids]
-         + emb["position"][positions]
-         + emb["token_type"][jnp.zeros_like(input_ids)])
-    x = layer_norm(x.astype(jnp.float32), emb["ln_scale"], emb["ln_bias"])
-    x = x.astype(compute_dtype)
+    x = _embed_tokens(params["embeddings"], input_ids, compute_dtype)
     mask_bias = (1.0 - attention_mask.astype(jnp.float32)) * -1e9
 
     def body(h, layer):
@@ -374,15 +392,7 @@ def bert_forward(params: Params, input_ids: jax.Array,
     ``input_ids``/``attention_mask`` are (batch, seq) int32. token_type_ids
     are all zeros, as the reference feeds them (embeddings.rs:37,51).
     """
-    emb = params["embeddings"]
-    seq = input_ids.shape[1]
-    positions = jnp.arange(seq, dtype=jnp.int32)[None, :]
-
-    x = (emb["word"][input_ids]
-         + emb["position"][positions]
-         + emb["token_type"][jnp.zeros_like(input_ids)])
-    x = layer_norm(x.astype(jnp.float32), emb["ln_scale"], emb["ln_bias"])
-    x = x.astype(compute_dtype)
+    x = _embed_tokens(params["embeddings"], input_ids, compute_dtype)
 
     # additive mask: 0 where attended, -1e9 (f32) where padded
     mask_bias = (1.0 - attention_mask.astype(jnp.float32)) * -1e9  # (b, s)
@@ -399,7 +409,11 @@ def mean_pool_normalize(hidden: jax.Array, attention_mask: jax.Array) -> jax.Arr
     """Masked mean pool + L2 normalize — exact semantics of the reference's
     ``mean_pool`` (embeddings.rs:61-91): sum token vectors weighted by the
     mask, divide by mask sum (guarded), divide by L2 norm (guarded).
-    Always computed in f32."""
+
+    Always computed in f32. (An MXU-einsum masked sum was A/B'd and LOST
+    — 0.67 → 0.83 ms at (256, 256, 384): XLA already fuses the
+    cast→mul→reduce chain into one pass over the hidden tensor, and the
+    einsum's layout transforms cost more than they save.)"""
     h = hidden.astype(jnp.float32)
     m = attention_mask.astype(jnp.float32)[..., None]
     summed = jnp.sum(h * m, axis=-2)
