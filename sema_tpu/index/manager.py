@@ -100,8 +100,22 @@ class IndexManager:
                 emb_progress = (
                     (lambda done, total: progress("embedding", done, total))
                     if progress else None)
+                # fetch at the STORE's dtype: the segment write rounds to
+                # np_dtype anyway, so casting on device halves the
+                # device→host bytes for bf16/int8 stores. Encoder-like
+                # objects (quality-gate stubs, tools) may not take
+                # out_dtype — probe the signature, don't assume.
+                kwargs = {}
+                try:
+                    import inspect
+                    if "out_dtype" in inspect.signature(
+                            self.encoder.encode_texts).parameters:
+                        kwargs["out_dtype"] = self.vector_store.np_dtype
+                except (TypeError, ValueError):
+                    pass
                 embeddings = self.encoder.encode_texts(
-                    [c.content for c in chunks], progress=emb_progress)
+                    [c.content for c in chunks], progress=emb_progress,
+                    **kwargs)
             with self.metrics.timer("vector_write"):
                 self.vector_store.add_chunks(chunks, embeddings)
         except Exception as e:  # noqa: BLE001 — parity: warn, keep going

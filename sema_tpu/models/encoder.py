@@ -196,9 +196,17 @@ class Encoder:
                 return b
         return self.max_length
 
-    def encode_texts(self, texts: Sequence[str],
-                     progress=None) -> np.ndarray:
-        """Embed any number of texts; returns (len(texts), dim) f32.
+    def encode_texts(self, texts: Sequence[str], progress=None,
+                     out_dtype=np.float32) -> np.ndarray:
+        """Embed any number of texts; returns (len(texts), dim) arrays of
+        ``out_dtype`` (default f32).
+
+        ``out_dtype`` exists for the index-build path: a bf16 store
+        persists bf16 rows, so fetching f32 doubles the device→host
+        bytes only to round them on write. Passing the store dtype casts
+        ON DEVICE (one fused elementwise op per batch) and halves the
+        drain traffic; the IndexManager passes the store's dtype
+        automatically.
 
         Length-bucketed batching: each super-batch is tokenized on host,
         grouped by padded sequence bucket (32/64/128/max), and streamed as
@@ -226,14 +234,15 @@ class Encoder:
         (feeds the TUI spinner / metrics).
         """
         n = len(texts)
+        out_dtype = np.dtype(out_dtype)
         if n == 0:
-            return np.zeros((0, self.spec.dim), dtype=np.float32)
+            return np.zeros((0, self.spec.dim), dtype=out_dtype)
         B = self.batch_size
-        out = np.empty((n, self.spec.dim), dtype=np.float32)
+        out = np.empty((n, self.spec.dim), dtype=out_dtype)
         bucketing = os.environ.get("SEMA_TPU_BUCKETS", "on") != "off"
         hold_bytes = int(float(os.environ.get("SEMA_TPU_EMBED_HOLD_MB",
                                               str(HOLD_MB))) * 1e6)
-        row_bytes = self.spec.dim * 4  # f32 output rows
+        row_bytes = self.spec.dim * out_dtype.itemsize
 
         submitted = 0
         held: list = []   # (device_embeddings, global_row_indices)
@@ -275,6 +284,8 @@ class Encoder:
                         ids[r, :k] = tok_ids[:k]
                         mask[r, :k] = tok_mask[:k]
                     emb = self.embed_ids(jnp.asarray(ids), jnp.asarray(mask))
+                    if out_dtype != np.float32:
+                        emb = emb.astype(out_dtype)
                     try:
                         # start the device→host DMA now; drain's
                         # np.asarray completes an in-flight copy

@@ -65,3 +65,17 @@ def test_progress_monotonic_and_complete(encoder, monkeypatch):
     assert seen[-1] == (len(texts), len(texts))
     assert all(a[0] < b[0] for a, b in zip(seen, seen[1:]))
     assert all(t == len(texts) for _, t in seen)
+
+
+def test_out_dtype_bf16_matches_f32(encoder, monkeypatch):
+    import ml_dtypes
+    texts = _texts(20)
+    ref = encoder.encode_texts(texts)
+    got = encoder.encode_texts(texts, out_dtype=ml_dtypes.bfloat16)
+    assert got.dtype == ml_dtypes.bfloat16
+    np.testing.assert_allclose(got.astype(np.float32), ref,
+                               atol=1 / 128, rtol=1 / 128)
+    # the cast happens before the drain: mid-run drains preserve it
+    monkeypatch.setenv("SEMA_TPU_EMBED_HOLD_MB", "0.000001")
+    got2 = encoder.encode_texts(texts, out_dtype=ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(got, got2)

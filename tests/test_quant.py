@@ -120,3 +120,52 @@ def test_int8_mesh_sharded(tmp_path):
     store.add_chunks(cs, vecs)
     results = store.search(vecs[321], k=5)
     assert results[0][0].id == "f.txt:321"
+
+
+def test_device_bucket_quantization_matches_host_oracle(tmp_path):
+    """The int8 bucket build quantizes ON DEVICE (_quantize_rows_device);
+    its output must match the host oracle quantize_rows applied to the
+    persisted bf16 rows to within 1 quantum — XLA may lower the division
+    as a reciprocal multiply, flipping rare round-half boundaries."""
+    chunks, vecs = chunks_and_vecs(300, d=64, seed=9)
+    vs = VectorStore(tmp_path, dim=64, model="m", store_dtype="int8")
+    vs.add_chunks(chunks, vecs)
+    buckets = vs.device_buckets()
+    assert len(buckets) == 1
+    qd, sd = buckets[0]["store"]
+    rows = buckets[0]["rows"]
+    host_rows = np.asarray(vs.segments[0].vectors, dtype=np.float32)
+    q_ref, s_ref = quantize_rows(host_rows)
+    _assert_quant_close(np.asarray(qd)[:rows], q_ref,
+                        np.asarray(sd)[:rows], s_ref)
+    vs.close()
+
+
+def _assert_quant_close(q, q_ref, s, s_ref):
+    np.testing.assert_allclose(s, s_ref, rtol=1e-6)
+    diff = np.abs(q.astype(np.int32) - q_ref.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-3   # only rare rounding-boundary flips
+
+
+def test_device_arena_append_quantization_matches_oracle(tmp_path):
+    """Arena-tail int8 appends quantize the appended rows on device; the
+    extended bucket must equal the oracle over both segments."""
+    c1, v1 = chunks_and_vecs(200, d=64, seed=1)
+    c2, v2 = chunks_and_vecs(100, d=64, seed=2)
+    for c in c2:
+        c.file_path = c.file_path.with_name("other_" + c.file_path.name)
+    vs = VectorStore(tmp_path, dim=64, model="m", store_dtype="int8")
+    vs.add_chunks(c1, v1)
+    vs.device_buckets()            # build the unsealed tail bucket
+    vs.add_chunks(c2, v2)
+    buckets = vs.device_buckets()  # arena-extend on device
+    assert len(buckets) == 1
+    qd, sd = buckets[0]["store"]
+    rows = buckets[0]["rows"]
+    host_rows = np.concatenate([
+        np.asarray(s.vectors, dtype=np.float32) for s in vs.segments])
+    q_ref, s_ref = quantize_rows(host_rows)
+    _assert_quant_close(np.asarray(qd)[:rows], q_ref,
+                        np.asarray(sd)[:rows], s_ref)
+    vs.close()
