@@ -101,11 +101,13 @@ constexpr double K1 = 1.2, B = 0.75;
 
 // -- v2 segment format --------------------------------------------------------
 
-constexpr uint32_t kMagic = 0x32544D53;   // "SMT2"
-constexpr uint32_t kVersion = 2;
-constexpr int kNumSections = 11;
+constexpr uint32_t kMagic = 0x32544D53;   // "SMT2" (shared by v2 and v3)
+constexpr uint32_t kVersion = 3;
+constexpr int kNumSectionsV2 = 11;
+constexpr int kNumSections = 13;  // v3 adds pos_term_idx + positions
 // header: u32 magic, u32 version, u64 n_docs, u64 total_len, u64 n_terms,
-//         u64 n_files, u64 off[11]
+//         u64 n_files, u64 off[n_sections]
+constexpr size_t kHeaderSizeV2 = 4 + 4 + 8 * 4 + 8 * kNumSectionsV2;
 constexpr size_t kHeaderSize = 4 + 4 + 8 * 4 + 8 * kNumSections;
 
 uint64_t fnv1a64(const std::string& s) {
@@ -153,7 +155,11 @@ int build_segment(const uint8_t* blob, uint64_t blob_len, const char* path) {
     uint32_t n = r.u32();
 
     std::string doc_len, meta_idx, meta, content_idx, content;
-    std::map<std::string, std::vector<std::pair<uint32_t, uint32_t>>> postings;
+    struct PostList {
+        std::vector<std::pair<uint32_t, uint32_t>> entries;  // (doc, tf)
+        std::vector<uint32_t> pos;  // token positions, run per entry = tf
+    };
+    std::map<std::string, PostList> postings;
     std::vector<FileRun> runs;
     std::string prev_path;
     uint64_t moff = 0, coff = 0, total_len = 0;
@@ -169,10 +175,14 @@ int build_segment(const uint8_t* blob, uint64_t blob_len, const char* path) {
         auto toks = tokenize(body);
         put_u32(doc_len, (uint32_t)toks.size());
         total_len += toks.size();
-        std::unordered_map<std::string, uint32_t> tf;
-        for (auto& t : toks) tf[t]++;
-        for (auto& [term, count] : tf)
-            postings[term].emplace_back(i, count);
+        std::unordered_map<std::string, std::vector<uint32_t>> occ;
+        for (uint32_t p = 0; p < (uint32_t)toks.size(); p++)
+            occ[toks[p]].push_back(p);
+        for (auto& [term, plist] : occ) {
+            auto& pl = postings[term];
+            pl.entries.emplace_back(i, (uint32_t)plist.size());
+            pl.pos.insert(pl.pos.end(), plist.begin(), plist.end());
+        }
 
         put_u32(meta, (uint32_t)start);
         put_u32(meta, (uint32_t)end);
@@ -204,19 +214,24 @@ int build_segment(const uint8_t* blob, uint64_t blob_len, const char* path) {
     // processed in order); std::map keys are bytewise-sorted — the
     // format's term order
     std::string term_idx, terms, post_idx, post_ids, post_tfs;
-    uint64_t toff = 0, pcount = 0;
+    std::string pos_term_idx, pos_blob;
+    uint64_t toff = 0, pcount = 0, poscount = 0;
     put_u64(term_idx, 0);
     put_u64(post_idx, 0);
+    put_u64(pos_term_idx, 0);
     for (auto& [term, plist] : postings) {
         terms += term;
         toff += term.size();
         put_u64(term_idx, toff);
-        for (auto& [doc, tf] : plist) {
+        for (auto& [doc, tf] : plist.entries) {
             put_u32(post_ids, doc);
             put_u32(post_tfs, tf);
         }
-        pcount += plist.size();
+        pcount += plist.entries.size();
         put_u64(post_idx, pcount);
+        for (uint32_t p : plist.pos) put_u32(pos_blob, p);
+        poscount += plist.pos.size();
+        put_u64(pos_term_idx, poscount);
     }
 
     std::stable_sort(runs.begin(), runs.end(),
@@ -233,6 +248,7 @@ int build_segment(const uint8_t* blob, uint64_t blob_len, const char* path) {
     const std::string* sections[kNumSections] = {
         &doc_len, &meta_idx, &meta, &content_idx, &content,
         &term_idx, &terms, &post_idx, &post_ids, &post_tfs, &files,
+        &pos_term_idx, &pos_blob,
     };
     std::string out(kHeaderSize, '\0');
     pad8(out);
@@ -271,14 +287,17 @@ struct SegView {
     size_t map_len = 0;
     uint64_t n_docs = 0, total_len = 0, n_terms = 0, n_files = 0;
     uint64_t off[kNumSections] = {0};
+    uint32_t version = 0;
     uint64_t base = 0;                 // global doc-id offset
     const uint8_t* del_bits = nullptr; // packed bitmap or null
+
+    bool has_positions() const { return version >= 3; }
 
     bool open(const std::string& path) {
         fd = ::open(path.c_str(), O_RDONLY);
         if (fd < 0) return false;
         struct stat st;
-        if (fstat(fd, &st) != 0 || (size_t)st.st_size < kHeaderSize) {
+        if (fstat(fd, &st) != 0 || (size_t)st.st_size < kHeaderSizeV2) {
             ::close(fd); fd = -1;
             return false;
         }
@@ -286,15 +305,17 @@ struct SegView {
         void* m = mmap(nullptr, map_len, PROT_READ, MAP_SHARED, fd, 0);
         if (m == MAP_FAILED) { ::close(fd); fd = -1; return false; }
         map = static_cast<const uint8_t*>(m);
-        uint32_t magic, version;
+        uint32_t magic;
         memcpy(&magic, map, 4);
         memcpy(&version, map + 4, 4);
-        if (magic != kMagic || version != kVersion) return false;
+        if (magic != kMagic || (version != 2 && version != 3)) return false;
+        int nsec = version >= 3 ? kNumSections : kNumSectionsV2;
+        if (version >= 3 && (size_t)st.st_size < kHeaderSize) return false;
         memcpy(&n_docs, map + 8, 8);
         memcpy(&total_len, map + 16, 8);
         memcpy(&n_terms, map + 24, 8);
         memcpy(&n_files, map + 32, 8);
-        memcpy(off, map + 40, 8 * kNumSections);
+        memcpy(off, map + 40, 8 * nsec);
         return true;
     }
 
@@ -326,6 +347,12 @@ struct SegView {
     }
     const uint32_t* post_tfs() const {
         return reinterpret_cast<const uint32_t*>(map + off[9]);
+    }
+    const uint64_t* pos_term_idx() const {   // v3 only
+        return reinterpret_cast<const uint64_t*>(map + off[11]);
+    }
+    const uint32_t* positions() const {      // v3 only
+        return reinterpret_cast<const uint32_t*>(map + off[12]);
     }
 
     // bytewise binary search over the sorted term blob; -1 when absent
@@ -367,6 +394,71 @@ struct SegView {
         path.assign(reinterpret_cast<const char*>(rec + 12 + idl), pl);
     }
 };
+
+// Rows of `sv` satisfying ALL phrases, answered from v3 positional
+// postings (≙ tantivy PhraseQuery; content never read). Per phrase,
+// term k's occurrences become keys (doc << 32) | (pos - k) — ascending
+// by construction (docs ascend, positions ascend within a doc) — and a
+// set_intersection across the phrase's terms leaves the valid start
+// positions. Semantics identical to the content re-tokenize check: the
+// positions index the token LIST, with >40-char tokens dropped before
+// position assignment by both writers.
+std::vector<uint32_t> phrase_rows_positional(
+        const SegView& sv,
+        const std::vector<std::vector<std::string>>& ptoks) {
+    std::vector<uint32_t> rows_all;
+    bool first_phrase = true;
+    for (auto& pt : ptoks) {
+        std::vector<uint64_t> keys;
+        bool first = true;
+        for (size_t k = 0; k < pt.size(); k++) {
+            int64_t t = sv.find_term(pt[k]);
+            if (t < 0) return {};
+            const uint64_t* pix = sv.post_idx();
+            const uint32_t* ids = sv.post_ids();
+            const uint32_t* tfs = sv.post_tfs();
+            const uint64_t* qix = sv.pos_term_idx();
+            const uint32_t* pos = sv.positions();
+            std::vector<uint64_t> kk;
+            uint64_t poff = qix[t];
+            for (uint64_t e = pix[t]; e < pix[t + 1]; e++)
+                for (uint32_t j = 0; j < tfs[e]; j++, poff++) {
+                    int64_t adj = (int64_t)pos[poff] - (int64_t)k;
+                    if (adj >= 0)
+                        kk.push_back(((uint64_t)ids[e] << 32)
+                                     | (uint64_t)adj);
+                }
+            if (first) {
+                keys = std::move(kk);
+                first = false;
+            } else {
+                std::vector<uint64_t> out;
+                std::set_intersection(keys.begin(), keys.end(),
+                                      kk.begin(), kk.end(),
+                                      std::back_inserter(out));
+                keys = std::move(out);
+            }
+            if (keys.empty()) return {};
+        }
+        std::vector<uint32_t> prows;
+        for (uint64_t kv : keys) {
+            uint32_t d = (uint32_t)(kv >> 32);
+            if (prows.empty() || prows.back() != d) prows.push_back(d);
+        }
+        if (first_phrase) {
+            rows_all = std::move(prows);
+            first_phrase = false;
+        } else {
+            std::vector<uint32_t> out;
+            std::set_intersection(rows_all.begin(), rows_all.end(),
+                                  prows.begin(), prows.end(),
+                                  std::back_inserter(out));
+            rows_all = std::move(out);
+        }
+        if (rows_all.empty()) return {};
+    }
+    return rows_all;
+}
 
 }  // namespace
 
@@ -523,8 +615,13 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
         std::sort(ranked.begin(), ranked.end(), cmp);
     }
 
-    // candidates verified in rank order until `limit` accepted — phrase
-    // verification reads content from the mapping per candidate only
+    // candidates verified in rank order until `limit` accepted. Phrase
+    // filtering: v3 segments answer from positional postings (index-
+    // only, computed lazily per segment — content is never read for
+    // rejected candidates); v2 segments keep the per-candidate content
+    // re-tokenize check.
+    std::vector<char> phrase_done(n_segs, 0);
+    std::vector<std::vector<uint32_t>> phrase_rows(n_segs);
     std::string hits;
     uint32_t n_hits = 0;
     for (auto& [gid, score] : ranked) {
@@ -534,8 +631,17 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
         while (s > 0 && segs[s]->base > gid) s--;
         const SegView& sv = *segs[s];
         uint32_t row = (uint32_t)(gid - sv.base);
+        if (!ptoks.empty() && sv.has_positions()) {
+            if (!phrase_done[s]) {
+                phrase_rows[s] = phrase_rows_positional(sv, ptoks);
+                phrase_done[s] = 1;
+            }
+            if (!std::binary_search(phrase_rows[s].begin(),
+                                    phrase_rows[s].end(), row))
+                continue;
+        }
         std::string body = sv.content(row);
-        if (!ptoks.empty()) {
+        if (!ptoks.empty() && !sv.has_positions()) {
             auto toks = tokenize(body);
             // sentinel-wrapped join: '\x00' on BOTH sides of every token
             // so a phrase term never matches a substring of a longer

@@ -7,7 +7,9 @@ Replaces the reference's Tantivy index (src/storage/text_indexer.rs):
 - scoring is BM25 with the Lucene constants k1=1.2, b=0.75 over an
   OR-of-terms query, the behavior of ``QueryParser`` + ``TopDocs`` at
   text_indexer.rs:81-83; quoted phrases require all terms adjacent in
-  order;
+  order, answered from v3 positional postings (≙ tantivy's PhraseQuery
+  — index-native, content untouched for rejected candidates; legacy v2
+  segments fall back to per-candidate content re-tokenization);
 - real scores are returned (text_indexer.rs:144-153 keeps them, unlike
   the semantic path);
 - ``commit()`` persists to disk; the index reopens incrementally
@@ -43,7 +45,7 @@ import re
 import struct
 import threading
 from pathlib import Path
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -465,18 +467,45 @@ class DiskTextIndex:
             # term-major loop
             uniq, inv = np.unique(g, return_inverse=True)
             scores = np.bincount(inv, weights=c)
+            if ptoks and all(s.has_positions for s in self.segments):
+                # all-v3 index: resolve phrases from positional postings
+                # for EVERY segment up front and filter the candidate
+                # array vectorized — the rank walk then touches accepted
+                # docs only (a zero-hit phrase over a large corpus would
+                # otherwise iterate millions of rejects in Python)
+                allowed = np.zeros(total, dtype=bool)
+                for base, seg in zip(bases, self.segments):
+                    rows = _phrase_rows_positional(seg, ptoks)
+                    if len(rows):
+                        allowed[rows + base] = True
+                keep = allowed[uniq]
+                uniq, scores = uniq[keep], scores[keep]
+                ptoks = []      # verified — the walk skips per-doc checks
             # stable sort on -score: ties break by ascending global doc
             # id (uniq is sorted), matching the C++ comparator
             order = np.argsort(-scores, kind="stable")
 
         out: List[Tuple[Chunk, float]] = []
+        # phrase filtering: v3 segments answer from positional postings
+        # (index-only — content is never read for rejected candidates);
+        # v2 segments keep the per-candidate content re-tokenize check.
+        # Lazy per segment: the walk usually stops at `limit` accepted.
+        phrase_rows: Dict[int, set] = {}
         for oi in order:
             gid = int(uniq[oi])
             si = int(np.searchsorted(bases, gid, side="right")) - 1
             seg = self.segments[si]
             row = gid - bases[si]
-            content = seg.content(row)   # one read serves both uses
-            if ptoks and not _has_phrases(content, ptoks):
+            if ptoks and seg.has_positions:
+                ok = phrase_rows.get(si)
+                if ok is None:
+                    ok = set(_phrase_rows_positional(seg, ptoks).tolist())
+                    phrase_rows[si] = ok
+                if row not in ok:
+                    continue
+            content = seg.content(row)
+            if ptoks and not seg.has_positions \
+                    and not _has_phrases(content, ptoks):
                 continue
             doc_id, fpath, start, end = seg.meta(row)
             out.append((Chunk(id=doc_id, file_path=Path(fpath),
@@ -503,6 +532,46 @@ class DiskTextIndex:
         return [(Chunk(id=i, file_path=Path(p), start_line=s, end_line=e,
                        content=content), float(score))
                 for i, p, s, e, content, score in hits]
+
+
+def _phrase_rows_positional(seg, ptoks: List[List[str]]) -> np.ndarray:
+    """Local doc ids of ``seg`` satisfying ALL phrases, answered entirely
+    from v3 positional postings (≙ tantivy's PhraseQuery; the content
+    blob is never touched).
+
+    A doc matches one phrase when some start position p has term k at
+    p+k for every k. Each term's occurrences become sorted keys
+    ``(doc << 32) | (pos - k)``; a sorted-set intersection across the
+    phrase's terms leaves exactly the valid start positions. Keys are
+    unique (one per (doc, pos)) and ascending (docs ascend, positions
+    ascend within a doc), so ``np.intersect1d(assume_unique=True)``
+    is safe. Phrase semantics match ``_has_phrases``: positions index
+    the token LIST (>40-char tokens are dropped by the analyzer before
+    position assignment, identically to content re-tokenization)."""
+    rows_all: Optional[np.ndarray] = None
+    empty = np.empty(0, dtype=np.int64)
+    for pt in ptoks:
+        keys: Optional[np.ndarray] = None
+        for k, term in enumerate(pt):
+            t = seg.find_term(term.encode())
+            if t < 0:
+                return empty
+            ids, tfs = seg.postings(t)
+            pos = seg.term_positions(t).astype(np.int64)
+            docs_rep = np.repeat(ids.astype(np.int64), tfs)
+            adj = pos - k
+            ok = adj >= 0        # term k can't start a phrase before pos k
+            kk = (docs_rep[ok] << 32) | adj[ok]
+            keys = kk if keys is None else np.intersect1d(
+                keys, kk, assume_unique=True)
+            if len(keys) == 0:
+                return empty
+        prows = np.unique(keys >> 32)
+        rows_all = (prows if rows_all is None
+                    else np.intersect1d(rows_all, prows, assume_unique=True))
+        if len(rows_all) == 0:
+            return empty
+    return rows_all if rows_all is not None else empty
 
 
 def _has_phrases(content: str, ptoks: List[List[str]]) -> bool:

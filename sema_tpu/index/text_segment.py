@@ -33,6 +33,19 @@ never modified afterwards::
         10 files        (u64 fnv1a64(path), u32 row_start, u32 row_count)
                         sorted by hash; consecutive same-path docs form
                         one run, so lookup is O(log n_files + rows(file))
+        -- v3 only (VERSION=3; phrase queries become index-native,
+           ≙ tantivy's positional postings) --
+        11 pos_term_idx u64[n_terms+1]  POSITION offsets per term
+        12 positions    u32[total_len]  token positions (index into the
+                        doc's token list), ascending within each
+                        (term, doc) run; the run for posting entry e of
+                        term t has length post_tfs[e], so per-entry
+                        offsets are pos_term_idx[t] + cumsum of the
+                        term's tfs
+
+    v2 segments (no positions) stay readable; phrase queries over them
+    fall back to per-candidate content re-tokenization, and any merge
+    rewrites them as v3 (merges re-tokenize from content).
 
 Tombstones live in a mutable ``.del`` sidecar next to the segment,
 rewritten atomically as a whole (it is n_docs/8 bytes — trivial)::
@@ -56,10 +69,11 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-MAGIC = 0x32544D53      # "SMT2"
-VERSION = 2
+MAGIC = 0x32544D53      # "SMT2" (shared by v2 and v3)
+VERSION = 3
 DEL_MAGIC = 0x4C454453  # "SDEL"
-_HEADER = struct.Struct("<II4Q11Q")   # magic, ver, 4 counters, 11 offsets
+_HEADER_V2 = struct.Struct("<II4Q11Q")  # magic, ver, 4 counters, 11 offsets
+_HEADER_V3 = struct.Struct("<II4Q13Q")  # v3 adds pos_term_idx + positions
 _DEL_HEADER = struct.Struct("<IIQ")   # magic, dead, dead_len
 
 _FNV_OFFSET = 0xCBF29CE484222325
@@ -88,12 +102,15 @@ def _pad8(parts: List[bytes]) -> int:
 
 
 def write_segment(path: Path, docs: Sequence[tuple],
-                  tokens_per_doc: Sequence[List[str]]) -> Tuple[int, int]:
+                  tokens_per_doc: Sequence[List[str]],
+                  version: int = VERSION) -> Tuple[int, int]:
     """Write one immutable segment (atomic tmp+rename).
 
     ``docs``: (id, path, start_line, end_line, content) tuples.
     ``tokens_per_doc``: the tokenizer output per doc (the caller owns
     tokenization so the native engine can run its own C++ tokenizer).
+    ``version``: 3 (default) writes positional postings; 2 exists so
+    tests can produce legacy segments and pin the fallback path.
     Returns (n_docs, total_len).
     """
     n_docs = len(docs)
@@ -102,7 +119,10 @@ def write_segment(path: Path, docs: Sequence[tuple],
     meta_idx = np.zeros(n_docs + 1, dtype=np.uint64)
     content_parts: List[bytes] = []
     content_idx = np.zeros(n_docs + 1, dtype=np.uint64)
+    # term → parallel lists: (doc, tf) entries and the doc's token
+    # positions for that term (ascending; run length == tf)
     postings: Dict[bytes, List[Tuple[int, int]]] = {}
+    positions: Dict[bytes, List[int]] = {}
     file_runs: List[Tuple[int, int, int]] = []   # (hash, start, count)
     run_path: Optional[str] = None
 
@@ -110,11 +130,13 @@ def write_segment(path: Path, docs: Sequence[tuple],
     for i, ((doc_id, fpath, start, end, content), toks) in enumerate(
             zip(docs, tokens_per_doc)):
         doc_len[i] = len(toks)
-        tf: Dict[str, int] = {}
-        for t in toks:
-            tf[t] = tf.get(t, 0) + 1
-        for term, count in tf.items():
-            postings.setdefault(term.encode(), []).append((i, count))
+        occ: Dict[str, List[int]] = {}
+        for p, t in enumerate(toks):
+            occ.setdefault(t, []).append(p)
+        for term, plist in occ.items():
+            tb = term.encode()
+            postings.setdefault(tb, []).append((i, len(plist)))
+            positions.setdefault(tb, []).extend(plist)
         idb = doc_id.encode()
         pb = fpath.encode()
         rec = struct.pack("<IIHH", start, end, len(idb), len(pb)) + idb + pb
@@ -162,7 +184,20 @@ def write_segment(path: Path, docs: Sequence[tuple],
         term_idx.tobytes(), b"".join(term_blob_parts), post_idx.tobytes(),
         post_ids.tobytes(), post_tfs.tobytes(), files_arr.tobytes(),
     ]
-    parts: List[bytes] = [b"\0" * _HEADER.size]
+    if version >= 3:
+        pos_term_idx = np.zeros(len(terms) + 1, dtype=np.uint64)
+        pos_parts: List[np.ndarray] = []
+        pcount = 0
+        for t, term in enumerate(terms):
+            arr = np.asarray(positions[term], dtype=np.uint32)
+            pos_parts.append(arr)
+            pcount += len(arr)
+            pos_term_idx[t + 1] = pcount
+        pos_arr = (np.concatenate(pos_parts) if pos_parts
+                   else np.zeros(0, dtype=np.uint32))
+        sections += [pos_term_idx.tobytes(), pos_arr.tobytes()]
+    header = _HEADER_V3 if version >= 3 else _HEADER_V2
+    parts: List[bytes] = [b"\0" * header.size]
     offs: List[int] = []
     _pad8(parts)
     for sec in sections:
@@ -170,8 +205,8 @@ def write_segment(path: Path, docs: Sequence[tuple],
         parts.append(sec)
         _pad8(parts)
     total_len = int(doc_len.sum())
-    parts[0] = _HEADER.pack(MAGIC, VERSION, n_docs, total_len,
-                            len(terms), len(file_runs), *offs)
+    parts[0] = header.pack(MAGIC, version, n_docs, total_len,
+                           len(terms), len(file_runs), *offs)
     tmp = Path(str(path) + ".tmp")
     with open(tmp, "wb") as f:
         for p in parts:
@@ -195,9 +230,12 @@ class Segment:
 
     def __init__(self, path: Path):
         self.path = path
-        hdr = _HEADER.unpack(path.open("rb").read(_HEADER.size))
-        if hdr[0] != MAGIC or hdr[1] != VERSION:
-            raise ValueError(f"not a v2 segment: {path}")
+        raw = path.open("rb").read(_HEADER_V3.size)
+        magic, self.version = struct.unpack_from("<II", raw)
+        if magic != MAGIC or self.version not in (2, 3):
+            raise ValueError(f"not a v2/v3 segment: {path}")
+        header = _HEADER_V3 if self.version >= 3 else _HEADER_V2
+        hdr = header.unpack(raw[:header.size])
         (self.n_docs, self.total_len, self.n_terms,
          self.n_files) = hdr[2:6]
         self._off = hdr[6:]
@@ -275,6 +313,21 @@ class Segment:
         ids = self._view(8, np.uint32, total)[a:b]
         tfs = self._view(9, np.uint32, total)[a:b]
         return ids, tfs
+
+    # -- positional postings (v3) ---------------------------------------------
+
+    @property
+    def has_positions(self) -> bool:
+        return self.version >= 3
+
+    def term_positions(self, t: int) -> np.ndarray:
+        """All token positions of term ``t``, concatenated over its
+        postings in doc order; the run for posting entry ``e`` has
+        length ``tfs[e]`` (slice via a cumsum of the term's tfs)."""
+        idx = self._view(11, np.uint64, self.n_terms + 1)
+        a, b = int(idx[t]), int(idx[t + 1])
+        total = int(idx[self.n_terms])
+        return self._view(12, np.uint32, total)[a:b]
 
     # -- file runs (O(file) delete) -------------------------------------------
 

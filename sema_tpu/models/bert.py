@@ -145,7 +145,15 @@ def _embed_tokens(emb: Params, input_ids: jax.Array,
     LN statistics stay f32 (:func:`layer_norm` casts internally)."""
     seq = input_ids.shape[1]
     wt = emb["word"].astype(compute_dtype)
-    pos_tt = (emb["position"][:seq].astype(jnp.float32)
+    pos = emb["position"][:seq]
+    if pos.shape[0] < seq:
+        # sequences longer than the position table: XLA gather CLAMPS
+        # out-of-range indices to the last row — keep that behavior for
+        # the slice formulation (positions past the table repeat row P-1)
+        pos = jnp.concatenate([
+            pos, jnp.broadcast_to(pos[-1],
+                                  (seq - pos.shape[0], pos.shape[1]))])
+    pos_tt = (pos.astype(jnp.float32)
               + emb["token_type"][0].astype(jnp.float32))
     x = wt[input_ids] + pos_tt.astype(compute_dtype)[None, :, :]
     return layer_norm(x, emb["ln_scale"], emb["ln_bias"])

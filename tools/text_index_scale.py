@@ -93,6 +93,20 @@ def main() -> int:
     search_ms = (time.perf_counter() - t0) * 1e3
     assert hits
 
+    # phrase rungs (v3 positional postings): terms common, adjacency
+    # decided by the index alone. "beta gamma" matches everywhere;
+    # "gamma beta" NEVER occurs — the adversarial case where the pre-v3
+    # content-verify walk read every candidate's content before
+    # concluding zero hits.
+    t0 = time.perf_counter()
+    ph = idx2.search('"beta gamma"', 10)
+    phrase_hit_ms = (time.perf_counter() - t0) * 1e3
+    assert ph
+    t0 = time.perf_counter()
+    ph0 = idx2.search('"gamma beta"', 10)
+    phrase_miss_ms = (time.perf_counter() - t0) * 1e3
+    assert ph0 == []
+
     t0 = time.perf_counter()
     removed = idx2.remove_file_chunks(Path("src/file_000100.py"))
     delete_ms = (time.perf_counter() - t0) * 1e3
@@ -110,6 +124,8 @@ def main() -> int:
         "rss_built_mb": round(rss_built, 1),
         "reopen_s": round(reopen_s, 3),
         "search_ms_full_corpus": round(search_ms, 2),
+        "phrase_hit_ms": round(phrase_hit_ms, 2),
+        "phrase_miss_ms": round(phrase_miss_ms, 2),
         "delete_one_file_ms": round(delete_ms, 2),
         "commit_ms_p50_first16": round(
             statistics.median(early) * 1e3, 1),
