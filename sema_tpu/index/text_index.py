@@ -467,53 +467,58 @@ class DiskTextIndex:
             # term-major loop
             uniq, inv = np.unique(g, return_inverse=True)
             scores = np.bincount(inv, weights=c)
-            if ptoks and all(s.has_positions for s in self.segments):
-                # all-v3 index: resolve phrases from positional postings
-                # for EVERY segment up front and filter the candidate
-                # array vectorized — the rank walk then touches accepted
-                # docs only (a zero-hit phrase over a large corpus would
-                # otherwise iterate millions of rejects in Python)
-                allowed = np.zeros(total, dtype=bool)
-                for base, seg in zip(bases, self.segments):
-                    rows = _phrase_rows_positional(seg, ptoks)
-                    if len(rows):
-                        allowed[rows + base] = True
-                keep = allowed[uniq]
-                uniq, scores = uniq[keep], scores[keep]
-                ptoks = []      # verified — the walk skips per-doc checks
             # stable sort on -score: ties break by ascending global doc
             # id (uniq is sorted), matching the C++ comparator
             order = np.argsort(-scores, kind="stable")
 
         out: List[Tuple[Chunk, float]] = []
-        # phrase filtering: v3 segments answer from positional postings
-        # (index-only — content is never read for rejected candidates);
-        # v2 segments keep the per-candidate content re-tokenize check.
-        # Lazy per segment: the walk usually stops at `limit` accepted.
-        phrase_rows: Dict[int, set] = {}
-        for oi in order:
-            gid = int(uniq[oi])
-            si = int(np.searchsorted(bases, gid, side="right")) - 1
-            seg = self.segments[si]
-            row = gid - bases[si]
-            if ptoks and seg.has_positions:
-                ok = phrase_rows.get(si)
-                if ok is None:
-                    ok = set(_phrase_rows_positional(seg, ptoks).tolist())
-                    phrase_rows[si] = ok
-                if row not in ok:
+        # The walk runs in rank-order BLOCKS. Phrase filtering: within a
+        # block, v3 segments answer membership vectorized (np.isin
+        # against per-segment positional row sets computed LAZILY on
+        # first touch — only segments that actually surface among the
+        # top candidates are evaluated, parity with the C++ engine's
+        # lazy walk); v2 segments keep the per-candidate content
+        # re-tokenize check. Content is never read for positionally
+        # rejected candidates, and a zero-hit phrase costs
+        # len(order)/BLK vectorized passes, never a per-candidate
+        # Python loop.
+        phrase_rows: Dict[int, np.ndarray] = {}
+        BLK = 8192
+        for blk0 in range(0, len(order), BLK):
+            oblk = order[blk0:blk0 + BLK]
+            gids = uniq[oblk].astype(np.int64)
+            sis = np.searchsorted(bases, gids, side="right") - 1
+            if ptoks:
+                keep = np.ones(len(gids), dtype=bool)
+                for si in np.unique(sis):
+                    seg = self.segments[si]
+                    if not seg.has_positions:
+                        continue            # content verify in the loop
+                    rows_ok = phrase_rows.get(si)
+                    if rows_ok is None:
+                        rows_ok = _phrase_rows_positional(seg, ptoks)
+                        phrase_rows[si] = rows_ok
+                    m = sis == si
+                    keep[m] = np.isin(gids[m] - bases[si], rows_ok)
+                idxs = np.nonzero(keep)[0]
+            else:
+                idxs = range(len(gids))
+            for j in idxs:
+                oi = oblk[j]
+                si = int(sis[j])
+                seg = self.segments[si]
+                row = int(gids[j]) - bases[si]
+                content = seg.content(row)
+                if ptoks and not seg.has_positions \
+                        and not _has_phrases(content, ptoks):
                     continue
-            content = seg.content(row)
-            if ptoks and not seg.has_positions \
-                    and not _has_phrases(content, ptoks):
-                continue
-            doc_id, fpath, start, end = seg.meta(row)
-            out.append((Chunk(id=doc_id, file_path=Path(fpath),
-                              start_line=start, end_line=end,
-                              content=content),
-                        float(scores[oi])))
-            if len(out) >= limit:
-                break
+                doc_id, fpath, start, end = seg.meta(row)
+                out.append((Chunk(id=doc_id, file_path=Path(fpath),
+                                  start_line=start, end_line=end,
+                                  content=content),
+                            float(scores[oi])))
+                if len(out) >= limit:
+                    return out
         return out
 
     # -- native engine ----------------------------------------------------------

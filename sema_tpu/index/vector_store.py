@@ -95,20 +95,17 @@ def _device_append1(arr: jax.Array, vals: jax.Array,
 @partial(jax.jit, donate_argnums=0)
 def _quantize_rows_device(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Symmetric per-row int8 ON DEVICE: (N, d) bf16 → (int8 (N, d),
-    f32 scales (N,)). Matches ops/quant.quantize_rows to within 1
-    quantum (XLA may lower the division as a reciprocal multiply,
-    flipping rare round-half boundaries); the host version remains the
-    test oracle. Moving this on-device removes an O(store) single-core numpy
-    pass from every int8 bucket build (a 10M×1024 store is ~40 GB of
-    host f32 math otherwise) and keeps the upload at bf16 width; under a
-    mesh the row-wise map partitions over the index axis with no
-    collectives. The bf16 input buffer is donated — XLA reuses it
-    in place for the transient."""
-    xf = x.astype(jnp.float32)
-    scales = jnp.max(jnp.abs(xf), axis=1) / 127.0
-    safe = jnp.where(scales > 0, scales, 1.0)
-    q = jnp.clip(jnp.round(xf / safe[:, None]), -127, 127).astype(jnp.int8)
-    return q, scales
+    f32 scales (N,)). The scheme is ops/quant.quantize_query applied to
+    store rows (ONE device implementation of the formula; the host
+    quantize_rows remains the test oracle — device output matches it to
+    within 1 quantum, XLA reciprocal-multiply rounding). Moving this
+    on-device removes an O(store) single-core numpy pass from every
+    int8 bucket build (a 10M×1024 store is ~40 GB of host f32 math
+    otherwise) and keeps the upload at bf16 width; under a mesh the
+    row-wise map partitions over the index axis with no collectives.
+    The bf16 input buffer is donated — XLA reuses it in place."""
+    from sema_tpu.ops.quant import quantize_query
+    return quantize_query(x.astype(jnp.float32))
 
 
 

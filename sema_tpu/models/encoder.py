@@ -295,11 +295,17 @@ class Encoder:
                     held.append((emb, np.asarray([soff + i for i in chunk])))
                     held_rows += rows
                     submitted += len(chunk)
-                    if progress is not None:
+                    # dispatch progress, capped below n: (n, n) is only
+                    # reported AFTER the final drain, so 100% still means
+                    # "results fetched", not "work enqueued" (the final
+                    # bulk drain can take seconds on slow transports)
+                    if progress is not None and submitted < n:
                         progress(submitted, n)
                     if held_rows * row_bytes >= hold_bytes:
                         drain()
         drain()
+        if progress is not None:
+            progress(n, n)
         return out
 
     def encode_query(self, text: str) -> np.ndarray:
