@@ -152,8 +152,22 @@ def test_differential_fuzz(tmp_path, seed):
                 engines[i] = (name, cls(tmp_path / name))
         else:
             q = " ".join(rng.sample(WORDS, rng.randint(1, 3)))
-            if rng.random() < 0.2:
-                q += f' "{rng.choice(WORDS)} {rng.choice(WORDS)}"'
+            r = rng.random()
+            if r < 0.15:
+                # random phrase: usually a positional MISS
+                q += (' "' + " ".join(rng.choice(WORDS)
+                                      for _ in range(rng.randint(2, 3)))
+                      + '"')
+            elif r < 0.3 and oracle.live():
+                # phrase lifted from a live doc: positional HIT path
+                # (random pairs almost never co-occur adjacently)
+                words = toks(rng.choice(oracle.live())[2])
+                if len(words) >= 2:
+                    j = rng.randint(0, len(words) - 2)
+                    ln = min(rng.randint(2, 3), len(words) - j)
+                    q += ' "' + " ".join(words[j:j + ln]) + '"'
+                if rng.random() < 0.3:
+                    q += f' "{rng.choice(WORDS)} {rng.choice(WORDS)}"'
             check(q, rng.choice((3, 10, 50)))
 
         if step % 9 == 0:
