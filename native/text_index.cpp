@@ -159,7 +159,10 @@ int build_segment(const uint8_t* blob, uint64_t blob_len, const char* path) {
         std::vector<std::pair<uint32_t, uint32_t>> entries;  // (doc, tf)
         std::vector<uint32_t> pos;  // token positions, run per entry = tf
     };
-    std::map<std::string, PostList> postings;
+    // hash map during the build (O(1) per token vs O(log T) string
+    // compares in a std::map); the format's bytewise term order is
+    // imposed once by sorting the key list at the end
+    std::unordered_map<std::string, PostList> postings;
     std::vector<FileRun> runs;
     std::string prev_path;
     uint64_t moff = 0, coff = 0, total_len = 0;
@@ -175,13 +178,17 @@ int build_segment(const uint8_t* blob, uint64_t blob_len, const char* path) {
         auto toks = tokenize(body);
         put_u32(doc_len, (uint32_t)toks.size());
         total_len += toks.size();
-        std::unordered_map<std::string, std::vector<uint32_t>> occ;
-        for (uint32_t p = 0; p < (uint32_t)toks.size(); p++)
-            occ[toks[p]].push_back(p);
-        for (auto& [term, plist] : occ) {
-            auto& pl = postings[term];
-            pl.entries.emplace_back(i, (uint32_t)plist.size());
-            pl.pos.insert(pl.pos.end(), plist.begin(), plist.end());
+        // append (pos) runs straight into the term's PostList: a new
+        // doc for a term opens a fresh (doc, tf=0) entry; repeats bump
+        // the tf and push the position — no per-doc side map, and
+        // positions stay grouped per (term, doc) in ascending order
+        // because tokens are scanned in order
+        for (uint32_t p = 0; p < (uint32_t)toks.size(); p++) {
+            auto& pl = postings[toks[p]];
+            if (pl.entries.empty() || pl.entries.back().first != i)
+                pl.entries.emplace_back(i, 0u);
+            pl.entries.back().second++;
+            pl.pos.push_back(p);
         }
 
         put_u32(meta, (uint32_t)start);
@@ -211,15 +218,24 @@ int build_segment(const uint8_t* blob, uint64_t blob_len, const char* path) {
     }
 
     // postings doc ids are ascending per term by construction (docs are
-    // processed in order); std::map keys are bytewise-sorted — the
-    // format's term order
+    // processed in order); the format's term order (bytewise) is
+    // imposed here by sorting the key list once
+    std::vector<const std::string*> sorted_terms;
+    sorted_terms.reserve(postings.size());
+    for (auto& kv : postings) sorted_terms.push_back(&kv.first);
+    std::sort(sorted_terms.begin(), sorted_terms.end(),
+              [](const std::string* a, const std::string* b) {
+                  return *a < *b;
+              });
     std::string term_idx, terms, post_idx, post_ids, post_tfs;
     std::string pos_term_idx, pos_blob;
     uint64_t toff = 0, pcount = 0, poscount = 0;
     put_u64(term_idx, 0);
     put_u64(post_idx, 0);
     put_u64(pos_term_idx, 0);
-    for (auto& [term, plist] : postings) {
+    for (const std::string* tp : sorted_terms) {
+        const std::string& term = *tp;
+        const PostList& plist = postings[term];
         terms += term;
         toff += term.size();
         put_u64(term_idx, toff);
