@@ -1,4 +1,4 @@
-// Native BM25 full-text engine over disk-resident v2 segments
+// Native BM25 full-text engine over disk-resident v2/v3 segments
 // (≙ tantivy in the reference, src/storage/text_indexer.rs: immutable
 // mmap'd segments, content left on disk and read per hit).
 //
@@ -99,7 +99,7 @@ std::vector<std::string> tokenize(const std::string& text) {
 
 constexpr double K1 = 1.2, B = 0.75;
 
-// -- v2 segment format --------------------------------------------------------
+// -- v2/v3 segment format --------------------------------------------------------
 
 constexpr uint32_t kMagic = 0x32544D53;   // "SMT2" (shared by v2 and v3)
 constexpr uint32_t kVersion = 3;

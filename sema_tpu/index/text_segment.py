@@ -221,7 +221,7 @@ _FILES_DT = np.dtype([("hash", "<u8"), ("start", "<u4"), ("count", "<u4")])
 
 
 class Segment:
-    """mmap-backed reader over one v2 segment + its ``.del`` sidecar.
+    """mmap-backed reader over one v2/v3 segment + its ``.del`` sidecar.
 
     RAM held: descriptor fields and (only when tombstones exist) the
     delete bitmap, n_docs/8 bytes. Everything else is views into the

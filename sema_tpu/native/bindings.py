@@ -146,9 +146,9 @@ def _pack_docs(docs) -> bytes:
 
 
 def tseg_build(docs, path: str) -> None:
-    """Tokenize a doc batch in C++ and write one immutable v2 segment
-    (format: sema_tpu/index/text_segment.py). docs: iterable of
-    (id, path, start_line, end_line, content)."""
+    """Tokenize a doc batch in C++ and write one immutable v3 segment
+    (format incl. positional postings: sema_tpu/index/text_segment.py).
+    docs: iterable of (id, path, start_line, end_line, content)."""
     blob = _pack_docs(docs)
     rc = _lib.sema_tseg_build(blob, len(blob), str(path).encode())
     if rc != 0:
@@ -170,7 +170,7 @@ def tseg_close(handle: int) -> None:
 
 def tseg_search(segments, query: str, limit: int, avg_len: float,
                 n_live: int):
-    """BM25 search over v2 segments in C++. ``segments``: iterables of
+    """BM25 search over v2/v3 segments in C++. ``segments``: iterables of
     (handle from tseg_open, global_base, del_bitmap_bytes — empty when
     nothing is deleted). Returns (id, path, start, end, content, score)
     tuples."""
