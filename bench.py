@@ -437,6 +437,44 @@ def run(config_name: str = "minilm-1m") -> int:
         ladder["serve_rows"] = serve_rows
         assert serve["errors"] == 0 and serve["mismatches"] == 0, serve
 
+        # --- text index rung (host engine, disk-resident v3 segments):
+        # build rate + BM25 + positional phrase hit/miss (phrase-miss is
+        # the adversarial case content verification made O(corpus))
+        print("# stage: text index 131k docs", file=sys.stderr, flush=True)
+        import shutil
+        import tempfile
+        from sema_tpu.index.text_index import make_text_index
+        from sema_tpu.types import Chunk as _Chunk
+        from pathlib import Path as _Path
+        tdir = tempfile.mkdtemp(prefix="sema-bench-text-")
+        tix = make_text_index(tdir)
+        tdocs = 131_072
+        _words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                  "kappa lambda mu nu xi omicron pi rho sigma tau "
+                  "upsilon").split()
+        t0 = time.perf_counter()
+        for b0 in range(0, tdocs, 8192):
+            batch = []
+            for i in range(b0, b0 + 8192):
+                w = " ".join(_words[(i + j) % 20] for j in range(8))
+                p = f"src/f{i // 64:05d}.py"
+                batch.append(_Chunk(
+                    id=f"{p}:{i % 64}", file_path=_Path(p),
+                    start_line=i % 64, end_line=i % 64 + 1,
+                    content=f"chunk {i} body {w} tag{i % 977}"))
+            tix.index_chunks(batch)
+        ladder["text_build_docs_per_sec"] = round(
+            tdocs / (time.perf_counter() - t0), 1)
+        for qname, q in (("text_bm25_common_term_ms", "alpha tag123"),
+                         ("text_phrase_hit_ms", '"beta gamma"'),
+                         ("text_phrase_miss_ms", '"gamma beta"')):
+            t0 = time.perf_counter()
+            tix.search(q, 10)
+            ladder[qname] = round((time.perf_counter() - t0) * 1e3, 2)
+        ladder["text_engine"] = type(tix).__name__
+        tix.close()
+        shutil.rmtree(tdir, ignore_errors=True)
+
     target_p50_ms = 10.0  # BASELINE.json north-star serving target
     # a single query can never cost more than a full batch; when the
     # chained single-query measurement degraded to the noisy
