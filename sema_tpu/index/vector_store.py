@@ -834,15 +834,26 @@ class VectorStore:
             else:
                 inner = partial(local_fn, k=k_eff)
 
-            # pack (scores f32, ids i32-bitcast) into ONE (Q, 2k) array
-            # inside the jit: each bucket result then costs a single
-            # device→host fetch instead of two. On tunneled hosts a fetch
-            # is ~27 ms of pump RTT — with several LSM buckets this
-            # halved the serving batch p50 (round-3 profiling, PERF.md)
+            # pack (scores, ids) into ONE (Q, 2k) array inside the jit:
+            # each bucket result then costs a single device→host fetch
+            # instead of two. On tunneled hosts a fetch is ~27 ms of pump
+            # RTT — with several LSM buckets this halved the serving
+            # batch p50 (round-3 profiling, PERF.md).
+            #
+            # The pack lives in the INTEGER domain (scores bitcast
+            # f32→i32, ids left as i32), NOT ids bitcast to f32: an i32
+            # id below 2^23 reinterprets as an f32 DENORMAL, and when XLA
+            # fuses the bitcast into the selection fusion the TPU VPU
+            # flushes those to zero — every id under 8.4M silently became
+            # 0 on the XLA path (scores were right, every hit mapped to
+            # row 0; caught by an end-to-end verify on a 6-row store,
+            # round 3). Integer ops have no denormals, so the i32-domain
+            # pack is a pure bit-preserving copy; scores unpack on host
+            # with .view(np.float32).
             def packed(store, queries, valid):
                 s, i = inner(store, queries, valid)
                 return jnp.concatenate(
-                    [s, jax.lax.bitcast_convert_type(i, jnp.float32)],
+                    [jax.lax.bitcast_convert_type(s, jnp.int32), i],
                     axis=1)
             return jax.jit(packed)
 
@@ -910,10 +921,9 @@ class VectorStore:
         all_scores = []
         all_idx = []
         for b, packed, k_scan in pending:  # dispatched; now sync
-            buf = np.asarray(packed)
-            all_scores.append(buf[:, :k_scan])
-            all_idx.append(buf[:, k_scan:].view(np.int32)
-                           + b["row_offset"])
+            buf = np.asarray(packed)       # (Q, 2k) i32 — see _scan_fn
+            all_scores.append(buf[:, :k_scan].view(np.float32))
+            all_idx.append(buf[:, k_scan:] + b["row_offset"])
         scores = np.concatenate(all_scores, axis=1)
         idx = np.concatenate(all_idx, axis=1)
         return self._merge_candidates(scores, idx, query_vecs, k,
