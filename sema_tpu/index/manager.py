@@ -108,9 +108,21 @@ class IndexManager:
                 kwargs = {}
                 try:
                     import inspect
-                    if "out_dtype" in inspect.signature(
-                            self.encoder.encode_texts).parameters:
+                    params = inspect.signature(
+                        self.encoder.encode_texts).parameters
+                    if "out_dtype" in params:
                         kwargs["out_dtype"] = self.vector_store.np_dtype
+                    # serve-time re-index: when the store already holds a
+                    # live device copy (it has served searches), keep the
+                    # embeddings ON DEVICE — add_chunks' arena-tail append
+                    # consumes them directly, skipping the fetch→re-upload
+                    # double crossing (the disk copy still writes from an
+                    # async host copy before the manifest commits)
+                    if ("return_device" in params
+                            and hasattr(self.vector_store,
+                                        "device_copy_live")
+                            and self.vector_store.device_copy_live()):
+                        kwargs["return_device"] = True
                 except (TypeError, ValueError):
                     pass
                 embeddings = self.encoder.encode_texts(

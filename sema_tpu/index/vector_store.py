@@ -255,6 +255,11 @@ class VectorStore:
         self.file_hashes: Dict[str, str] = {}
         self._buckets = None          # list of device bucket dicts
         self._valid_dirty = False     # tombstones pending mask re-upload
+        # device-resident rows handed to add_chunks while a device copy is
+        # live (serve-time re-index): segment name → jax.Array, consumed by
+        # the next bucket build so the arena extension skips the
+        # host→device re-upload. Bounded: every _build_device drains it.
+        self._pending_dev: Dict[str, "jax.Array"] = {}
         self._topk_fns: Dict[Tuple[int, int, str], callable] = {}
         # bounded row→chunk cache: serving materializes the same hot rows
         # over and over (rows are immutable once written; compaction only
@@ -340,11 +345,49 @@ class VectorStore:
     def live_rows(self) -> int:
         return sum(s.rows - len(s.deleted) for s in self.segments)
 
+    def device_copy_live(self) -> bool:
+        """True when a device copy of the store is resident (i.e. it has
+        served a search) and single-device — the regime where handing
+        :meth:`add_chunks` device-resident embeddings skips the
+        host→device re-upload of the appended rows (the IndexManager uses
+        this to pick the encoder's output placement)."""
+        with self._lock:
+            return self._buckets is not None and self.mesh is None
+
     def add_chunks(self, chunks: Sequence[Chunk],
-                   embeddings: np.ndarray) -> None:
-        """Append one segment holding ``chunks`` (ordered) + their vectors."""
+                   embeddings) -> None:
+        """Append one segment holding ``chunks`` (ordered) + their vectors.
+
+        ``embeddings`` is a host ``(n, dim)`` array, a device-resident
+        ``jax.Array``, or an ``Encoder.EncodedBatch``-like pair carrying
+        both placements (serve-time re-index fast path): the device rows
+        are kept for the next bucket build — the arena-tail extension
+        then consumes them directly instead of re-uploading from the
+        fresh memmap — while the disk segment writes from the host copy
+        (the pair's, already fetched with overlapped per-batch DMA; a
+        bare device array pays one fetch here). Durability is unchanged:
+        the manifest commits only after the segment files are on disk.
+        The store takes OWNERSHIP of device rows passed here (an int8
+        store's quantization donates the buffer to XLA) — callers must
+        not reuse them afterwards."""
         if len(chunks) == 0:
             return
+        dev_rows = None
+        if hasattr(embeddings, "host") and hasattr(embeddings, "device"):
+            dev_rows = jnp.asarray(embeddings.device)
+            if dev_rows.dtype != np.dtype(self.np_dtype):
+                dev_rows = dev_rows.astype(self.np_dtype)
+            embeddings = embeddings.host
+        elif not isinstance(embeddings, np.ndarray):
+            dev = jnp.asarray(embeddings)
+            if dev.dtype != np.dtype(self.np_dtype):
+                dev = dev.astype(self.np_dtype)   # cast on device
+            try:
+                dev.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — committed/sharded arrays
+                pass
+            dev_rows = dev
+            embeddings = np.asarray(dev)          # completes in-flight DMA
         assert embeddings.shape == (len(chunks), self.dim), embeddings.shape
         meta = [{
             "id": c.id, "file_path": str(c.file_path),
@@ -357,6 +400,13 @@ class VectorStore:
             name = f"seg-{len(self.segments):06d}-{self.total_rows:09d}"
             self.segments.append(_Segment.write(
                 self.dir, name, self.dim, self.np_dtype, embeddings, meta))
+            if dev_rows is not None and self._buckets is not None \
+                    and self.mesh is None:
+                # only stash while a device copy is live: a pure index
+                # build (no searches yet) uploads lazily from the memmaps
+                # at first search, and stashing would pin the whole
+                # corpus in HBM for nothing
+                self._pending_dev[name] = dev_rows
             self._starts = None
             self._save_manifest()
             self._invalidate_device(tail_only=True)
@@ -433,6 +483,7 @@ class VectorStore:
         for p in old_files:
             if p.exists() and p not in keep_paths:
                 p.unlink()
+        self._pending_dev.clear()   # compaction renamed every row
         self._invalidate_device()
 
     # -- device placement -------------------------------------------------------
@@ -561,26 +612,45 @@ class VectorStore:
 
         Returns a NEW bucket dict; the input bucket and its arrays are
         left untouched so in-flight searches holding the old snapshot
-        keep valid device buffers."""
-        vals = np.zeros((rows_add, self.dim), dtype=self.np_dtype)
+        keep valid device buffers.
+
+        Segments whose rows are still device-resident (``_pending_dev``,
+        stashed by :meth:`add_chunks` during serve-time re-index) feed the
+        append directly — no memmap read, no host→device upload of the new
+        rows. The validity mask is always host-built (it must reflect any
+        tombstones that landed since the append)."""
+        segs = self.segments[seg_start:seg_end]
+        pend = [self._pending_dev.get(s.name) for s in segs]
         valid = np.zeros((rows_add,), dtype=bool)
         off = 0
-        for seg in self.segments[seg_start:seg_end]:
-            vals[off:off + seg.rows] = seg.vectors
+        for seg in segs:
             v = np.ones((seg.rows,), dtype=bool)
             if seg.deleted:
                 v[sorted(seg.deleted)] = False
             valid[off:off + seg.rows] = v
             off += seg.rows
+        if all(p is not None for p in pend):
+            vals_dev = (pend[0] if len(pend) == 1
+                        else jnp.concatenate(pend, axis=0))
+        else:
+            vals = np.zeros((rows_add, self.dim), dtype=self.np_dtype)
+            off = 0
+            for seg in segs:
+                vals[off:off + seg.rows] = seg.vectors
+                off += seg.rows
+            vals_dev = jnp.asarray(vals)
+        for seg in segs:
+            self._pending_dev.pop(seg.name, None)
         row0 = jnp.int32(bucket["rows"])
         if self.store_dtype == "int8":
-            qvals, scales = _quantize_rows_device(jnp.asarray(vals))
+            qvals, scales = _quantize_rows_device(
+                vals_dev if vals_dev.dtype == jnp.bfloat16
+                else vals_dev.astype(jnp.bfloat16))
             qd, sd = bucket["store"]
             store = (_device_append2(qd, qvals, row0),
                      _device_append1(sd, scales, row0))
         else:
-            store = _device_append2(bucket["store"], jnp.asarray(vals),
-                                    row0)
+            store = _device_append2(bucket["store"], vals_dev, row0)
         new_valid = _device_append1(bucket["valid"], jnp.asarray(valid),
                                     row0)
         rows = bucket["rows"] + rows_add
@@ -699,6 +769,11 @@ class VectorStore:
                     b["all_valid"] = bool(host_valid.all())
         self._buckets = buckets
         self._valid_dirty = False
+        # every segment is covered now: any pending device rows that a
+        # host-path build consumed (fresh/consolidated buckets read the
+        # memmaps) are dead weight — drop them so HBM residency stays
+        # bounded at one append batch
+        self._pending_dev.clear()
 
     def device_buckets(self):
         with self._lock:
@@ -1011,5 +1086,6 @@ class VectorStore:
     def close(self) -> None:
         self.save_file_hashes()
         self._save_manifest()
+        self._pending_dev.clear()
         for seg in self.segments:
             seg.close()

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,14 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
 # corpora take a handful of drains; small ones take exactly one, after
 # all compute has been dispatched. Override: SEMA_TPU_EMBED_HOLD_MB.
 HOLD_MB = 256
+
+
+class EncodedBatch(NamedTuple):
+    """Both placements of one ``encode_texts`` result (see
+    ``return_device=True``): ``host`` for disk persistence, ``device``
+    for the vector store's arena-tail append."""
+    host: np.ndarray
+    device: jax.Array
 
 
 class Encoder:
@@ -197,7 +205,8 @@ class Encoder:
         return self.max_length
 
     def encode_texts(self, texts: Sequence[str], progress=None,
-                     out_dtype=np.float32) -> np.ndarray:
+                     out_dtype=np.float32,
+                     return_device: bool = False) -> np.ndarray:
         """Embed any number of texts; returns (len(texts), dim) arrays of
         ``out_dtype`` (default f32).
 
@@ -230,13 +239,30 @@ class Encoder:
         pipeline and the opt-in device slab — it strictly dominated both
         in the same-process A/B.
 
+        ``return_device=True`` returns an :class:`EncodedBatch` carrying
+        BOTH placements: ``.host`` is the ordinary host array (fetched
+        with the same per-batch overlapped DMA as the default path — the
+        disk segment needs it anyway) and ``.device`` is an in-order
+        ``(n, dim) jax.Array`` assembled by two enqueued device ops. The
+        serve-time re-index path hands the pair to
+        ``VectorStore.add_chunks``: disk writes from ``.host``, the
+        arena-tail append consumes ``.device`` — no re-upload, and no
+        unoverlapped drain either (a device-only variant that skipped the
+        per-batch DMA was A/B'd and LOST: the final fetch serialized
+        behind all compute, docs/PERF.md round-3). The whole output stays
+        HBM-resident until the caller drops it, so this mode is for
+        bounded batches (a changed file's chunks), not million-chunk
+        builds — the IndexManager only selects it when the store reports
+        a live device copy.
+
         ``progress(done, total)`` is called after each batch dispatch
         (feeds the TUI spinner / metrics).
         """
         n = len(texts)
         out_dtype = np.dtype(out_dtype)
         if n == 0:
-            return np.zeros((0, self.spec.dim), dtype=out_dtype)
+            z = np.zeros((0, self.spec.dim), dtype=out_dtype)
+            return EncodedBatch(z, jnp.asarray(z)) if return_device else z
         B = self.batch_size
         out = np.empty((n, self.spec.dim), dtype=out_dtype)
         bucketing = os.environ.get("SEMA_TPU_BUCKETS", "on") != "off"
@@ -247,12 +273,21 @@ class Encoder:
         submitted = 0
         held: list = []   # (device_embeddings, global_row_indices)
         held_rows = 0     # padded rows resident on device (HBM bound)
+        drained = 0       # prefix of `held` already written to `out`
 
         def drain():
-            nonlocal held, held_rows
-            for emb, idxs in held:
+            nonlocal held, held_rows, drained
+            for emb, idxs in held[drained:]:
                 out[idxs] = np.asarray(emb)[:len(idxs)]
-            held = []
+            if return_device:
+                # the device arrays must survive for the final assembly:
+                # keep them resident (HBM residency is the caller's
+                # bounded-batch contract in this mode), just remember how
+                # far the host copy got
+                drained = len(held)
+            else:
+                held = []
+                drained = 0
             held_rows = 0
 
         SB = 8 * B  # super-batch: bucketing granularity
@@ -306,6 +341,16 @@ class Encoder:
         drain()
         if progress is not None:
             progress(n, n)
+        if return_device:
+            # assemble the in-order device array: one concatenate over the
+            # trimmed batch outputs + one gather by the inverse of the
+            # bucketing permutation — two enqueued device ops, no host hop
+            perm = np.concatenate([idxs for _, idxs in held])
+            trimmed = [e[:len(idxs)] for e, idxs in held]
+            cat = (trimmed[0] if len(trimmed) == 1
+                   else jnp.concatenate(trimmed, axis=0))
+            inv = np.argsort(perm)
+            return EncodedBatch(out, cat[jnp.asarray(inv)])
         return out
 
     def encode_query(self, text: str) -> np.ndarray:
