@@ -112,15 +112,20 @@ def test_tp_composes_with_int8(mesh):
 
 
 def test_tp_gte_large_correctness(mesh):
-    """TP=2 on the REAL gte-large architecture (1024 hidden, 16 heads,
-    24 layers) matches single-device — the model class TP exists for
-    (VERDICT r2 weak #6's done-criterion names gte-large). XLA path,
-    tiny batch/seq to keep the virtual-CPU run fast; the fused-kernel
-    and int8 compositions are covered on test-tiny above and their
-    dispatch is architecture-independent."""
+    """TP=2 on the REAL gte-large architecture (1024 hidden, 16 heads)
+    matches single-device — the model class TP exists for (VERDICT r2
+    weak #6's done-criterion names gte-large). XLA path, tiny batch/seq,
+    and the 24-layer stack truncated to 4: the layer params are one
+    stacked pytree scanned by the forward, so TP sharding correctness is
+    per-layer — width/head layout is what the test guards, and 24
+    identical layers only multiply the virtual-CPU runtime (~14 min on a
+    1-core host; 4 layers cover the same code paths in ~1/6th). The
+    fused-kernel and int8 compositions are covered on test-tiny above
+    and their dispatch is architecture-independent."""
     from sema_tpu.parallel.mesh import make_mesh as mk
     spec = get_spec("gte-large")
     params = random_params(spec, seed=5)
+    params["layers"] = jax.tree.map(lambda x: x[:4], params["layers"])
     tok = HashTokenizer(spec.vocab_size)
     mesh2 = mk(shape=[4, 2], axis_names=("data", "model"))
     ref = Encoder(spec, params, tok, batch_size=4,
