@@ -39,7 +39,24 @@ def test_differential_fuzz(tmp_path, seed, monkeypatch):
                     start_line=1, end_line=2, content="c")
               for j in range(n)]
         next_ord += n
-        store.add_chunks(cs, vecs)
+        # randomize the embedding placement: host array, device-resident
+        # jax.Array, or an EncodedBatch-like (host, device) pair — the
+        # serve-time fast path's pending-device machinery must be
+        # indistinguishable from the host path across every bucket
+        # transition this fuzz drives (arena extension, overflow rebuild,
+        # sealing, consolidation, reopen)
+        placement = pyrng.random()
+        if placement < 0.4:
+            store.add_chunks(cs, vecs)
+        elif placement < 0.7:
+            import jax.numpy as jnp
+            store.add_chunks(cs, jnp.asarray(vecs))
+        else:
+            import jax.numpy as jnp
+            from sema_tpu.models.encoder import EncodedBatch
+            store.add_chunks(cs, EncodedBatch(
+                vecs.astype(store.np_dtype),
+                jnp.asarray(vecs, dtype=jnp.bfloat16)))
         for c, v in zip(cs, vecs):
             by_file.setdefault(path, []).append(len(rows))
             rows.append([c.id, v, True])
