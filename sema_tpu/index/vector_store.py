@@ -309,6 +309,20 @@ class VectorStore:
                 self.dir, seg["name"], seg["rows"], self.dim,
                 self.np_dtype, deleted=set(seg.get("deleted", []))))
         self._maybe_compact()
+        self._sweep_orphans()
+
+    def _sweep_orphans(self) -> None:
+        """Unlink segment files the manifest doesn't reference: leftovers
+        of a crash between a segment write and its manifest commit (the
+        manifest IS the commit point — such a segment was never durable),
+        or between a compaction's manifest commit and its unlink pass.
+        Without the sweep those files leak disk forever; with it, load
+        always converges to exactly the committed state. Runs at load
+        only (single-process store, like the reference's LanceDB dir)."""
+        keep = {p.name for s in self.segments for p in s.paths()}
+        for p in self.dir.glob("seg-*"):
+            if p.name not in keep:
+                p.unlink(missing_ok=True)
 
     def _save_manifest(self) -> None:
         _atomic_write_json(self._manifest_path, {

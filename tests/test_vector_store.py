@@ -50,6 +50,33 @@ def test_multiple_segments(tmp_path):
     assert results[0][0].id == "b.txt:10"
 
 
+def test_orphan_segments_swept_at_load(tmp_path):
+    """A crash between a segment write and its manifest commit leaves
+    orphan seg-* files; load must converge to exactly the committed
+    state and reclaim the disk (the manifest is the commit point)."""
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(40)
+    store.add_chunks(cs, vecs)
+    manifest = (store.dir / "manifest.json").read_text()
+    cs2, v2 = chunks_and_vecs(30, path="g.txt", seed=9)
+    store.add_chunks(cs2, v2)
+    store.close()
+    # simulate the crash: the second segment's files are on disk but the
+    # manifest still reflects only the first commit
+    (store.dir / "manifest.json").write_text(manifest)
+    orphans = {p.name for p in store.dir.glob("seg-000001*")}
+    assert orphans  # the uncommitted segment's files exist pre-load
+
+    store2 = make_store(tmp_path)
+    assert store2.total_rows == 40
+    left = {p.name for p in store2.dir.glob("seg-*")}
+    assert not (left & orphans)          # swept
+    # committed data intact, and a fresh append reuses the slot cleanly
+    store2.add_chunks(cs2, v2)
+    assert store2.search(v2[4], k=1)[0][0].id == "g.txt:4"
+    assert store2.search(vecs[7], k=1)[0][0].id == "f.txt:7"
+
+
 def test_persistence_roundtrip(tmp_path):
     store = make_store(tmp_path)
     cs, vecs = chunks_and_vecs(50)
