@@ -322,8 +322,19 @@ def cmd_doctor(args) -> int:
     print(f"weights          : {encoder.weights_source}")
     print(f"tokenizer        : {encoder.tokenizer_source}")
 
+    # device numeric self-test: planted-winner scans (all three backends'
+    # real store/search paths) + encoder-vs-XLA-f32 cosine, run on the
+    # ATTACHED backend — CPU-green suites can't see hardware-only fusion
+    # bugs (sema_tpu/selftest.py docstring has the round-3 case study)
+    from sema_tpu.selftest import run_device_selftest
+    selftest_ok = True
+    for name, ok, detail in run_device_selftest(
+            config.model, dim=encoder.spec.dim):
+        selftest_ok &= ok
+        print(f"device {name:<15}: {'ok' if ok else 'FAIL'} — {detail}")
+
     if args.skip_quality:
-        return 0
+        return 0 if selftest_ok else 1
     from sema_tpu.quality import run_quality_gate
     report = run_quality_gate(encoder)
     if not report.ran:
@@ -340,8 +351,9 @@ def cmd_doctor(args) -> int:
     else:
         print("fixture vectors  : no fixture file (generate with "
               "tools/fetch_weights.py --make-fixtures)")
-    print(f"RESULT           : {'PASS' if report.passed else 'FAIL'}")
-    return 0 if report.passed else 1
+    passed = report.passed and selftest_ok
+    print(f"RESULT           : {'PASS' if passed else 'FAIL'}")
+    return 0 if passed else 1
 
 
 def cmd_serve(args) -> int:

@@ -1,0 +1,121 @@
+"""Device numeric self-test: end-to-end checks of the scan and encoder
+paths on the ATTACHED jax backend.
+
+A CPU-green test suite cannot see hardware-only failures: XLA fuses
+differently per backend, and e.g. the TPU VPU flushes f32 denormals
+inside arithmetic fusions — which silently zeroed every packed result id
+below 2^23 on the XLA scan path (scores stayed correct, so ranking
+looked plausible) until an on-device end-to-end check caught it in
+round 3. ``sema-tpu doctor`` runs these probes on whatever backend the
+session will actually use, through the REAL store/search code paths:
+
+- ``scan-ids``: a small store (XLA/hier path — the one the flush bug
+  hit) with planted self-match winners; every probe must return its own
+  row id. Ids < 2^23 are exactly the denormal-dangerous range.
+- ``scan-ids-pallas``: the same gate with the fused Pallas kernel forced
+  (tile-padded store; interpret mode off-TPU).
+- ``scan-int8``: the quantized scan + full-precision rescore path.
+- ``encoder-parity``: the configured encoder (fused kernels, bf16, maybe
+  int8) against a same-process XLA f32 reference forward — cosine must
+  be ≥ 0.999 (matches the weight-porting gate in tests; meaningful with
+  random init too, it checks numerics, not semantics).
+
+Each check returns ``(name, ok, detail)``; doctor prints one line per
+check and fails on any miss. (≙ nothing in the reference — it has no
+self-test; this is the operational answer to running one binary across
+CPU/TPU backends.)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from contextlib import contextmanager
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+Check = Tuple[str, bool, str]
+
+
+@contextmanager
+def _env(key: str, value: Optional[str]):
+    old = os.environ.get(key)
+    try:
+        if value is None:
+            os.environ.pop(key, None)
+        else:
+            os.environ[key] = value
+        yield
+    finally:
+        if old is None:
+            os.environ.pop(key, None)
+        else:
+            os.environ[key] = old
+
+
+def _scan_check(name: str, dim: int, store_dtype: str,
+                backend: Optional[str], rows: int) -> Check:
+    from sema_tpu.index.vector_store import VectorStore
+    from sema_tpu.types import Chunk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((rows, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    chunks = [Chunk(id=f"r{i}", file_path=Path("selftest.txt"),
+                    start_line=1, end_line=1, content="")
+              for i in range(rows)]
+    probes = [0, 1, rows // 3, rows - 2, rows - 1]
+    with tempfile.TemporaryDirectory() as td, \
+            _env("SEMA_TPU_SCAN_BACKEND", backend):
+        store = VectorStore(td, dim=dim, model="selftest",
+                            store_dtype=store_dtype)
+        store.add_chunks(chunks, vecs)
+        misses = []
+        for p in probes:
+            res = store.search(vecs[p], k=1)
+            got = res[0][0].id if res else "<none>"
+            if got != f"r{p}":
+                misses.append(f"row {p} -> {got}")
+        store.close()
+    if misses:
+        return (name, False, "planted winners missed: " + "; ".join(misses))
+    return (name, True, f"{len(probes)} planted winners exact "
+                        f"({rows} rows, {store_dtype})")
+
+
+def _encoder_parity_check(model_cfg) -> Check:
+    """Configured encoder vs a same-process XLA f32 reference forward."""
+    from dataclasses import replace
+
+    from sema_tpu.models import Encoder
+
+    texts = [f"self test document number {i} with a few more words "
+             f"to cross one vector register" for i in range(8)]
+    enc = Encoder.from_config(model_cfg)
+    with _env("SEMA_TPU_ATTN", "xla"), _env("SEMA_TPU_ENCODER_QUANT",
+                                            "none"):
+        ref = Encoder.from_config(
+            replace(model_cfg, dtype="float32", quant="none"))
+    a = enc.encode_texts(texts)
+    b = ref.encode_texts(texts)
+    cos = float(np.min(np.sum(a * b, axis=1)))
+    ok = cos >= 0.999
+    return ("encoder-parity", ok,
+            f"min cosine {cos:.6f} vs XLA f32 (gate >= 0.999; "
+            f"{enc.spec.name}, quant={enc.quant})")
+
+
+def run_device_selftest(model_cfg=None, dim: int = 384,
+                        with_encoder: bool = True) -> List[Check]:
+    checks = [
+        # 300 rows pads to 128-aligned -> the XLA/hier scan path
+        _scan_check("scan-ids", dim, "bfloat16", None, rows=300),
+        # pallas pin pads the store to the kernel tile (2048)
+        _scan_check("scan-ids-pallas", dim, "bfloat16", "pallas", rows=300),
+        _scan_check("scan-int8", dim, "int8", None, rows=300),
+    ]
+    if with_encoder and model_cfg is not None:
+        checks.append(_encoder_parity_check(model_cfg))
+    return checks
