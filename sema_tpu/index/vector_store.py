@@ -286,6 +286,9 @@ class VectorStore:
         if self._hashes_path.exists():
             self.file_hashes = json.loads(self._hashes_path.read_text())
         if not self._manifest_path.exists():
+            # no manifest = nothing ever committed; a crash before the
+            # first commit can still have left segment files behind
+            self._sweep_orphans()
             return
         m = json.loads(self._manifest_path.read_text())
         if m.get("model") != self.model or m.get("dim") != self.dim:
@@ -389,6 +392,9 @@ class VectorStore:
         dev_rows = None
         if hasattr(embeddings, "host") and hasattr(embeddings, "device"):
             dev_rows = jnp.asarray(embeddings.device)
+            assert dev_rows.shape == (len(chunks), self.dim), \
+                dev_rows.shape   # a mismatched device copy would write
+            #                      past its arena slot silently
             if dev_rows.dtype != np.dtype(self.np_dtype):
                 dev_rows = dev_rows.astype(self.np_dtype)
             embeddings = embeddings.host
