@@ -84,10 +84,19 @@ def test_streaming_reindex_while_serving(store):
     errors = []
 
     def mutate():
+        # alternate embedding placements: the serve-time fast path hands
+        # add_chunks an EncodedBatch pair (device rows consumed by the
+        # arena under the SAME lock the concurrent searches contend on)
+        import jax.numpy as jnp
+        from sema_tpu.models.encoder import EncodedBatch
         i = 0
         while not stop.is_set():
             cs, vecs = chunks_and_vecs(20, path=f"new{i}.txt", seed=100 + i)
-            store.add_chunks(cs, vecs)
+            if i % 2:
+                store.add_chunks(cs, EncodedBatch(
+                    vecs, jnp.asarray(vecs, dtype=jnp.bfloat16)))
+            else:
+                store.add_chunks(cs, vecs)
             store.remove_file_chunks(Path(f"new{i - 1}.txt"))
             i += 1
 
