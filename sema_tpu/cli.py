@@ -329,7 +329,7 @@ def cmd_doctor(args) -> int:
     from sema_tpu.selftest import run_device_selftest
     selftest_ok = True
     for name, ok, detail in run_device_selftest(
-            config.model, dim=encoder.spec.dim):
+            config.model, dim=encoder.spec.dim, encoder=encoder):
         selftest_ok &= ok
         print(f"device {name:<15}: {'ok' if ok else 'FAIL'} — {detail}")
 

@@ -50,6 +50,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+import time
 from functools import partial
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -320,12 +321,25 @@ class VectorStore:
         manifest IS the commit point — such a segment was never durable),
         or between a compaction's manifest commit and its unlink pass.
         Without the sweep those files leak disk forever; with it, load
-        always converges to exactly the committed state. Runs at load
-        only (single-process store, like the reference's LanceDB dir)."""
+        converges to the committed state.
+
+        Age-gated to files >1 h old: the store is single-mutator by
+        design (like the reference's LanceDB dir), but a second process
+        merely OPENING the index (e.g. `serve` starting while `index` is
+        mid-append) must not destroy the writer's not-yet-committed
+        segment — a fresh uncommitted file is either an in-flight append
+        (will commit within seconds) or a crash leftover that the next
+        load after the gate reclaims anyway."""
         keep = {p.name for s in self.segments for p in s.paths()}
+        cutoff = time.time() - 3600
         for p in self.dir.glob("seg-*"):
-            if p.name not in keep:
-                p.unlink(missing_ok=True)
+            if p.name in keep:
+                continue
+            try:
+                if p.stat().st_mtime < cutoff:
+                    p.unlink(missing_ok=True)
+            except OSError:
+                pass
 
     def _save_manifest(self) -> None:
         _atomic_write_json(self._manifest_path, {
@@ -367,9 +381,13 @@ class VectorStore:
         served a search) and single-device — the regime where handing
         :meth:`add_chunks` device-resident embeddings skips the
         host→device re-upload of the appended rows (the IndexManager uses
-        this to pick the encoder's output placement)."""
+        this to pick the encoder's output placement). Requires a
+        NON-EMPTY bucket list: a search on an empty store leaves
+        ``_buckets == []``, and treating that as live would route the
+        very first full-corpus build through the HBM-resident
+        return_device path."""
         with self._lock:
-            return self._buckets is not None and self.mesh is None
+            return bool(self._buckets) and self.mesh is None
 
     def add_chunks(self, chunks: Sequence[Chunk],
                    embeddings) -> None:
@@ -392,9 +410,13 @@ class VectorStore:
         dev_rows = None
         if hasattr(embeddings, "host") and hasattr(embeddings, "device"):
             dev_rows = jnp.asarray(embeddings.device)
-            assert dev_rows.shape == (len(chunks), self.dim), \
-                dev_rows.shape   # a mismatched device copy would write
-            #                      past its arena slot silently
+            if dev_rows.shape != (len(chunks), self.dim):
+                # a mismatched device copy would dynamic_update_slice
+                # past its arena slot silently — hard error, and not an
+                # assert: that corruption must not return under python -O
+                raise ValueError(
+                    f"device rows {dev_rows.shape} != "
+                    f"({len(chunks)}, {self.dim})")
             if dev_rows.dtype != np.dtype(self.np_dtype):
                 dev_rows = dev_rows.astype(self.np_dtype)
             embeddings = embeddings.host
@@ -420,12 +442,13 @@ class VectorStore:
             name = f"seg-{len(self.segments):06d}-{self.total_rows:09d}"
             self.segments.append(_Segment.write(
                 self.dir, name, self.dim, self.np_dtype, embeddings, meta))
-            if dev_rows is not None and self._buckets is not None \
+            if dev_rows is not None and self._buckets \
                     and self.mesh is None:
-                # only stash while a device copy is live: a pure index
-                # build (no searches yet) uploads lazily from the memmaps
-                # at first search, and stashing would pin the whole
-                # corpus in HBM for nothing
+                # only stash while a NON-EMPTY device copy is live: a
+                # pure index build (no searches yet, or searched-while-
+                # empty leaving _buckets == []) uploads lazily from the
+                # memmaps at first search, and stashing would pin the
+                # whole corpus in HBM for nothing
                 self._pending_dev[name] = dev_rows
             self._starts = None
             self._save_manifest()
@@ -641,14 +664,7 @@ class VectorStore:
         tombstones that landed since the append)."""
         segs = self.segments[seg_start:seg_end]
         pend = [self._pending_dev.get(s.name) for s in segs]
-        valid = np.zeros((rows_add,), dtype=bool)
-        off = 0
-        for seg in segs:
-            v = np.ones((seg.rows,), dtype=bool)
-            if seg.deleted:
-                v[sorted(seg.deleted)] = False
-            valid[off:off + seg.rows] = v
-            off += seg.rows
+        valid = self._bucket_valid_host((seg_start, seg_end), rows_add)
         if all(p is not None for p in pend):
             vals_dev = (pend[0] if len(pend) == 1
                         else jnp.concatenate(pend, axis=0))

@@ -85,15 +85,19 @@ def _scan_check(name: str, dim: int, store_dtype: str,
                         f"({rows} rows, {store_dtype})")
 
 
-def _encoder_parity_check(model_cfg) -> Check:
-    """Configured encoder vs a same-process XLA f32 reference forward."""
+def _encoder_parity_check(model_cfg, enc=None) -> Check:
+    """Configured encoder vs a same-process XLA f32 reference forward.
+    Pass ``enc`` to reuse an already-constructed encoder (doctor holds
+    one — re-loading weights costs seconds and ~GB of I/O for
+    gte-large-class models); only the f32 reference is built here."""
     from dataclasses import replace
 
     from sema_tpu.models import Encoder
 
     texts = [f"self test document number {i} with a few more words "
              f"to cross one vector register" for i in range(8)]
-    enc = Encoder.from_config(model_cfg)
+    if enc is None:
+        enc = Encoder.from_config(model_cfg)
     with _env("SEMA_TPU_ATTN", "xla"), _env("SEMA_TPU_ENCODER_QUANT",
                                             "none"):
         ref = Encoder.from_config(
@@ -108,7 +112,8 @@ def _encoder_parity_check(model_cfg) -> Check:
 
 
 def run_device_selftest(model_cfg=None, dim: int = 384,
-                        with_encoder: bool = True) -> List[Check]:
+                        with_encoder: bool = True,
+                        encoder=None) -> List[Check]:
     checks = [
         # 300 rows pads to 128-aligned -> the XLA/hier scan path
         _scan_check("scan-ids", dim, "bfloat16", None, rows=300),
@@ -117,5 +122,5 @@ def run_device_selftest(model_cfg=None, dim: int = 384,
         _scan_check("scan-int8", dim, "int8", None, rows=300),
     ]
     if with_encoder and model_cfg is not None:
-        checks.append(_encoder_parity_check(model_cfg))
+        checks.append(_encoder_parity_check(model_cfg, enc=encoder))
     return checks

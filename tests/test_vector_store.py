@@ -66,6 +66,16 @@ def test_orphan_segments_swept_at_load(tmp_path):
     (store.dir / "manifest.json").write_text(manifest)
     orphans = {p.name for p in store.dir.glob("seg-000001*")}
     assert orphans  # the uncommitted segment's files exist pre-load
+    # the sweep is age-gated: a FRESH uncommitted file may be a
+    # concurrent writer's in-flight append and must survive a reader's
+    # load untouched
+    reader = make_store(tmp_path)
+    reader.close()
+    assert {p.name for p in store.dir.glob("seg-000001*")} == orphans
+    # age the leftovers past the gate — now they are crash debris
+    import os as _os
+    for p in store.dir.glob("seg-000001*"):
+        _os.utime(p, (1, 1))
 
     store2 = make_store(tmp_path)
     assert store2.total_rows == 40
