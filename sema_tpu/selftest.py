@@ -56,7 +56,8 @@ def _env(key: str, value: Optional[str]):
 
 
 def _scan_check(name: str, dim: int, store_dtype: str,
-                backend: Optional[str], rows: int) -> Check:
+                backend: Optional[str], rows: int,
+                mesh: bool = False) -> Check:
     from sema_tpu.index.vector_store import VectorStore
     from sema_tpu.types import Chunk
 
@@ -67,10 +68,20 @@ def _scan_check(name: str, dim: int, store_dtype: str,
                     start_line=1, end_line=1, content="")
               for i in range(rows)]
     probes = [0, 1, rows // 3, rows - 2, rows - 1]
+    mesh_obj = None
+    if mesh:
+        # a mesh over ALL local devices (often just 1): the shard_map
+        # all-gather merge program — the multi-chip code path — must
+        # lower and run on this backend even when the axis size is 1
+        import jax
+
+        from sema_tpu.parallel.mesh import make_mesh
+        mesh_obj = make_mesh(shape=[len(jax.devices())],
+                             axis_names=("index",))
     with tempfile.TemporaryDirectory() as td, \
             _env("SEMA_TPU_SCAN_BACKEND", backend):
         store = VectorStore(td, dim=dim, model="selftest",
-                            store_dtype=store_dtype)
+                            store_dtype=store_dtype, mesh=mesh_obj)
         store.add_chunks(chunks, vecs)
         misses = []
         for p in probes:
@@ -120,6 +131,9 @@ def run_device_selftest(model_cfg=None, dim: int = 384,
         # pallas pin pads the store to the kernel tile (2048)
         _scan_check("scan-ids-pallas", dim, "bfloat16", "pallas", rows=300),
         _scan_check("scan-int8", dim, "int8", None, rows=300),
+        # the sharded (shard_map all-gather) program on this backend
+        _scan_check("scan-mesh", dim, "bfloat16", None, rows=300,
+                    mesh=True),
     ]
     if with_encoder and model_cfg is not None:
         checks.append(_encoder_parity_check(model_cfg, enc=encoder))

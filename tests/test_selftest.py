@@ -13,14 +13,15 @@ def test_selftest_all_green_on_cpu():
     cfg = ModelConfig(name="test-tiny", max_length=32, batch_size=8)
     checks = run_device_selftest(cfg, dim=64)
     assert [n for n, _, _ in checks] == [
-        "scan-ids", "scan-ids-pallas", "scan-int8", "encoder-parity"]
+        "scan-ids", "scan-ids-pallas", "scan-int8", "scan-mesh",
+        "encoder-parity"]
     for name, ok, detail in checks:
         assert ok, f"{name}: {detail}"
 
 
 def test_selftest_scan_only():
     checks = run_device_selftest(None, dim=32, with_encoder=False)
-    assert len(checks) == 3
+    assert len(checks) == 4
     assert all(ok for _, ok, _ in checks)
 
 
