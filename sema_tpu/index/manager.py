@@ -91,54 +91,77 @@ class IndexManager:
                 self.vector_store.save_file_hashes()
         return len(chunks)
 
+    # indexing slice size: both indexes are designed around O(batch)
+    # commits with amortized tiered merges, and the builders' transient
+    # memory (postings maps, position arrays, meta rows, embedding
+    # buffers) is proportional to ONE slice, not the corpus. Feeding a
+    # million-chunk corpus as a single batch held ~GBs of transients and
+    # measured 4.7× slower per doc than the amortized rate on a small
+    # host (round-3 1M build: text stage 663 s one-shot); 100M-chunk
+    # corpora (BASELINE config 5) would not fit in host RAM at all.
+    # Override: SEMA_TPU_INDEX_BATCH.
+    INDEX_BATCH = 65_536
+
     def index_chunks(self, chunks: Sequence[Chunk],
                      progress=None) -> None:
-        """Dual-index a chunk batch; failures are warnings
-        (storage/mod.rs:96-110)."""
+        """Dual-index chunks in bounded slices; failures are warnings
+        (storage/mod.rs:96-110). A mid-corpus crash re-indexes the
+        affected files next run unchanged: per-file hashes are recorded
+        by the caller only after THIS returns (storage/mod.rs:62-66)."""
+        import os as _os
+        batch = int(_os.environ.get("SEMA_TPU_INDEX_BATCH",
+                                    self.INDEX_BATCH))
+        total = len(chunks)
+        # encoder capability probe once, not per slice. Encoder-like
+        # objects (quality-gate stubs, tools) may not take out_dtype /
+        # return_device — probe the signature, don't assume.
+        kwargs = {}
         try:
-            with self.metrics.timer("embed"):
-                emb_progress = (
-                    (lambda done, total: progress("embedding", done, total))
-                    if progress else None)
-                # fetch at the STORE's dtype: the segment write rounds to
-                # np_dtype anyway, so casting on device halves the
-                # device→host bytes for bf16/int8 stores. Encoder-like
-                # objects (quality-gate stubs, tools) may not take
-                # out_dtype — probe the signature, don't assume.
-                kwargs = {}
-                try:
-                    import inspect
-                    params = inspect.signature(
-                        self.encoder.encode_texts).parameters
-                    if "out_dtype" in params:
-                        kwargs["out_dtype"] = self.vector_store.np_dtype
-                    # serve-time re-index: when the store already holds a
-                    # live device copy (it has served searches), keep the
-                    # embeddings ON DEVICE — add_chunks' arena-tail append
-                    # consumes them directly, skipping the fetch→re-upload
-                    # double crossing (the disk copy still writes from an
-                    # async host copy before the manifest commits)
-                    if ("return_device" in params
-                            and hasattr(self.vector_store,
-                                        "device_copy_live")
-                            and self.vector_store.device_copy_live()):
-                        kwargs["return_device"] = True
-                except (TypeError, ValueError):
-                    pass
-                embeddings = self.encoder.encode_texts(
-                    [c.content for c in chunks], progress=emb_progress,
-                    **kwargs)
-            with self.metrics.timer("vector_write"):
-                self.vector_store.add_chunks(chunks, embeddings)
-        except Exception as e:  # noqa: BLE001 — parity: warn, keep going
-            print(f"Warning: Failed to index chunks in vector store: {e}",
-                  file=sys.stderr)
-        try:
-            with self.metrics.timer("text_write"):
-                self.text_index.index_chunks(chunks)
-        except Exception as e:  # noqa: BLE001
-            print(f"Warning: Failed to index chunks in text index: {e}",
-                  file=sys.stderr)
+            import inspect
+            params = inspect.signature(
+                self.encoder.encode_texts).parameters
+            if "out_dtype" in params:
+                # fetch at the STORE's dtype: the segment write rounds
+                # to np_dtype anyway, so casting on device halves the
+                # device→host bytes for bf16/int8 stores
+                kwargs["out_dtype"] = self.vector_store.np_dtype
+            has_return_device = "return_device" in params
+        except (TypeError, ValueError):
+            has_return_device = False
+        for off in range(0, total, batch):
+            part = chunks[off:off + batch]
+            try:
+                with self.metrics.timer("embed"):
+                    emb_progress = (
+                        (lambda done, _t, off=off:
+                         progress("embedding", off + done, total))
+                        if progress else None)
+                    # serve-time re-index: when the store already holds
+                    # a live device copy (it has served searches), keep
+                    # the embeddings ON DEVICE — add_chunks' arena-tail
+                    # append consumes them directly, skipping the
+                    # fetch→re-upload double crossing (the disk copy
+                    # still writes from an async host copy before the
+                    # manifest commits). Checked per slice: the first
+                    # search can land mid-build.
+                    if has_return_device and hasattr(
+                            self.vector_store, "device_copy_live"):
+                        kwargs["return_device"] = \
+                            self.vector_store.device_copy_live()
+                    embeddings = self.encoder.encode_texts(
+                        [c.content for c in part],
+                        progress=emb_progress, **kwargs)
+                with self.metrics.timer("vector_write"):
+                    self.vector_store.add_chunks(part, embeddings)
+            except Exception as e:  # noqa: BLE001 — parity: warn, go on
+                print("Warning: Failed to index chunks in vector "
+                      f"store: {e}", file=sys.stderr)
+            try:
+                with self.metrics.timer("text_write"):
+                    self.text_index.index_chunks(part)
+            except Exception as e:  # noqa: BLE001
+                print("Warning: Failed to index chunks in text "
+                      f"index: {e}", file=sys.stderr)
 
     # -- search ----------------------------------------------------------------
 

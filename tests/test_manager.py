@@ -133,3 +133,31 @@ def test_crash_retry_semantics(tmp_path, tree, encoder, monkeypatch):
     # but semantic search finds nothing — same desync the reference permits
     assert mgr2.vector_store.live_rows == 0
     mgr2.close()
+
+
+def test_index_chunks_sliced_batches(tmp_path, encoder, monkeypatch):
+    """The indexing loop slices big corpora into bounded commits (both
+    indexes are designed for O(batch) + amortized merges; a one-shot
+    million-chunk batch held ~GBs of transients). Results and counts
+    must be identical to the one-shot path."""
+    monkeypatch.setenv("SEMA_TPU_INDEX_BATCH", "3")
+    root = tmp_path / "bigtree"
+    root.mkdir()
+    for i in range(4):
+        # ~3 chunks per file: 3 KB of text with a per-file token
+        (root / f"doc{i}.txt").write_text(
+            (f"findmetoken{i} " + "lorem ipsum dolor sit amet " * 6
+             + "\n") * 20)
+    mgr = IndexManager(tmp_path / "data", encoder)
+    n = mgr.process_and_index_files(sorted(root.glob("*.txt")))
+    assert n > 3
+    # one vector segment per slice
+    assert len(mgr.vector_store.segments) == (n + 2) // 3
+    assert mgr.vector_store.live_rows == n
+    for i in range(4):
+        hits = mgr.search(f"'findmetoken{i}", limit=5)
+        assert hits and all(c.file_path == root / f"doc{i}.txt"
+                            for c, _ in hits)
+    # incremental skip still holds across the sliced path
+    assert mgr.process_and_index_files(sorted(root.glob("*.txt"))) == 0
+    mgr.close()
