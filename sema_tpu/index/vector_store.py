@@ -61,7 +61,9 @@ import ml_dtypes
 import numpy as np
 
 from sema_tpu.types import Chunk
-from sema_tpu.utils.fsio import atomic_write_json as _atomic_write_json
+from sema_tpu.utils.fsio import (atomic_write_json as _atomic_write_json,
+                                 fsync_dir as _fsync_dir,
+                                 fsync_file as _fsync_file)
 
 # dtype of the persisted segment files; the int8 mode persists bf16
 # originals (the device holds the quantized copy, the disk keeps full
@@ -164,20 +166,26 @@ class _Segment:
 
     def _ensure_sidecars(self) -> None:
         """Build .meta.idx / .files.json for pre-sidecar indexes (one
-        streaming pass; atomic writes so a crash mid-migration retries)."""
-        if self.idx_path.exists() and self.files_path.exists():
-            return
-        offsets = [0]
-        file_rows: Dict[str, List[int]] = {}
-        with open(self.meta_path, "rb") as f:
-            for i, line in enumerate(f):
-                offsets.append(offsets[-1] + len(line))
-                path = json.loads(line)["file_path"]
-                file_rows.setdefault(path, []).append(i)
-        tmp = self.idx_path.with_suffix(".tmp")
-        np.asarray(offsets, dtype=np.uint64).tofile(tmp)
-        os.replace(tmp, self.idx_path)
-        _atomic_write_json(self.files_path, file_rows)
+        streaming pass; atomic writes so a crash mid-migration retries).
+        Serialized behind ``_fd_lock``: two serving threads touching a
+        legacy segment concurrently would otherwise both write the SAME
+        .tmp path — truncating each other mid-tofile and committing an
+        interleaved offsets file (permanently: the corrupt sidecar then
+        exists, so migration never re-runs)."""
+        with self._fd_lock:
+            if self.idx_path.exists() and self.files_path.exists():
+                return
+            offsets = [0]
+            file_rows: Dict[str, List[int]] = {}
+            with open(self.meta_path, "rb") as f:
+                for i, line in enumerate(f):
+                    offsets.append(offsets[-1] + len(line))
+                    path = json.loads(line)["file_path"]
+                    file_rows.setdefault(path, []).append(i)
+            tmp = self.idx_path.with_suffix(".tmp")
+            np.asarray(offsets, dtype=np.uint64).tofile(tmp)
+            os.replace(tmp, self.idx_path)
+            _atomic_write_json(self.files_path, file_rows)
 
     @property
     def offsets(self) -> np.ndarray:
@@ -220,7 +228,12 @@ class _Segment:
     @staticmethod
     def write(dir: Path, name: str, dim: int, np_dtype,
               vectors: np.ndarray, meta: Sequence[dict]) -> "_Segment":
-        """Write a fresh segment (vectors + jsonl + both sidecars)."""
+        """Write a fresh segment (vectors + jsonl + both sidecars).
+
+        Data files are fsynced before the caller's manifest commit: the
+        manifest rename is the commit point, and without the barrier
+        power loss could make the rename durable while these pages are
+        not (the crash-desync the module docstring rules out)."""
         seg = _Segment(dir, name, len(meta), dim, np_dtype)
         np.ascontiguousarray(vectors, dtype=np_dtype).tofile(seg.vec_path)
         offsets = [0]
@@ -235,6 +248,10 @@ class _Segment:
         np.asarray(offsets, dtype=np.uint64).tofile(tmp)
         os.replace(tmp, seg.idx_path)
         _atomic_write_json(seg.files_path, file_rows)
+        _fsync_file(seg.vec_path)
+        _fsync_file(seg.meta_path)
+        _fsync_file(seg.idx_path)
+        _fsync_dir(dir)
         return seg
 
 
@@ -271,6 +288,25 @@ class VectorStore:
         # HTTP daemon threads); mutations and bucket (re)builds serialize
         # behind this lock, searches take a consistent bucket snapshot
         self._lock = threading.RLock()
+        # destructive maintenance (load-time compaction, orphan sweep)
+        # UNLINKS committed files, so it must only run in the process
+        # that owns the store: a second process merely opening the index
+        # (serve starting while index runs) would otherwise delete files
+        # the writer's in-memory segment list still references. Advisory
+        # flock on <dir>/.lock; non-owners open read/search-capable but
+        # skip maintenance.
+        self._owner = False
+        self._lock_fd = None
+        try:
+            import fcntl
+            self._lock_fd = os.open(self.dir / ".lock",
+                                    os.O_CREAT | os.O_RDWR, 0o644)
+            fcntl.flock(self._lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            self._owner = True
+        except OSError:
+            if self._lock_fd is not None:
+                os.close(self._lock_fd)
+                self._lock_fd = None
         self._load()
 
     # -- persistence ----------------------------------------------------------
@@ -289,7 +325,8 @@ class VectorStore:
         if not self._manifest_path.exists():
             # no manifest = nothing ever committed; a crash before the
             # first commit can still have left segment files behind
-            self._sweep_orphans()
+            if self._owner:
+                self._sweep_orphans()
             return
         m = json.loads(self._manifest_path.read_text())
         if m.get("model") != self.model or m.get("dim") != self.dim:
@@ -312,8 +349,12 @@ class VectorStore:
             self.segments.append(_Segment(
                 self.dir, seg["name"], seg["rows"], self.dim,
                 self.np_dtype, deleted=set(seg.get("deleted", []))))
-        self._maybe_compact()
-        self._sweep_orphans()
+        if self._owner:
+            # compaction and the sweep unlink committed files — owner only
+            # (see the flock in __init__); a non-owner open defers both to
+            # the owner's next load
+            self._maybe_compact()
+            self._sweep_orphans()
 
     def _sweep_orphans(self) -> None:
         """Unlink segment files the manifest doesn't reference: leftovers
@@ -430,7 +471,12 @@ class VectorStore:
                 pass
             dev_rows = dev
             embeddings = np.asarray(dev)          # completes in-flight DMA
-        assert embeddings.shape == (len(chunks), self.dim), embeddings.shape
+        if embeddings.shape != (len(chunks), self.dim):
+            # ValueError, not assert: a wrong-shaped array committed to
+            # disk desyncs the memmap of every later load, and the guard
+            # must not vanish under python -O
+            raise ValueError(f"embeddings {embeddings.shape} != "
+                             f"({len(chunks)}, {self.dim})")
         meta = [{
             "id": c.id, "file_path": str(c.file_path),
             "start_line": c.start_line, "end_line": c.end_line,
@@ -512,6 +558,12 @@ class VectorStore:
             np.asarray(offsets, dtype=np.uint64).tofile(tmp)
             os.replace(tmp, new_seg.idx_path)
             _atomic_write_json(new_seg.files_path, file_rows)
+            # durability barrier before the manifest commit references
+            # the compacted files (power-loss ordering, see _Segment.write)
+            _fsync_file(new_seg.vec_path)
+            _fsync_file(new_seg.meta_path)
+            _fsync_file(new_seg.idx_path)
+            _fsync_dir(self.dir)
             new_seg.rows = live
             self.segments = [new_seg]
         else:
@@ -833,13 +885,22 @@ class VectorStore:
     # -- row id → chunk ---------------------------------------------------------
 
     def _seg_starts(self) -> np.ndarray:
-        """Cumulative row offsets, (S+1,), for O(log S) row→segment."""
-        if self._starts is None:
-            starts = np.zeros(len(self.segments) + 1, dtype=np.int64)
-            for i, s in enumerate(self.segments):
-                starts[i + 1] = starts[i] + s.rows
-            self._starts = starts
-        return self._starts
+        """Cumulative row offsets, (S+1,), for O(log S) row→segment.
+
+        Returns the LOCAL array, and rebuilds under the lock: serving
+        threads call this while a mutator appends (which both extends
+        ``segments`` and nulls the cache) — returning ``self._starts``
+        unlocked could yield None mid-invalidation, and enumerating a
+        list being appended could outrun the pre-sized array."""
+        starts = self._starts
+        if starts is None:
+            with self._lock:
+                segs = list(self.segments)
+                starts = np.zeros(len(segs) + 1, dtype=np.int64)
+                for i, s in enumerate(segs):
+                    starts[i + 1] = starts[i] + s.rows
+                self._starts = starts
+        return starts
 
     def _locate(self, row: int) -> Tuple[_Segment, int]:
         starts = self._seg_starts()
@@ -982,17 +1043,26 @@ class VectorStore:
         self._topk_fns[key] = fn
         return fn
 
-    def search_batch_async(self, query_vecs: np.ndarray, k: int):
+    def search_batch_async(self, query_vecs: np.ndarray, k: int,
+                           live: Optional[int] = None):
         """Dispatch a batched scan WITHOUT waiting for the device: every
         bucket's executable is enqueued (PJRT dispatch is async) and an
         opaque pending handle is returned. ``search_batch_finish``
         fetches + merges. The split lets a serving dispatcher overlap the
         next batch's dispatch with this batch's device time + tunnel
-        round-trip (QueryBatcher's pipeline)."""
+        round-trip (QueryBatcher's pipeline).
+
+        ``live`` marks how many leading rows are REAL queries: a serving
+        batch is zero-padded to its compiled shape, and without the mark
+        the host merge (and the int8 full-precision rescore — up to
+        rescore_k preads per row) would process up to max_batch-1
+        phantom all-zero queries per underfilled batch. The device scan
+        itself always runs the padded shape (one executable)."""
+        live = len(query_vecs) if live is None else live
         buckets = self.device_buckets()
         quantized = self.store_dtype == "int8"
         if not buckets:  # empty store: nothing to scan
-            return (len(query_vecs), k, quantized, [])
+            return (live, k, quantized, [])
         q = jnp.asarray(query_vecs, dtype=jnp.float32)
 
         # round the scanned k up to the class ladder (16, 64, 128, 1024) so
@@ -1010,7 +1080,7 @@ class VectorStore:
             fn = self._scan_fn(b["n_pad"], k_scan,
                                all_valid=b.get("all_valid", False))
             pending.append((b, fn(b["store"], q, b["valid"]), k_scan))
-        return (len(query_vecs), k, quantized, pending)
+        return (live, k, quantized, pending)
 
     def search_batch_finish(self, handle, query_vecs: np.ndarray
                             ) -> Tuple[np.ndarray, np.ndarray]:
@@ -1025,19 +1095,21 @@ class VectorStore:
         bucket plus a sub-ms argsort. int8 mode scans for ``rescore_k``
         candidates and re-ranks them at full precision from the host
         originals (BASELINE config 4)."""
-        nq, k, quantized, pending = handle
+        live, k, quantized, pending = handle
         if not pending:
-            return (np.full((nq, k), -np.inf, dtype=np.float32),
-                    np.zeros((nq, k), dtype=np.int32))
+            return (np.full((live, k), -np.inf, dtype=np.float32),
+                    np.zeros((live, k), dtype=np.int32))
         all_scores = []
         all_idx = []
         for b, packed, k_scan in pending:  # dispatched; now sync
             buf = np.asarray(packed)       # (Q, 2k) i32 — see _scan_fn
-            all_scores.append(buf[:, :k_scan].view(np.float32))
-            all_idx.append(buf[:, k_scan:] + b["row_offset"])
+            # phantom padded rows (>= live) are dropped before the merge
+            # and, in int8 mode, before the per-row rescore preads
+            all_scores.append(buf[:live, :k_scan].view(np.float32))
+            all_idx.append(buf[:live, k_scan:] + b["row_offset"])
         scores = np.concatenate(all_scores, axis=1)
         idx = np.concatenate(all_idx, axis=1)
-        return self._merge_candidates(scores, idx, query_vecs, k,
+        return self._merge_candidates(scores, idx, query_vecs[:live], k,
                                       quantized, n_parts=len(pending))
 
     def search_batch(self, query_vecs: np.ndarray, k: int
@@ -1125,3 +1197,7 @@ class VectorStore:
         self._pending_dev.clear()
         for seg in self.segments:
             seg.close()
+        if self._lock_fd is not None:   # releases the flock
+            os.close(self._lock_fd)
+            self._lock_fd = None
+            self._owner = False

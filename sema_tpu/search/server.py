@@ -86,8 +86,16 @@ class QueryBatcher:
 
     def search(self, query_vec: np.ndarray, k: int,
                timeout: Optional[float] = 60.0):
-        req = _Request(np.asarray(query_vec, dtype=np.float32), k,
-                       time.perf_counter())
+        # validate at enqueue time: a malformed vector must fail ITS
+        # caller, not blow up inside the dispatcher where the exception
+        # would be delivered to every request in the batch
+        query_vec = np.asarray(query_vec, dtype=np.float32).reshape(-1)
+        dim = getattr(self.store, "dim", None)
+        if dim is not None and query_vec.shape != (dim,):
+            raise ValueError(
+                f"query vector has {query_vec.shape[0]} elements, "
+                f"store dim is {dim}")
+        req = _Request(query_vec, k, time.perf_counter())
         try:
             self._queue.put_nowait(req)
         except queue.Full:
@@ -132,6 +140,17 @@ class QueryBatcher:
         self._stop.set()
         self._dispatch_thread.join(timeout=5)
         self._complete_thread.join(timeout=5)
+        # fail requests still sitting in the queue (never dispatched):
+        # their callers are blocked on events nobody will set, and would
+        # otherwise ride out the full client timeout
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not req.event.is_set():
+                req.error = ServerOverloaded("batcher closed")
+                req.event.set()
 
     # -- dispatch stage ----------------------------------------------------------
 
@@ -141,10 +160,17 @@ class QueryBatcher:
             batch.append(self._queue.get(timeout=0.1))
         except queue.Empty:
             return batch
-        deadline = self.max_wait
+        # the batch closes max_wait after its FIRST request: each get's
+        # timeout is the remaining window, not a fresh one — re-arming
+        # per request would stretch the documented max_wait_ms deadline
+        # to max_batch×max_wait under a steady just-slower trickle
+        t_close = time.perf_counter() + self.max_wait
         while len(batch) < self.max_batch:
+            remaining = t_close - time.perf_counter()
+            if remaining <= 0:
+                break
             try:
-                batch.append(self._queue.get(timeout=deadline))
+                batch.append(self._queue.get(timeout=remaining))
             except queue.Empty:
                 break
         return batch
@@ -183,7 +209,10 @@ class QueryBatcher:
                 q = np.zeros((self.max_batch, dim), dtype=np.float32)
                 for i, r in enumerate(batch):
                     q[i] = r.query_vec
-                handle = self.store.search_batch_async(q, k_max)
+                # live= keeps the host merge (and int8 rescore preads)
+                # off the zero-padded phantom rows of underfilled batches
+                handle = self.store.search_batch_async(
+                    q, k_max, live=len(batch))
                 t1 = time.perf_counter()
                 # blocks when 2 batches are already in flight — the
                 # natural backpressure that keeps device queueing bounded.

@@ -143,7 +143,7 @@ def test_overload_returns_503_with_retry_after(tmp_path):
         def __getattr__(self, name):
             return getattr(self._inner, name)
 
-        def search_batch_async(self, q, k):
+        def search_batch_async(self, q, k, **kw):
             _time.sleep(0.3)
             return self._inner.search_batch_async(q, k)
 

@@ -135,7 +135,7 @@ def test_overload_sheds_with_503_class_error(store):
         def __getattr__(self, name):
             return getattr(self._inner, name)
 
-        def search_batch_async(self, q, k):
+        def search_batch_async(self, q, k, **kw):
             import time
             time.sleep(0.2)
             return self._inner.search_batch_async(q, k)
@@ -182,5 +182,41 @@ def test_queue_deadline_fails_stale_requests(store):
         res = b.search(store._test_vecs[5], k=1, timeout=30)
         assert res[0][0].id == "f.txt:5"
         assert b.stats()["batches"] >= 1
+    finally:
+        b.close()
+
+
+def test_close_fails_undispatched_requests(store):
+    """Requests still queued when the batcher shuts down are failed with
+    ServerOverloaded instead of stranding their callers until the client
+    timeout."""
+    from sema_tpu.search.server import ServerOverloaded, _Request
+    import time as _time
+
+    b = QueryBatcher(store, max_batch=4)
+    b._stop.set()                      # dispatch loop exits
+    b._dispatch_thread.join(timeout=5)
+    req = _Request(np.asarray(store._test_vecs[0], dtype=np.float32),
+                   1, _time.perf_counter())
+    b._queue.put_nowait(req)
+    b.close()
+    assert req.event.is_set()
+    assert isinstance(req.error, ServerOverloaded)
+
+
+def test_batch_closes_at_max_wait_under_trickle(store):
+    """The batch-close deadline is max_wait after the FIRST request —
+    a steady trickle must not re-arm it indefinitely."""
+    import time as _time
+
+    b = QueryBatcher(store, max_batch=64, max_wait_ms=30.0)
+    try:
+        t0 = _time.perf_counter()
+        res = b.search(store._test_vecs[3], k=1, timeout=30)
+        dt = _time.perf_counter() - t0
+        assert res[0][0].id == "f.txt:3"
+        # one lone request: answered ~max_wait after enqueue, not after
+        # max_batch×max_wait (1.92 s); generous bound for slow CI hosts
+        assert dt < 1.5
     finally:
         b.close()

@@ -618,3 +618,37 @@ def test_search_batch_async_finish_split(tmp_path):
     empty = make_store(tmp_path / "e")
     s, i = empty.search_batch_finish(empty.search_batch_async(q, 5), q)
     assert s.shape == (8, 5) and not np.isfinite(s).any()
+
+
+def test_second_open_is_not_owner(tmp_path):
+    """A second process/instance opening a live store must not run
+    destructive maintenance (compaction/sweep unlink committed files a
+    concurrent writer still references) — the flock ownership gate."""
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(30)
+    store.add_chunks(cs, vecs)
+    assert store._owner
+    reader = make_store(tmp_path)
+    assert not reader._owner          # first instance holds the flock
+    assert reader.total_rows == 30    # still fully readable
+    reader.close()
+    store.close()
+    third = make_store(tmp_path)      # lock released: owner again
+    assert third._owner
+    third.close()
+
+
+def test_finish_slices_to_live_rows(tmp_path):
+    """search_batch_async(live=) drops the zero-padded phantom rows
+    before the host merge — the serving batcher pads to a fixed shape."""
+    import numpy as np
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(100)
+    store.add_chunks(cs, vecs)
+    q = np.zeros((8, 32), dtype=np.float32)
+    q[0] = vecs[5]
+    q[1] = vecs[77]
+    handle = store.search_batch_async(q, 3, live=2)
+    scores, ids = store.search_batch_finish(handle, q)
+    assert scores.shape[0] == 2 and ids.shape[0] == 2
+    assert ids[0][0] == 5 and ids[1][0] == 77
