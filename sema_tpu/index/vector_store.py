@@ -303,10 +303,19 @@ class VectorStore:
                                     os.O_CREAT | os.O_RDWR, 0o644)
             fcntl.flock(self._lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
             self._owner = True
-        except OSError:
+        except BlockingIOError:
+            # another instance holds the store: open read/search-capable,
+            # defer destructive maintenance to the owner
+            os.close(self._lock_fd)
+            self._lock_fd = None
+        except (ImportError, OSError):
+            # no flock support on this platform/filesystem: fall back to
+            # the historical single-process assumption rather than
+            # silently disabling compaction forever
             if self._lock_fd is not None:
                 os.close(self._lock_fd)
                 self._lock_fd = None
+            self._owner = True
         self._load()
 
     # -- persistence ----------------------------------------------------------
