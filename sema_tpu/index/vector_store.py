@@ -615,8 +615,25 @@ class VectorStore:
     # tail buckets cost one tiny scan dispatch each, bounded by
     # MAX_TAIL_BUCKETS.
 
+    # HBM spill (stores larger than one chip's HBM): once the device
+    # buckets' projected bytes cross the budget (env
+    # SEMA_TPU_HBM_BUDGET_MB, else 85% of the device's reported
+    # bytes_limit, else unlimited), further SEALED buckets stay
+    # HOST-resident — no device arrays; search streams them through the
+    # same compiled scan in fixed-shape slices (at most SPILL_INFLIGHT
+    # staging buffers in HBM at once) and their candidates join the
+    # ordinary per-bucket host merge. A RESOURCE_EXHAUSTED during a
+    # sealed bucket's upload degrades to the same host bucket instead of
+    # crashing. This is the single-chip capacity escape hatch — the
+    # reference's disk-based store (LanceDB, lance_indexer.rs) has no
+    # hard corpus ceiling and neither should this one; the scan becomes
+    # host→device upload-bound (documented in docs/PERF.md), and scaling
+    # QPS past one chip's HBM is what the mesh path is for. Single-device
+    # only: with a mesh the store already shards across chips.
     SEAL_ROWS = 262_144
     MAX_TAIL_BUCKETS = 8
+    SPILL_SLICE_ROWS = 262_144
+    SPILL_INFLIGHT = 2
 
     def _invalidate_device(self, tail_only: bool = False) -> None:
         if tail_only and self._buckets:
@@ -660,6 +677,43 @@ class VectorStore:
         if self.mesh is None:
             return jnp.asarray(x)
         return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+    def _hbm_budget_bytes(self) -> Optional[int]:
+        """Device-bucket byte budget, or None for unlimited.
+
+        Priority: SEMA_TPU_HBM_BUDGET_MB (0/empty disables), else 85% of
+        the device's PJRT ``bytes_limit`` when the backend reports one
+        (the axon tunnel backend returns None — there the env var or the
+        RESOURCE_EXHAUSTED fallback are the only gates)."""
+        env = os.environ.get("SEMA_TPU_HBM_BUDGET_MB")
+        if env:
+            try:
+                mb = float(env)
+            except ValueError:
+                mb = 0.0
+            return int(mb * (1 << 20)) if mb > 0 else None
+        try:
+            ms = jax.local_devices()[0].memory_stats()
+            limit = ms.get("bytes_limit") if ms else None
+        except Exception:
+            limit = None
+        return int(limit * 0.85) if limit else None
+
+    def _bucket_dev_bytes(self, n_pad: int) -> int:
+        if self.store_dtype == "int8":
+            return n_pad * (self.dim + 4)   # int8 rows + f32 scales
+        return n_pad * self.dim * np.dtype(self.np_dtype).itemsize
+
+    def _build_host_bucket(self, seg_range, row_offset: int) -> dict:
+        """A bucket with NO device arrays: vectors stay in the segment
+        memmaps and are streamed at scan time (_scan_host_bucket).
+        Always sealed — it never arena-extends or consolidates."""
+        rows = sum(s.rows
+                   for s in self.segments[seg_range[0]:seg_range[1]])
+        return {"host_resident": True, "store": None, "valid": None,
+                "all_valid": False, "n_pad": rows, "rows": rows,
+                "seg_range": tuple(seg_range), "row_offset": row_offset,
+                "sealed": True}
 
     def _bucket_valid_host(self, seg_range, n_pad: int) -> np.ndarray:
         valid = np.zeros((n_pad,), dtype=bool)
@@ -768,6 +822,9 @@ class VectorStore:
         MAX_TAIL_BUCKETS unsealed buckets consolidates into one."""
         buckets = list(self._buckets or [])
         reused = {id(b) for b in buckets}
+        budget = self._hbm_budget_bytes() if self.mesh is None else None
+        dev_bytes = sum(self._bucket_dev_bytes(b["n_pad"])
+                        for b in buckets if not b.get("host_resident"))
         covered = buckets[-1]["seg_range"][1] if buckets else 0
         row_offset = (buckets[-1]["row_offset"] + buckets[-1]["rows"]
                       if buckets else 0)
@@ -830,9 +887,29 @@ class VectorStore:
             # rebuild → host re-uploads amortize to O(log rows)
             headroom = (2 * rows if not sealed and self.mesh is None
                         else 0)
-            buckets.append(self._build_bucket(
-                (seg_start, seg_end), row_offset, sealed=sealed,
-                min_capacity_rows=headroom))
+            projected = self._bucket_dev_bytes(
+                self._pad_rows(max(rows, headroom)))
+            # sealed buckets past the budget stay host-resident (HBM
+            # spill, see the class comment); the small unsealed tail
+            # always goes to device — the arena append path needs it
+            if (sealed and budget is not None
+                    and dev_bytes + projected > budget):
+                buckets.append(self._build_host_bucket(
+                    (seg_start, seg_end), row_offset))
+            else:
+                try:
+                    buckets.append(self._build_bucket(
+                        (seg_start, seg_end), row_offset, sealed=sealed,
+                        min_capacity_rows=headroom))
+                    dev_bytes += projected
+                except Exception as e:   # RESOURCE_EXHAUSTED → spill
+                    msg = str(e).lower()
+                    oom = ("resource_exhausted" in msg
+                           or "out of memory" in msg)
+                    if not (oom and sealed and self.mesh is None):
+                        raise
+                    buckets.append(self._build_host_bucket(
+                        (seg_start, seg_end), row_offset))
             row_offset += rows
             seg_start = seg_end
         # consolidate a fragmented unsealed tail. Anchor at the maximal
@@ -858,7 +935,10 @@ class VectorStore:
             # buckets that predate this rebuild
             from jax.sharding import PartitionSpec as P
             for b in buckets:
-                if id(b) in reused:
+                # host-resident buckets have no device mask: their
+                # validity is rebuilt per slice at scan time, so fresh
+                # tombstones are picked up with no re-upload
+                if id(b) in reused and not b.get("host_resident"):
                     host_valid = self._bucket_valid_host(
                         b["seg_range"], b["n_pad"])
                     b["valid"] = self._put(host_valid,
@@ -945,15 +1025,22 @@ class VectorStore:
 
     # -- search -----------------------------------------------------------------
 
-    def _scan_fn(self, n_pad: int, k_eff: int, all_valid: bool = False):
+    def _scan_fn(self, n_pad: int, k_eff: int, all_valid: bool = False,
+                 dtype_override: Optional[str] = None):
         """Compiled (store, queries, valid) -> (scores, ids), cached per
-        (rows, k, maskedness). Single-device uses the fused Pallas scan;
-        multi-device wraps the local scan in the shard_map all-gather
-        merge. ``all_valid`` selects the mask-free kernel variant
-        (single-device bf16 only) for buckets with every row live."""
-        all_valid = all_valid and self.mesh is None \
-            and self.store_dtype != "int8"
-        key = (n_pad, k_eff, self.store_dtype, all_valid)
+        (rows, k, dtype, maskedness). Single-device uses the fused Pallas
+        scan; multi-device wraps the local scan in the shard_map
+        all-gather merge. ``all_valid`` selects the mask-free kernel
+        variant (single-device bf16 only) for buckets with every row
+        live. ``dtype_override`` scans with a different element type
+        than the store's nominal one — the HBM-spill path streams an
+        int8 store's bf16 DISK originals, so its slices select with
+        full-precision scores and skip the per-slice quantization pass
+        (the upload is bf16-width either way; candidates still go
+        through the exact rescore)."""
+        sdt = dtype_override or self.store_dtype
+        all_valid = all_valid and self.mesh is None and sdt != "int8"
+        key = (n_pad, k_eff, sdt, all_valid)
         fn = self._topk_fns.get(key)
         if fn is not None:
             return fn
@@ -976,7 +1063,7 @@ class VectorStore:
             backend != "hier" and (on_tpu or backend == "pallas")
             and shard_rows % 2048 == 0 and k_eff <= 128)
 
-        if self.store_dtype == "int8":
+        if sdt == "int8":
             from sema_tpu.ops.quant import int8_topk_scores
 
             def hier_fn(store, queries, valid, k):
@@ -1052,6 +1139,59 @@ class VectorStore:
         self._topk_fns[key] = fn
         return fn
 
+    def _fill_rows_range(self, seg_range, lo: int, hi: int,
+                         host: np.ndarray, valid: np.ndarray) -> None:
+        """Copy bucket-relative rows [lo, hi) from the segment memmaps
+        into ``host[0:hi-lo]`` and set their liveness in ``valid``
+        (slots past hi-lo stay zero/dead — slice padding)."""
+        off = 0
+        for seg in self.segments[seg_range[0]:seg_range[1]]:
+            s0, s1 = off, off + seg.rows
+            a, b = max(lo, s0), min(hi, s1)
+            if a < b:
+                dst = a - lo
+                src0, src1 = a - s0, b - s0
+                host[dst:dst + (b - a)] = seg.vectors[src0:src1]
+                v = np.ones(b - a, dtype=bool)
+                for r in seg.deleted:
+                    if src0 <= r < src1:
+                        v[r - src0] = False
+                valid[dst:dst + (b - a)] = v
+            off = s1
+            if off >= hi:
+                break
+
+    def _scan_host_bucket(self, b: dict, q, k_class: int) -> list:
+        """Stream a host-resident bucket (HBM spill) through the scan.
+
+        Fixed-shape slices of SPILL_SLICE_ROWS (padded once, so ONE
+        compiled executable serves every slice of every spilled bucket)
+        are staged host→device and dispatched back-to-back; at most
+        SPILL_INFLIGHT slices live in HBM — older results are
+        force-fetched to host, which is also what paces the staging
+        uploads against the device. Returns finished/pending entries in
+        the same (row_offset, packed, k_scan) form as device buckets, so
+        the merge path cannot tell the difference. int8 stores stream
+        their bf16 disk originals (see _scan_fn dtype_override)."""
+        rows = b["rows"]
+        slice_rows = self._pad_rows(min(self.SPILL_SLICE_ROWS, rows))
+        k_scan = min(k_class, slice_rows)
+        override = "bfloat16" if self.store_dtype == "int8" else None
+        fn = self._scan_fn(slice_rows, k_scan, dtype_override=override)
+        out, inflight = [], []
+        for lo in range(0, rows, slice_rows):
+            hi = min(lo + slice_rows, rows)
+            host = np.zeros((slice_rows, self.dim), dtype=self.np_dtype)
+            valid = np.zeros((slice_rows,), dtype=bool)
+            self._fill_rows_range(b["seg_range"], lo, hi, host, valid)
+            packed = fn(jnp.asarray(host), q, jnp.asarray(valid))
+            inflight.append((b["row_offset"] + lo, packed, k_scan))
+            if len(inflight) >= self.SPILL_INFLIGHT:
+                ro, pk, ks = inflight.pop(0)
+                out.append((ro, np.asarray(pk), ks))
+        out.extend(inflight)
+        return out
+
     def search_batch_async(self, query_vecs: np.ndarray, k: int,
                            live: Optional[int] = None):
         """Dispatch a batched scan WITHOUT waiting for the device: every
@@ -1085,10 +1225,17 @@ class VectorStore:
 
         pending = []
         for b in buckets:
+            if b.get("host_resident"):
+                # HBM-spill: stream this bucket through the scan now.
+                # This blocks for the streamed portion (bounded staging
+                # HBM beats async purity for an over-capacity store).
+                pending.extend(self._scan_host_bucket(b, q, k_class))
+                continue
             k_scan = min(k_class, b["n_pad"])
             fn = self._scan_fn(b["n_pad"], k_scan,
                                all_valid=b.get("all_valid", False))
-            pending.append((b, fn(b["store"], q, b["valid"]), k_scan))
+            pending.append((b["row_offset"],
+                            fn(b["store"], q, b["valid"]), k_scan))
         return (live, k, quantized, pending)
 
     def search_batch_finish(self, handle, query_vecs: np.ndarray
@@ -1110,12 +1257,14 @@ class VectorStore:
                     np.zeros((live, k), dtype=np.int32))
         all_scores = []
         all_idx = []
-        for b, packed, k_scan in pending:  # dispatched; now sync
-            buf = np.asarray(packed)       # (Q, 2k) i32 — see _scan_fn
+        for row_off, packed, k_scan in pending:  # dispatched; now sync
+            # (Q, 2k) i32 — see _scan_fn; spilled slices arrive already
+            # fetched as numpy (np.asarray is then a no-op)
+            buf = np.asarray(packed)
             # phantom padded rows (>= live) are dropped before the merge
             # and, in int8 mode, before the per-row rescore preads
             all_scores.append(buf[:live, :k_scan].view(np.float32))
-            all_idx.append(buf[:live, k_scan:] + b["row_offset"])
+            all_idx.append(buf[:live, k_scan:] + row_off)
         scores = np.concatenate(all_scores, axis=1)
         idx = np.concatenate(all_idx, axis=1)
         return self._merge_candidates(scores, idx, query_vecs[:live], k,

@@ -1,0 +1,214 @@
+"""HBM spill: stores larger than the device-bucket byte budget keep
+their sealed buckets HOST-resident and stream them through the scan in
+fixed-shape slices (vector_store._scan_host_bucket). The reference's
+disk-based store (LanceDB, src/storage/lance_indexer.rs) has no hard
+corpus ceiling; these tests pin the same property for the device store:
+results stay EXACT (vs a brute-force oracle) whether buckets live in
+HBM, on the host, or mixed — including tombstones, int8 rescore, and
+appends landing after the spill point."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from sema_tpu.index.vector_store import VectorStore
+from sema_tpu.types import Chunk
+
+
+def chunks_and_vecs(n, d=32, path="f.txt", seed=0, start=0):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    cs = [Chunk(id=f"{path}:{start + i}", file_path=Path(path),
+                start_line=i + 1, end_line=i + 2,
+                content=f"content {start + i}")
+          for i in range(n)]
+    return cs, vecs
+
+
+def oracle_topk(store_vecs, dead_rows, q, k):
+    scores = store_vecs @ q
+    scores[list(dead_rows)] = -np.inf
+    order = np.argsort(-scores, kind="stable")[:k]
+    return scores[order], order
+
+
+@pytest.fixture
+def spill_env(monkeypatch):
+    """Tiny budget: EVERY sealed bucket spills to host; buckets and
+    slices are small enough that one test store exercises multiple
+    buckets × multiple slices (incl. a partial tail slice)."""
+    monkeypatch.setattr(VectorStore, "SEAL_ROWS", 64)
+    monkeypatch.setattr(VectorStore, "SPILL_SLICE_ROWS", 96)  # pads→128
+    monkeypatch.setenv("SEMA_TPU_HBM_BUDGET_MB", "0.000001")
+
+
+def make_store(tmp_path, d=32, **kw):
+    # float32 store: the numpy oracle is then bit-exact (no bf16 noise)
+    return VectorStore(tmp_path, dim=d, model="test-tiny",
+                       store_dtype=kw.pop("store_dtype", "float32"), **kw)
+
+
+def test_all_buckets_spill_exact_parity(tmp_path, spill_env):
+    store = make_store(tmp_path)
+    all_vecs = []
+    for i in range(5):
+        cs, v = chunks_and_vecs(64, path=f"f{i}.txt", seed=i)
+        store.add_chunks(cs, v)
+        all_vecs.append(v)
+    buckets = store.device_buckets()
+    assert buckets and all(b.get("host_resident") for b in buckets)
+    assert all(b["store"] is None for b in buckets)
+
+    mat = np.concatenate(all_vecs)
+    rng = np.random.default_rng(99)
+    qs = rng.standard_normal((7, 32)).astype(np.float32)
+    scores, ids = store.search_batch(qs, k=5)
+    for qi in range(len(qs)):
+        o_s, o_i = oracle_topk(mat, [], qs[qi], 5)
+        np.testing.assert_array_equal(ids[qi], o_i)
+        np.testing.assert_allclose(scores[qi], o_s, rtol=1e-5)
+
+
+def test_multi_slice_bucket_with_partial_tail(tmp_path, spill_env):
+    """One 300-row segment → one spilled bucket → slices of 128 rows:
+    [0,128) [128,256) [256,300) — the last one partially filled."""
+    store = make_store(tmp_path)
+    cs, v = chunks_and_vecs(300, seed=3)
+    store.add_chunks(cs, v)
+    [b] = store.device_buckets()
+    assert b.get("host_resident") and b["rows"] == 300
+
+    q = v[271]  # lives in the partial tail slice
+    results = store.search(q, k=3)
+    assert results[0][0].id == "f.txt:271"
+    assert results[0][1] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_mixed_device_and_host_buckets(tmp_path, spill_env, monkeypatch):
+    """Budget sized for exactly one sealed bucket on device: the rest
+    spill, and the merge combines both kinds."""
+    # one sealed bucket: _pad_rows(64)=128 rows × 32 d × 4 B = 16 KiB
+    monkeypatch.setenv("SEMA_TPU_HBM_BUDGET_MB", "0.02")
+    store = make_store(tmp_path)
+    all_vecs = []
+    for i in range(3):
+        cs, v = chunks_and_vecs(64, path=f"f{i}.txt", seed=10 + i)
+        store.add_chunks(cs, v)
+        all_vecs.append(v)
+    buckets = store.device_buckets()
+    kinds = [bool(b.get("host_resident")) for b in buckets]
+    assert kinds == [False, True, True]
+
+    mat = np.concatenate(all_vecs)
+    rng = np.random.default_rng(5)
+    qs = rng.standard_normal((4, 32)).astype(np.float32)
+    scores, ids = store.search_batch(qs, k=4)
+    for qi in range(len(qs)):
+        o_s, o_i = oracle_topk(mat, [], qs[qi], 4)
+        np.testing.assert_array_equal(ids[qi], o_i)
+
+
+def test_spill_sees_fresh_tombstones(tmp_path, spill_env):
+    """Host buckets rebuild validity per slice at scan time — a delete
+    that lands after the bucket was built must mask its rows with no
+    device mask re-upload."""
+    store = make_store(tmp_path)
+    cs0, v0 = chunks_and_vecs(64, path="dead.txt", seed=20)
+    cs1, v1 = chunks_and_vecs(64, path="live.txt", seed=21)
+    store.add_chunks(cs0, v0)
+    store.add_chunks(cs1, v1)
+    store.device_buckets()            # spill happens here
+    assert store.remove_file_chunks(Path("dead.txt")) == 64
+
+    q = v0[7]                          # its exact row is tombstoned
+    scores, ids = store.search_batch(q[None, :], k=3)
+    assert all(i >= 64 for i in ids[0])       # only live.txt rows
+    mat = np.concatenate([v0, v1])
+    o_s, o_i = oracle_topk(mat, range(64), q, 3)
+    np.testing.assert_array_equal(ids[0], o_i)
+
+
+def test_append_after_spill(tmp_path, spill_env):
+    """New rows after the spill point land in a DEVICE tail bucket; the
+    merge spans spilled + device buckets and finds them."""
+    store = make_store(tmp_path)
+    cs, v = chunks_and_vecs(64, path="old.txt", seed=30)
+    store.add_chunks(cs, v)
+    store.device_buckets()
+    cs2, v2 = chunks_and_vecs(8, path="new.txt", seed=31)
+    store.add_chunks(cs2, v2)
+    buckets = store.device_buckets()
+    assert [bool(b.get("host_resident")) for b in buckets] == [True, False]
+
+    results = store.search(v2[3], k=1)
+    assert results[0][0].id == "new.txt:3"
+    results = store.search(v[5], k=1)
+    assert results[0][0].id == "old.txt:5"
+
+
+def test_spill_int8_scans_bf16_originals(tmp_path, spill_env):
+    """An int8 store's spilled slices stream the bf16 disk originals
+    (full-precision candidate selection) and still go through the exact
+    rescore — ids must match the full-precision oracle."""
+    store = make_store(tmp_path, store_dtype="int8")
+    all_vecs = []
+    for i in range(2):
+        cs, v = chunks_and_vecs(64, path=f"f{i}.txt", seed=40 + i)
+        store.add_chunks(cs, v)
+        all_vecs.append(v)
+    assert all(b.get("host_resident") for b in store.device_buckets())
+
+    mat = np.concatenate(all_vecs).astype(np.float32)
+    # the disk originals are bf16 — round the oracle matrix the same way
+    import ml_dtypes
+    mat = mat.astype(ml_dtypes.bfloat16).astype(np.float32)
+    rng = np.random.default_rng(8)
+    qs = rng.standard_normal((3, 32)).astype(np.float32)
+    scores, ids = store.search_batch(qs, k=5)
+    for qi in range(len(qs)):
+        o_s, o_i = oracle_topk(mat, [], qs[qi], 5)
+        np.testing.assert_array_equal(ids[qi], o_i)
+        np.testing.assert_allclose(scores[qi], o_s, rtol=1e-2)
+
+
+def test_oom_fallback_spills(tmp_path, monkeypatch):
+    """A RESOURCE_EXHAUSTED from XLA during a sealed bucket's upload
+    degrades to a host bucket instead of crashing (no budget set)."""
+    monkeypatch.setattr(VectorStore, "SEAL_ROWS", 64)
+    monkeypatch.setattr(VectorStore, "SPILL_SLICE_ROWS", 96)
+    monkeypatch.delenv("SEMA_TPU_HBM_BUDGET_MB", raising=False)
+    store = make_store(tmp_path)
+    orig = store._build_bucket
+
+    def exploding(seg_range, row_offset, sealed, min_capacity_rows=0):
+        if sealed:
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Out of memory allocating x bytes")
+        return orig(seg_range, row_offset, sealed,
+                    min_capacity_rows=min_capacity_rows)
+
+    monkeypatch.setattr(store, "_build_bucket", exploding)
+    cs, v = chunks_and_vecs(64, seed=50)
+    store.add_chunks(cs, v)
+    [b] = store.device_buckets()
+    assert b.get("host_resident")
+    results = store.search(v[10], k=1)
+    assert results[0][0].id == "f.txt:10"
+
+
+def test_persistence_roundtrip_with_spill(tmp_path, spill_env):
+    """Spill is a scan-time policy, not an on-disk state: reopening the
+    store (same budget) rebuilds host buckets and results are intact."""
+    store = make_store(tmp_path)
+    cs, v = chunks_and_vecs(128, seed=60)
+    store.add_chunks(cs, v)
+    store.close()
+
+    store2 = make_store(tmp_path)
+    assert all(b.get("host_resident")
+               for b in store2.device_buckets())
+    results = store2.search(v[100], k=1)
+    assert results[0][0].id == "f.txt:100"
+    store2.close()
