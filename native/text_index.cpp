@@ -28,9 +28,12 @@
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <map>
 #include <string>
+#include <string_view>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -40,7 +43,7 @@ namespace {
 
 // -- utf8 tokenizer (tantivy default analyzer semantics) ---------------------
 
-inline uint32_t decode_utf8(const std::string& s, size_t& i) {
+inline uint32_t decode_utf8(std::string_view s, size_t& i) {
     uint8_t c = s[i];
     if (c < 0x80) { i += 1; return c; }
     if ((c >> 5) == 0x6 && i + 1 < s.size()) {
@@ -78,7 +81,7 @@ inline void append_utf8(std::string& out, uint32_t cp) {
     }
 }
 
-std::vector<std::string> tokenize(const std::string& text) {
+std::vector<std::string> tokenize(std::string_view text) {
     std::vector<std::string> out;
     std::string cur;
     size_t cur_chars = 0;
@@ -131,6 +134,12 @@ struct Reader {
         off += len;
         return s;
     }
+    std::string_view sv() {   // zero-copy view; valid while blob lives
+        uint32_t len = u32();
+        std::string_view s(reinterpret_cast<const char*>(p + off), len);
+        off += len;
+        return s;
+    }
     const uint8_t* bytes(uint64_t len) {
         const uint8_t* b = p + off;
         off += len;
@@ -149,72 +158,143 @@ struct FileRun {
     uint32_t start, count;
 };
 
+// Worker count for the parallel tokenize+postings phase.
+// SEMA_TPU_BUILD_THREADS forces a count (tests pin it to prove the
+// threaded build is byte-identical); otherwise hardware_concurrency,
+// and small batches stay single-threaded — per-doc work is µs-scale,
+// so thread spawn would dominate.
+unsigned build_threads(uint32_t n_docs) {
+    const char* e = getenv("SEMA_TPU_BUILD_THREADS");
+    long v = e ? strtol(e, nullptr, 10) : 0;
+    if (v > 0) return (unsigned)std::min<long>(v, 64);
+    if (n_docs < 2048) return 1;
+    unsigned hw = std::thread::hardware_concurrency();
+    return hw ? std::min(hw, 16u) : 1;
+}
+
 // blob: u32 n; per doc: str id, str path, u64 start, u64 end, str content
 int build_segment(const uint8_t* blob, uint64_t blob_len, const char* path) {
     Reader r{blob, blob_len};
     uint32_t n = r.u32();
 
-    std::string doc_len, meta_idx, meta, content_idx, content;
+    // parse pass: zero-copy views into the blob (it outlives the build)
+    struct DocRec { std::string_view id, path, body; uint64_t start, end; };
+    std::vector<DocRec> docs(n);
+    for (uint32_t i = 0; i < n; i++) {
+        docs[i].id = r.sv();
+        docs[i].path = r.sv();
+        docs[i].start = r.u64();
+        docs[i].end = r.u64();
+        docs[i].body = r.sv();
+        // the meta record stores u16 lengths; silently wrapping would
+        // desync every later offset in the segment (the Python engine
+        // raises struct.error for the same input) — refuse instead
+        if (docs[i].id.size() > 0xFFFF || docs[i].path.size() > 0xFFFF)
+            return -3;
+    }
+
     struct PostList {
         std::vector<std::pair<uint32_t, uint32_t>> entries;  // (doc, tf)
         std::vector<uint32_t> pos;  // token positions, run per entry = tf
     };
-    // hash map during the build (O(1) per token vs O(log T) string
-    // compares in a std::map); the format's bytewise term order is
-    // imposed once by sorting the key list at the end
-    std::unordered_map<std::string, PostList> postings;
+    // tokenize + postings run sharded over contiguous doc ranges (the
+    // compute phase — ~8M tokens/s/core, docs/PERF.md; everything else
+    // in this function is memcpy/IO). Each shard fills a LOCAL hash map
+    // (O(1) per token vs O(log T) string compares in a std::map); the
+    // format's bytewise term order is imposed once by sorting the key
+    // list at the end. Doc ids are GLOBAL, so stitching shard results
+    // in shard order preserves the per-term ascending-doc invariant and
+    // the output is byte-identical at any thread count (pinned by
+    // tests/test_text_index_native.py).
+    unsigned T = std::min<unsigned>(std::max(build_threads(n), 1u),
+                                    std::max(n, 1u));
+    struct Shard {
+        std::vector<uint32_t> doc_len;
+        std::unordered_map<std::string, PostList> postings;
+        uint64_t total_len = 0;
+    };
+    std::vector<Shard> shards(T);
+    auto work = [&](unsigned t) {
+        uint32_t d0 = (uint32_t)((uint64_t)n * t / T);
+        uint32_t d1 = (uint32_t)((uint64_t)n * (t + 1) / T);
+        Shard& sh = shards[t];
+        sh.doc_len.reserve(d1 - d0);
+        for (uint32_t i = d0; i < d1; i++) {
+            auto toks = tokenize(docs[i].body);
+            sh.doc_len.push_back((uint32_t)toks.size());
+            sh.total_len += toks.size();
+            // append (pos) runs straight into the term's PostList: a
+            // new doc for a term opens a fresh (doc, tf=0) entry;
+            // repeats bump the tf and push the position — no per-doc
+            // side map, and positions stay grouped per (term, doc) in
+            // ascending order because tokens are scanned in order
+            for (uint32_t p = 0; p < (uint32_t)toks.size(); p++) {
+                auto& pl = sh.postings[toks[p]];
+                if (pl.entries.empty() || pl.entries.back().first != i)
+                    pl.entries.emplace_back(i, 0u);
+                pl.entries.back().second++;
+                pl.pos.push_back(p);
+            }
+        }
+    };
+    std::vector<std::thread> pool;
+    if (T > 1)
+        for (unsigned t = 0; t < T; t++) pool.emplace_back(work, t);
+
+    // meanwhile on this thread: the sequential memcpy sections
+    std::string doc_len, meta_idx, meta, content_idx, content;
     std::vector<FileRun> runs;
-    std::string prev_path;
-    uint64_t moff = 0, coff = 0, total_len = 0;
+    std::string_view prev_path;
+    uint64_t moff = 0, coff = 0;
     put_u64(meta_idx, 0);
     put_u64(content_idx, 0);
-
     for (uint32_t i = 0; i < n; i++) {
-        std::string id = r.str();
-        std::string fpath = r.str();
-        uint64_t start = r.u64(), end = r.u64();
-        std::string body = r.str();
-
-        auto toks = tokenize(body);
-        put_u32(doc_len, (uint32_t)toks.size());
-        total_len += toks.size();
-        // append (pos) runs straight into the term's PostList: a new
-        // doc for a term opens a fresh (doc, tf=0) entry; repeats bump
-        // the tf and push the position — no per-doc side map, and
-        // positions stay grouped per (term, doc) in ascending order
-        // because tokens are scanned in order
-        for (uint32_t p = 0; p < (uint32_t)toks.size(); p++) {
-            auto& pl = postings[toks[p]];
-            if (pl.entries.empty() || pl.entries.back().first != i)
-                pl.entries.emplace_back(i, 0u);
-            pl.entries.back().second++;
-            pl.pos.push_back(p);
-        }
-
-        put_u32(meta, (uint32_t)start);
-        put_u32(meta, (uint32_t)end);
-        // the meta record stores u16 lengths; silently wrapping would
-        // desync every later offset in the segment (the Python engine
-        // raises struct.error for the same input) — refuse instead
-        if (id.size() > 0xFFFF || fpath.size() > 0xFFFF) return -3;
-        uint16_t idl = (uint16_t)id.size(), pl = (uint16_t)fpath.size();
+        const DocRec& d = docs[i];
+        put_u32(meta, (uint32_t)d.start);
+        put_u32(meta, (uint32_t)d.end);
+        uint16_t idl = (uint16_t)d.id.size(), pl = (uint16_t)d.path.size();
         meta.append(reinterpret_cast<const char*>(&idl), 2);
         meta.append(reinterpret_cast<const char*>(&pl), 2);
-        meta += id;
-        meta += fpath;
+        meta.append(d.id.data(), d.id.size());
+        meta.append(d.path.data(), d.path.size());
         moff += 12 + idl + pl;
         put_u64(meta_idx, moff);
 
-        content += body;
-        coff += body.size();
+        content.append(d.body.data(), d.body.size());
+        coff += d.body.size();
         put_u64(content_idx, coff);
 
-        if (runs.empty() || fpath != prev_path) {
-            runs.push_back({fnv1a64(fpath), i, 1});
-            prev_path = fpath;
+        if (runs.empty() || d.path != prev_path) {
+            runs.push_back({fnv1a64(std::string(d.path)), i, 1});
+            prev_path = d.path;
         } else {
             runs.back().count++;
         }
+    }
+
+    if (T > 1)
+        for (auto& th : pool) th.join();
+    else
+        work(0);
+
+    // stitch shards (shard order == doc order): doc_len concatenates;
+    // per-term postings append, keeping doc ids ascending
+    uint64_t total_len = 0;
+    for (auto& sh : shards) {
+        total_len += sh.total_len;
+        for (uint32_t L : sh.doc_len) put_u32(doc_len, L);
+    }
+    auto& postings = shards[0].postings;
+    for (unsigned t = 1; t < T; t++) {
+        for (auto& kv : shards[t].postings) {
+            auto& base = postings[kv.first];
+            base.entries.insert(base.entries.end(),
+                                kv.second.entries.begin(),
+                                kv.second.entries.end());
+            base.pos.insert(base.pos.end(), kv.second.pos.begin(),
+                            kv.second.pos.end());
+        }
+        shards[t].postings.clear();
     }
 
     // postings doc ids are ascending per term by construction (docs are

@@ -183,3 +183,44 @@ def test_whitespace_only_phrase_parity(tmp_path):
         assert hp == hn, (q, hp, hn)
     # the no-token phrase must not reject docs: plain foo hits survive
     assert {c.id for c, _ in py.search('foo " "', 10)} == {"f:0", "f:1"}
+
+
+def test_threaded_build_byte_identical(tmp_path, monkeypatch):
+    """The sharded tokenize+postings build (SEMA_TPU_BUILD_THREADS)
+    must produce a byte-identical segment file at ANY thread count:
+    doc ids are global and shards stitch in doc order, so the on-disk
+    postings/positions/meta are invariant. (This box has one core —
+    the speedup is for multi-core hosts; parity is what is pinned.)"""
+    from sema_tpu.native import bindings
+
+    rng = random.Random(7)
+    words = ["".join(rng.choices(string.ascii_lowercase, k=rng.randint(1, 8)))
+             for _ in range(200)]
+    docs = []
+    for i in range(137):   # odd count: uneven shard boundaries
+        body = " ".join(rng.choices(words, k=rng.randint(0, 60)))
+        docs.append((f"f{i % 5}.txt:{i}", f"f{i % 5}.txt", i, i + 1, body))
+
+    outs = {}
+    for t in ("1", "4", "13"):
+        monkeypatch.setenv("SEMA_TPU_BUILD_THREADS", t)
+        p = tmp_path / f"seg-t{t}.bin"
+        bindings.tseg_build(docs, str(p))
+        outs[t] = p.read_bytes()
+    assert outs["1"] == outs["4"] == outs["13"]
+    assert len(outs["1"]) > 0
+
+
+def test_threaded_build_more_threads_than_docs(tmp_path, monkeypatch):
+    """Thread count above the doc count must clamp, not crash or skew."""
+    from sema_tpu.native import bindings
+
+    docs = [("a.txt:0", "a.txt", 1, 2, "tiny corpus of words"),
+            ("a.txt:1", "a.txt", 2, 3, "more words here")]
+    monkeypatch.setenv("SEMA_TPU_BUILD_THREADS", "64")
+    p1 = tmp_path / "many.bin"
+    bindings.tseg_build(docs, str(p1))
+    monkeypatch.setenv("SEMA_TPU_BUILD_THREADS", "1")
+    p2 = tmp_path / "one.bin"
+    bindings.tseg_build(docs, str(p2))
+    assert p1.read_bytes() == p2.read_bytes()
