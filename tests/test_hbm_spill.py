@@ -212,3 +212,45 @@ def test_persistence_roundtrip_with_spill(tmp_path, spill_env):
     results = store2.search(v[100], k=1)
     assert results[0][0].id == "f.txt:100"
     store2.close()
+
+
+def test_query_batcher_over_spilled_store(tmp_path, spill_env):
+    """Serving integration: the QueryBatcher's dispatch/completion
+    pipeline must work when search_batch_async blocks to stream spilled
+    buckets (concurrent callers, exact winners, clean close)."""
+    import threading
+    from sema_tpu.search.server import QueryBatcher
+
+    store = make_store(tmp_path)
+    vecs_all = []
+    for i in range(3):
+        cs, v = chunks_and_vecs(64, path=f"f{i}.txt", seed=70 + i)
+        store.add_chunks(cs, v)
+        vecs_all.append(v)
+    assert all(b.get("host_resident") for b in store.device_buckets())
+    vecs = np.concatenate(vecs_all)
+
+    b = QueryBatcher(store, max_batch=8, max_wait_ms=5)
+    results, errors = {}, []
+
+    def worker(i):
+        try:
+            results[i] = b.search(vecs[i * 7], k=1)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(24)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors
+        assert len(results) == 24
+        for i, res in results.items():
+            row = i * 7
+            fi, local = divmod(row, 64)
+            assert res[0][0].id == f"f{fi}.txt:{local}"
+    finally:
+        b.close()
