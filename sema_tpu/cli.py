@@ -189,7 +189,8 @@ def make_index_manager(config: Config, metrics=None):
               "run on a networked machine.", file=sys.stderr)
     return IndexManager(
         data_dir(), encoder, store_dtype=config.index.store_dtype,
-        mesh=mesh, metrics=metrics, rescore_k=config.index.rescore_k)
+        mesh=mesh, metrics=metrics, rescore_k=config.index.rescore_k,
+        hbm_budget_mb=config.index.hbm_budget_mb)
 
 
 def cmd_index(args) -> int:

@@ -80,6 +80,9 @@ class IndexConfig:
     rescore_k: int = 100             # bf16 rescore depth for int8 scans
     segment_rows: int = 65536        # rows per append segment (device tile multiple)
     result_limit: int = 50           # ref engine.rs:11 SEARCH_RESULTS_LIMIT
+    hbm_budget_mb: float = 0.0       # device-bucket cap; 0 = auto (PJRT limit
+                                     # or unlimited); past it, buckets stream
+                                     # from host (HBM spill, docs/PERF.md)
 
 
 @dataclass

@@ -258,7 +258,8 @@ class _Segment:
 class VectorStore:
     def __init__(self, data_dir: Path | str, dim: int, model: str,
                  store_dtype: str = "bfloat16", mesh=None,
-                 index_axis: str = "index", rescore_k: int = 100):
+                 index_axis: str = "index", rescore_k: int = 100,
+                 hbm_budget_mb: float = 0.0):
         self.dir = Path(data_dir) / "vector_index"
         self.dir.mkdir(parents=True, exist_ok=True)
         self.dim = dim
@@ -266,6 +267,7 @@ class VectorStore:
         self.store_dtype = store_dtype
         self.np_dtype = _STORE_DTYPES[store_dtype]
         self.rescore_k = rescore_k
+        self.hbm_budget_mb = hbm_budget_mb   # 0 = auto; [index] config knob
         self.mesh = mesh
         self.index_axis = index_axis
         self.segments: List[_Segment] = []
@@ -681,10 +683,11 @@ class VectorStore:
     def _hbm_budget_bytes(self) -> Optional[int]:
         """Device-bucket byte budget, or None for unlimited.
 
-        Priority: SEMA_TPU_HBM_BUDGET_MB (0/empty disables), else 85% of
-        the device's PJRT ``bytes_limit`` when the backend reports one
-        (the axon tunnel backend returns None — there the env var or the
-        RESOURCE_EXHAUSTED fallback are the only gates)."""
+        Priority: SEMA_TPU_HBM_BUDGET_MB (operator override; 0/empty
+        disables), else the ``[index] hbm_budget_mb`` config knob, else
+        85% of the device's PJRT ``bytes_limit`` when the backend
+        reports one (the axon tunnel backend returns None — there the
+        knobs or the RESOURCE_EXHAUSTED fallback are the only gates)."""
         env = os.environ.get("SEMA_TPU_HBM_BUDGET_MB")
         if env:
             try:
@@ -692,6 +695,8 @@ class VectorStore:
             except ValueError:
                 mb = 0.0
             return int(mb * (1 << 20)) if mb > 0 else None
+        if self.hbm_budget_mb and self.hbm_budget_mb > 0:
+            return int(self.hbm_budget_mb * (1 << 20))
         try:
             ms = jax.local_devices()[0].memory_stats()
             limit = ms.get("bytes_limit") if ms else None

@@ -254,3 +254,32 @@ def test_query_batcher_over_spilled_store(tmp_path, spill_env):
             assert res[0][0].id == f"f{fi}.txt:{local}"
     finally:
         b.close()
+
+
+def test_constructor_budget_knob(tmp_path, monkeypatch):
+    """[index] hbm_budget_mb flows through IndexManager/VectorStore and
+    forces spill without any env var; the env var still overrides."""
+    monkeypatch.setattr(VectorStore, "SEAL_ROWS", 64)
+    monkeypatch.setattr(VectorStore, "SPILL_SLICE_ROWS", 96)
+    monkeypatch.delenv("SEMA_TPU_HBM_BUDGET_MB", raising=False)
+    store = VectorStore(tmp_path, dim=32, model="test-tiny",
+                        store_dtype="float32", hbm_budget_mb=1e-6)
+    cs, v = chunks_and_vecs(64, seed=80)
+    store.add_chunks(cs, v)
+    [b] = store.device_buckets()
+    assert b.get("host_resident")
+    assert store.search(v[9], k=1)[0][0].id == "f.txt:9"
+    # env override wins over the constructor knob
+    monkeypatch.setenv("SEMA_TPU_HBM_BUDGET_MB", "1024")
+    store._invalidate_device()
+    [b2] = store.device_buckets()
+    assert not b2.get("host_resident")
+
+
+def test_config_roundtrip_budget(tmp_path):
+    from sema_tpu.config import Config, dumps_toml, loads_toml
+    c = Config()
+    assert c.index.hbm_budget_mb == 0.0
+    c.index.hbm_budget_mb = 12288.0
+    c2 = loads_toml(dumps_toml(c))
+    assert c2.index.hbm_budget_mb == 12288.0

@@ -18,10 +18,24 @@ from sema_tpu.index.vector_store import VectorStore
 from sema_tpu.types import Chunk
 
 
+@pytest.mark.parametrize("spill", [None, "all", "mixed"])
 @pytest.mark.parametrize("seed", [3, 41])
-def test_differential_fuzz(tmp_path, seed, monkeypatch):
+def test_differential_fuzz(tmp_path, seed, spill, monkeypatch):
     monkeypatch.setattr(VectorStore, "SEAL_ROWS", 96)
     monkeypatch.setattr(VectorStore, "MAX_TAIL_BUCKETS", 3)
+    # the spill axis reruns the whole state machine with sealed buckets
+    # forced host-resident ("all") or split across device + host
+    # ("mixed" — ~2 sealed device buckets of 8 KiB fit the 0.02 MB
+    # budget); slices are smaller than buckets so multi-slice streaming
+    # with partial tails is exercised too
+    if spill == "all":
+        monkeypatch.setenv("SEMA_TPU_HBM_BUDGET_MB", "0.000001")
+        monkeypatch.setattr(VectorStore, "SPILL_SLICE_ROWS", 64)
+    elif spill == "mixed":
+        monkeypatch.setenv("SEMA_TPU_HBM_BUDGET_MB", "0.02")
+        monkeypatch.setattr(VectorStore, "SPILL_SLICE_ROWS", 64)
+    else:
+        monkeypatch.delenv("SEMA_TPU_HBM_BUDGET_MB", raising=False)
     rng = np.random.default_rng(seed)
     pyrng = random.Random(seed)
     d = 32
