@@ -1144,13 +1144,26 @@ class VectorStore:
         self._topk_fns[key] = fn
         return fn
 
+    def _deleted_snapshot(self, seg_range) -> list:
+        """Per-segment tombstone arrays, copied under the store lock:
+        ``remove_file_chunks`` mutates ``seg.deleted`` (a set) from
+        mutator threads while spilled scans read it lock-free — iterating
+        the live set would race ("set changed size during iteration")."""
+        with self._lock:
+            return [np.fromiter(s.deleted, dtype=np.int64)
+                    if s.deleted else None
+                    for s in self.segments[seg_range[0]:seg_range[1]]]
+
     def _fill_rows_range(self, seg_range, lo: int, hi: int,
-                         host: np.ndarray, valid: np.ndarray) -> None:
+                         host: np.ndarray, valid: np.ndarray,
+                         deleted: list) -> None:
         """Copy bucket-relative rows [lo, hi) from the segment memmaps
         into ``host[0:hi-lo]`` and set their liveness in ``valid``
-        (slots past hi-lo stay zero/dead — slice padding)."""
+        (slots past hi-lo stay zero/dead — slice padding). ``deleted``
+        is the _deleted_snapshot for the same seg_range."""
         off = 0
-        for seg in self.segments[seg_range[0]:seg_range[1]]:
+        for seg, dead in zip(self.segments[seg_range[0]:seg_range[1]],
+                             deleted):
             s0, s1 = off, off + seg.rows
             a, b = max(lo, s0), min(hi, s1)
             if a < b:
@@ -1158,43 +1171,52 @@ class VectorStore:
                 src0, src1 = a - s0, b - s0
                 host[dst:dst + (b - a)] = seg.vectors[src0:src1]
                 v = np.ones(b - a, dtype=bool)
-                for r in seg.deleted:
-                    if src0 <= r < src1:
-                        v[r - src0] = False
+                if dead is not None:
+                    d = dead[(dead >= src0) & (dead < src1)]
+                    v[d - src0] = False
                 valid[dst:dst + (b - a)] = v
             off = s1
             if off >= hi:
                 break
 
-    def _scan_host_bucket(self, b: dict, q, k_class: int) -> list:
+    def _scan_host_bucket(self, b: dict, q, k_class: int,
+                          window: list) -> list:
         """Stream a host-resident bucket (HBM spill) through the scan.
 
         Fixed-shape slices of SPILL_SLICE_ROWS (padded once, so ONE
         compiled executable serves every slice of every spilled bucket)
         are staged host→device and dispatched back-to-back; at most
-        SPILL_INFLIGHT slices live in HBM — older results are
-        force-fetched to host, which is also what paces the staging
-        uploads against the device. Returns finished/pending entries in
-        the same (row_offset, packed, k_scan) form as device buckets, so
-        the merge path cannot tell the difference. int8 stores stream
-        their bf16 disk originals (see _scan_fn dtype_override)."""
+        SPILL_INFLIGHT staged slices live in HBM — older results are
+        force-fetched to host (mutating their pending entry in place),
+        which is also what paces the staging uploads against the device.
+        ``window`` is SHARED across every spilled bucket of one search
+        (bulk builds split buckets at SEAL_ROWS ≈ one slice each, so a
+        per-bucket window would never fill and a deeply spilled store
+        would hold every staged slice in HBM at once). Returns pending
+        entries in the same (row_offset, packed, k_scan) shape as device
+        buckets, so the merge path cannot tell the difference. int8
+        stores stream their bf16 disk originals (see _scan_fn
+        dtype_override)."""
         rows = b["rows"]
         slice_rows = self._pad_rows(min(self.SPILL_SLICE_ROWS, rows))
         k_scan = min(k_class, slice_rows)
         override = "bfloat16" if self.store_dtype == "int8" else None
         fn = self._scan_fn(slice_rows, k_scan, dtype_override=override)
-        out, inflight = [], []
+        deleted = self._deleted_snapshot(b["seg_range"])
+        out = []
         for lo in range(0, rows, slice_rows):
             hi = min(lo + slice_rows, rows)
             host = np.zeros((slice_rows, self.dim), dtype=self.np_dtype)
             valid = np.zeros((slice_rows,), dtype=bool)
-            self._fill_rows_range(b["seg_range"], lo, hi, host, valid)
+            self._fill_rows_range(b["seg_range"], lo, hi, host, valid,
+                                  deleted)
             packed = fn(jnp.asarray(host), q, jnp.asarray(valid))
-            inflight.append((b["row_offset"] + lo, packed, k_scan))
-            if len(inflight) >= self.SPILL_INFLIGHT:
-                ro, pk, ks = inflight.pop(0)
-                out.append((ro, np.asarray(pk), ks))
-        out.extend(inflight)
+            entry = [b["row_offset"] + lo, packed, k_scan]
+            out.append(entry)
+            window.append(entry)
+            if len(window) >= self.SPILL_INFLIGHT:
+                oldest = window.pop(0)
+                oldest[1] = np.asarray(oldest[1])   # fetch → frees HBM
         return out
 
     def search_batch_async(self, query_vecs: np.ndarray, k: int,
@@ -1229,12 +1251,14 @@ class VectorStore:
                        k_want)
 
         pending = []
+        spill_window = []   # staged-slice bound shared across buckets
         for b in buckets:
             if b.get("host_resident"):
                 # HBM-spill: stream this bucket through the scan now.
                 # This blocks for the streamed portion (bounded staging
                 # HBM beats async purity for an over-capacity store).
-                pending.extend(self._scan_host_bucket(b, q, k_class))
+                pending.extend(self._scan_host_bucket(b, q, k_class,
+                                                      spill_window))
                 continue
             k_scan = min(k_class, b["n_pad"])
             fn = self._scan_fn(b["n_pad"], k_scan,

@@ -283,3 +283,77 @@ def test_config_roundtrip_budget(tmp_path):
     c.index.hbm_budget_mb = 12288.0
     c2 = loads_toml(dumps_toml(c))
     assert c2.index.hbm_budget_mb == 12288.0
+
+
+def test_concurrent_deletes_during_spilled_search(tmp_path, spill_env):
+    """remove_file_chunks mutates seg.deleted (a set) while spilled
+    scans read tombstones lock-free; the scan must snapshot them under
+    the lock (_deleted_snapshot) — iterating the live set races with
+    the mutator ("set changed size during iteration")."""
+    import threading
+
+    store = make_store(tmp_path)
+    for i in range(4):
+        cs, v = chunks_and_vecs(64, path=f"f{i}.txt", seed=90 + i)
+        # one file per row so deletes trickle one tombstone at a time
+        for c in cs:
+            c.file_path = Path(f"f{i}_{c.start_line}.txt")
+        store.add_chunks(cs, v)
+    assert all(b.get("host_resident") for b in store.device_buckets())
+
+    errors = []
+    stop = threading.Event()
+
+    def deleter():
+        try:
+            for i in range(4):
+                for ln in range(1, 65):
+                    store.remove_file_chunks(Path(f"f{i}_{ln}.txt"))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+        finally:
+            stop.set()
+
+    t = threading.Thread(target=deleter)
+    t.start()
+    rng = np.random.default_rng(1)
+    try:
+        while not stop.is_set():
+            q = rng.standard_normal(32).astype(np.float32)
+            store.search_batch(q[None, :], k=5)
+    finally:
+        t.join(timeout=30)
+    assert not errors
+    # everything deleted: the store must return no finite hits
+    scores, ids = store.search_batch(
+        rng.standard_normal((1, 32)).astype(np.float32), k=5)
+    assert not np.isfinite(scores).any()
+
+
+def test_spill_staging_window_is_global(tmp_path, spill_env):
+    """Bulk builds split spilled buckets at SEAL_ROWS ≈ one slice each;
+    the SPILL_INFLIGHT staging bound must therefore span ALL spilled
+    buckets of one search — after search_batch_async returns, at most
+    SPILL_INFLIGHT slices may still be un-fetched device arrays."""
+    store = make_store(tmp_path)
+    all_vecs = []
+    for i in range(6):
+        cs, v = chunks_and_vecs(64, path=f"f{i}.txt", seed=100 + i)
+        store.add_chunks(cs, v)
+        all_vecs.append(v)
+    assert all(b.get("host_resident") for b in store.device_buckets())
+
+    qs = np.random.default_rng(2).standard_normal(
+        (3, 32)).astype(np.float32)
+    handle = store.search_batch_async(qs, k=4)
+    pending = handle[3]
+    assert len(pending) >= 6
+    n_device = sum(1 for e in pending
+                   if not isinstance(e[1], np.ndarray))
+    assert n_device <= VectorStore.SPILL_INFLIGHT
+
+    scores, ids = store.search_batch_finish(handle, qs)
+    mat = np.concatenate(all_vecs)
+    for qi in range(len(qs)):
+        o_s, o_i = oracle_topk(mat, [], qs[qi], 4)
+        np.testing.assert_array_equal(ids[qi], o_i)
