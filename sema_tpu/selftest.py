@@ -57,7 +57,7 @@ def _env(key: str, value: Optional[str]):
 
 def _scan_check(name: str, dim: int, store_dtype: str,
                 backend: Optional[str], rows: int,
-                mesh: bool = False) -> Check:
+                mesh: bool = False, spill: bool = False) -> Check:
     from sema_tpu.index.vector_store import VectorStore
     from sema_tpu.types import Chunk
 
@@ -79,11 +79,20 @@ def _scan_check(name: str, dim: int, store_dtype: str,
         mesh_obj = make_mesh(shape=[len(jax.devices())],
                              axis_names=("index",))
     with tempfile.TemporaryDirectory() as td, \
-            _env("SEMA_TPU_SCAN_BACKEND", backend):
+            _env("SEMA_TPU_SCAN_BACKEND", backend), \
+            _env("SEMA_TPU_HBM_BUDGET_MB", "0.000001" if spill else None):
         store = VectorStore(td, dim=dim, model="selftest",
                             store_dtype=store_dtype, mesh=mesh_obj)
+        if spill:
+            # instance-level shrink so this small store actually seals
+            # and spills, and streams in >1 slice
+            store.SEAL_ROWS = 128
+            store.SPILL_SLICE_ROWS = 128
         store.add_chunks(chunks, vecs)
         misses = []
+        if spill and not all(b.get("host_resident")
+                             for b in store.device_buckets()):
+            misses.append("store did not spill (check is vacuous)")
         for p in probes:
             res = store.search(vecs[p], k=1)
             got = res[0][0].id if res else "<none>"
@@ -93,7 +102,8 @@ def _scan_check(name: str, dim: int, store_dtype: str,
     if misses:
         return (name, False, "planted winners missed: " + "; ".join(misses))
     return (name, True, f"{len(probes)} planted winners exact "
-                        f"({rows} rows, {store_dtype})")
+                        f"({rows} rows, {store_dtype}"
+                        f"{', spilled' if spill else ''})")
 
 
 def _encoder_parity_check(model_cfg, enc=None) -> Check:
@@ -134,6 +144,10 @@ def run_device_selftest(model_cfg=None, dim: int = 384,
         # the sharded (shard_map all-gather) program on this backend
         _scan_check("scan-mesh", dim, "bfloat16", None, rows=300,
                     mesh=True),
+        # HBM spill: host-resident bucket streamed in 3 slices (incl. a
+        # partial tail) through this backend's staging path
+        _scan_check("scan-spill", dim, "bfloat16", None, rows=300,
+                    spill=True),
     ]
     if with_encoder and model_cfg is not None:
         checks.append(_encoder_parity_check(model_cfg, enc=encoder))
