@@ -969,6 +969,23 @@ class VectorStore:
                 self._build_device()
             return list(self._buckets)  # snapshot for lock-free searching
 
+    def device_residency(self) -> dict:
+        """Observability: where the store currently lives (device vs
+        spilled-to-host buckets). NON-FORCING — peeks the existing
+        bucket list without building one, so `/healthz` and
+        ``index --stats`` never trigger a cold full-store upload."""
+        with self._lock:
+            buckets = list(self._buckets or [])
+        host = [b for b in buckets if b.get("host_resident")]
+        dev = [b for b in buckets if not b.get("host_resident")]
+        return {
+            "buckets": len(buckets),
+            "host_buckets": len(host),
+            "spilled_rows": sum(b["rows"] for b in host),
+            "device_bytes": sum(self._bucket_dev_bytes(b["n_pad"])
+                                for b in dev),
+        }
+
     def device_arrays(self):
         """Single-bucket view (kept for tests/tools); the serving path is
         :meth:`device_buckets`."""

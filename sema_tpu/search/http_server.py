@@ -64,6 +64,9 @@ class SearchService:
             "model": self.manager.encoder.spec.name,
             "rows": self.manager.vector_store.live_rows,
             "text_docs": self.manager.text_index.num_live_docs,
+            # device vs HBM-spilled residency (non-forcing peek): a
+            # nonzero host_buckets explains streamed-scan latency
+            "store": self.manager.vector_store.device_residency(),
             # live serving breakdown (per-stage p50/p99 over the last
             # stats window) — the production view of where batch time goes
             "batcher": self.batcher.stats(),

@@ -357,3 +357,18 @@ def test_spill_staging_window_is_global(tmp_path, spill_env):
     for qi in range(len(qs)):
         o_s, o_i = oracle_topk(mat, [], qs[qi], 4)
         np.testing.assert_array_equal(ids[qi], o_i)
+
+
+def test_device_residency_stats(tmp_path, spill_env):
+    """device_residency() reports spill state without forcing a cold
+    full-store upload (the bucket list is peeked, not built)."""
+    store = make_store(tmp_path)
+    cs, v = chunks_and_vecs(128, seed=110)
+    store.add_chunks(cs, v)
+    r0 = store.device_residency()
+    assert r0 == {"buckets": 0, "host_buckets": 0, "spilled_rows": 0,
+                  "device_bytes": 0}           # nothing built yet
+    store.search(v[0], k=1)                     # builds (and spills)
+    r1 = store.device_residency()
+    assert r1["buckets"] == 1 and r1["host_buckets"] == 1
+    assert r1["spilled_rows"] == 128 and r1["device_bytes"] == 0
