@@ -113,7 +113,7 @@ constexpr int kNumSections = 13;  // v3 adds pos_term_idx + positions
 constexpr size_t kHeaderSizeV2 = 4 + 4 + 8 * 4 + 8 * kNumSectionsV2;
 constexpr size_t kHeaderSize = 4 + 4 + 8 * 4 + 8 * kNumSections;
 
-uint64_t fnv1a64(const std::string& s) {
+uint64_t fnv1a64(std::string_view s) {
     uint64_t h = 0xCBF29CE484222325ULL;
     for (unsigned char c : s) {
         h ^= c;
@@ -265,7 +265,7 @@ int build_segment(const uint8_t* blob, uint64_t blob_len, const char* path) {
         put_u64(content_idx, coff);
 
         if (runs.empty() || d.path != prev_path) {
-            runs.push_back({fnv1a64(std::string(d.path)), i, 1});
+            runs.push_back({fnv1a64(d.path), i, 1});
             prev_path = d.path;
         } else {
             runs.back().count++;

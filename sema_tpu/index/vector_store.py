@@ -693,8 +693,15 @@ class VectorStore:
             try:
                 mb = float(env)
             except ValueError:
-                mb = 0.0
-            return int(mb * (1 << 20)) if mb > 0 else None
+                # a typo ("2GB") must not silently mean "unlimited" —
+                # warn and fall through to the config knob / auto budget
+                import sys as _sys
+                print(f"Warning: ignoring malformed "
+                      f"SEMA_TPU_HBM_BUDGET_MB={env!r} (want MB as a "
+                      f"number)", file=_sys.stderr)
+                mb = None
+            if mb is not None:
+                return int(mb * (1 << 20)) if mb > 0 else None
         if self.hbm_budget_mb and self.hbm_budget_mb > 0:
             return int(self.hbm_budget_mb * (1 << 20))
         try:
@@ -704,9 +711,16 @@ class VectorStore:
             limit = None
         return int(limit * 0.85) if limit else None
 
-    def _bucket_dev_bytes(self, n_pad: int) -> int:
+    def _bucket_dev_bytes(self, n_pad: int, transient: bool = False) -> int:
+        """Resident device bytes of a bucket; with ``transient`` the
+        BUILD-TIME peak instead — an int8 bucket stages the full bf16
+        host rows on device before quantizing (n_pad·dim·2), ~2× its
+        steady int8+scales footprint, so budget ADMISSION must charge
+        the transient while accumulation charges the steady state."""
         if self.store_dtype == "int8":
-            return n_pad * (self.dim + 4)   # int8 rows + f32 scales
+            steady = n_pad * (self.dim + 4)   # int8 rows + f32 scales
+            return max(steady, n_pad * self.dim * 2) if transient \
+                else steady
         return n_pad * self.dim * np.dtype(self.np_dtype).itemsize
 
     def _build_host_bucket(self, seg_range, row_offset: int) -> dict:
@@ -892,13 +906,15 @@ class VectorStore:
             # rebuild → host re-uploads amortize to O(log rows)
             headroom = (2 * rows if not sealed and self.mesh is None
                         else 0)
-            projected = self._bucket_dev_bytes(
-                self._pad_rows(max(rows, headroom)))
+            n_pad_new = self._pad_rows(max(rows, headroom))
             # sealed buckets past the budget stay host-resident (HBM
             # spill, see the class comment); the small unsealed tail
-            # always goes to device — the arena append path needs it
+            # always goes to device — the arena append path needs it.
+            # Admission charges the BUILD-TIME transient (int8 stages
+            # bf16 before quantizing); accumulation charges steady state
             if (sealed and budget is not None
-                    and dev_bytes + projected > budget):
+                    and dev_bytes + self._bucket_dev_bytes(
+                        n_pad_new, transient=True) > budget):
                 buckets.append(self._build_host_bucket(
                     (seg_start, seg_end), row_offset))
             else:
@@ -906,12 +922,12 @@ class VectorStore:
                     buckets.append(self._build_bucket(
                         (seg_start, seg_end), row_offset, sealed=sealed,
                         min_capacity_rows=headroom))
-                    dev_bytes += projected
+                    dev_bytes += self._bucket_dev_bytes(n_pad_new)
                 except Exception as e:   # RESOURCE_EXHAUSTED → spill
                     msg = str(e).lower()
                     oom = ("resource_exhausted" in msg
                            or "out of memory" in msg)
-                    if not (oom and sealed and self.mesh is None):
+                    if not (oom and self.mesh is None):
                         raise
                     buckets.append(self._build_host_bucket(
                         (seg_start, seg_end), row_offset))
@@ -929,11 +945,38 @@ class VectorStore:
             first = buckets[tail_from]
             rows = sum(b["rows"] for b in buckets[tail_from:])
             sealed = rows >= self.SEAL_ROWS
-            merged = self._build_bucket(
-                (first["seg_range"][0], buckets[-1]["seg_range"][1]),
-                first["row_offset"], sealed=sealed,
-                min_capacity_rows=(2 * rows if not sealed
-                                   and self.mesh is None else 0))
+            seg_merge = (first["seg_range"][0],
+                         buckets[-1]["seg_range"][1])
+            headroom = (2 * rows if not sealed and self.mesh is None
+                        else 0)
+            # the consolidated bucket obeys the SAME spill policy as the
+            # bulk loop (review finding: an over-budget store could
+            # still OOM here, mid-serve): a sealing-size merge past the
+            # budget goes host-resident, and a RESOURCE_EXHAUSTED during
+            # the merged upload degrades instead of failing the search
+            merged = None
+            if sealed and budget is not None:
+                others = sum(self._bucket_dev_bytes(b["n_pad"])
+                             for b in buckets[:tail_from]
+                             if not b.get("host_resident"))
+                projected = self._bucket_dev_bytes(
+                    self._pad_rows(max(rows, headroom)), transient=True)
+                if others + projected > budget:
+                    merged = self._build_host_bucket(
+                        seg_merge, first["row_offset"])
+            if merged is None:
+                try:
+                    merged = self._build_bucket(
+                        seg_merge, first["row_offset"], sealed=sealed,
+                        min_capacity_rows=headroom)
+                except Exception as e:   # RESOURCE_EXHAUSTED → spill
+                    msg = str(e).lower()
+                    oom = ("resource_exhausted" in msg
+                           or "out of memory" in msg)
+                    if not (oom and self.mesh is None):
+                        raise
+                    merged = self._build_host_bucket(
+                        seg_merge, first["row_offset"])
             buckets = buckets[:tail_from] + [merged]
         if self._valid_dirty:
             # tombstones changed: re-upload only the boolean masks of the
@@ -971,11 +1014,20 @@ class VectorStore:
 
     def device_residency(self) -> dict:
         """Observability: where the store currently lives (device vs
-        spilled-to-host buckets). NON-FORCING — peeks the existing
-        bucket list without building one, so `/healthz` and
-        ``index --stats`` never trigger a cold full-store upload."""
-        with self._lock:
+        spilled-to-host buckets). NON-FORCING and NON-BLOCKING — peeks
+        the existing bucket list without building one, and if a mutator
+        holds the store lock (a cold multi-GB _build_device can hold it
+        for minutes on tunneled hosts) reports ``busy`` instead of
+        hanging the caller's health probe (review finding: a blocking
+        acquire here turned /healthz into a liveness-check killer)."""
+        if not self._lock.acquire(blocking=False):
+            return {"buckets": None, "host_buckets": None,
+                    "spilled_rows": None, "device_bytes": None,
+                    "busy": True}
+        try:
             buckets = list(self._buckets or [])
+        finally:
+            self._lock.release()
         host = [b for b in buckets if b.get("host_resident")]
         dev = [b for b in buckets if not b.get("host_resident")]
         return {
@@ -984,6 +1036,7 @@ class VectorStore:
             "spilled_rows": sum(b["rows"] for b in host),
             "device_bytes": sum(self._bucket_dev_bytes(b["n_pad"])
                                 for b in dev),
+            "busy": False,
         }
 
     def device_arrays(self):

@@ -367,8 +367,96 @@ def test_device_residency_stats(tmp_path, spill_env):
     store.add_chunks(cs, v)
     r0 = store.device_residency()
     assert r0 == {"buckets": 0, "host_buckets": 0, "spilled_rows": 0,
-                  "device_bytes": 0}           # nothing built yet
+                  "device_bytes": 0, "busy": False}  # nothing built yet
     store.search(v[0], k=1)                     # builds (and spills)
     r1 = store.device_residency()
     assert r1["buckets"] == 1 and r1["host_buckets"] == 1
     assert r1["spilled_rows"] == 128 and r1["device_bytes"] == 0
+
+
+def test_consolidation_respects_budget(tmp_path, monkeypatch):
+    """Review finding: tail consolidation used to bypass the budget —
+    an over-budget store could OOM mid-serve when >MAX_TAIL_BUCKETS
+    unsealed buckets merged into one sealing-size DEVICE bucket. The
+    merged bucket must obey the same spill policy."""
+    monkeypatch.setattr(VectorStore, "SEAL_ROWS", 256)
+    monkeypatch.setattr(VectorStore, "SPILL_SLICE_ROWS", 96)
+    monkeypatch.setattr(VectorStore, "MAX_TAIL_BUCKETS", 2)
+    monkeypatch.setenv("SEMA_TPU_HBM_BUDGET_MB", "0.000001")
+    store = make_store(tmp_path)
+    all_vecs = []
+    for i in range(5):
+        # 100-row appends: the arena (pad 256) absorbs one extension
+        # then overflows, so unsealed device buckets accumulate (200,
+        # 200, 100) until consolidation merges 500 rows (>= SEAL_ROWS
+        # -> sealed -> must spill under the tiny budget)
+        cs, v = chunks_and_vecs(100, path=f"f{i}.txt", seed=120 + i)
+        store.add_chunks(cs, v)
+        all_vecs.append(v)
+        store.device_buckets()
+    buckets = store.device_buckets()
+    sealed = [b for b in buckets if b["sealed"]]
+    assert sealed and all(b.get("host_resident") for b in sealed)
+
+    mat = np.concatenate(all_vecs)
+    q = mat[377]
+    scores, ids = store.search_batch(q[None, :], k=3)
+    o_s, o_i = oracle_topk(mat, [], q, 3)
+    np.testing.assert_array_equal(ids[0], o_i)
+
+
+def test_residency_nonblocking_when_lock_held(tmp_path):
+    """Review finding: /healthz must not hang behind a mutator holding
+    the store lock (a cold multi-GB build can hold it for minutes)."""
+    import threading
+
+    store = make_store(tmp_path)
+    cs, v = chunks_and_vecs(16, seed=130)
+    store.add_chunks(cs, v)
+    acquired = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with store._lock:
+            acquired.set()
+            release.wait(timeout=10)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    try:
+        assert acquired.wait(timeout=5)
+        r = store.device_residency()
+        assert r["busy"] is True and r["buckets"] is None
+    finally:
+        release.set()
+        t.join(timeout=5)
+    r = store.device_residency()
+    assert r["busy"] is False
+
+
+def test_malformed_env_budget_falls_through(tmp_path, monkeypatch,
+                                            capsys):
+    """Review finding: SEMA_TPU_HBM_BUDGET_MB='2GB' (unparseable) must
+    warn and fall through to the config knob, not silently disable the
+    budget."""
+    monkeypatch.setattr(VectorStore, "SEAL_ROWS", 64)
+    monkeypatch.setattr(VectorStore, "SPILL_SLICE_ROWS", 96)
+    monkeypatch.setenv("SEMA_TPU_HBM_BUDGET_MB", "2GB")
+    store = VectorStore(tmp_path, dim=32, model="test-tiny",
+                        store_dtype="float32", hbm_budget_mb=1e-6)
+    cs, v = chunks_and_vecs(64, seed=140)
+    store.add_chunks(cs, v)
+    [b] = store.device_buckets()
+    assert b.get("host_resident")    # the knob still applied
+    assert "malformed" in capsys.readouterr().err
+
+
+def test_int8_admission_charges_bf16_transient(tmp_path):
+    """Review finding: an int8 bucket build stages bf16 rows on device
+    before quantizing — budget admission must charge that transient
+    (2x dim bytes), not just the steady int8+scales footprint."""
+    store = make_store(tmp_path, store_dtype="int8")
+    steady = store._bucket_dev_bytes(1024)
+    transient = store._bucket_dev_bytes(1024, transient=True)
+    assert steady == 1024 * (32 + 4)
+    assert transient == 1024 * 32 * 2 > steady
