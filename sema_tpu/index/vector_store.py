@@ -281,6 +281,7 @@ class VectorStore:
         # host→device re-upload. Bounded: every _build_device drains it.
         self._pending_dev: Dict[str, "jax.Array"] = {}
         self._topk_fns: Dict[Tuple[int, int, str], callable] = {}
+        self._spill_ex = None   # lazy 1-thread slice-fill prefetcher
         # bounded row→chunk cache: serving materializes the same hot rows
         # over and over (rows are immutable once written; compaction only
         # happens at load, before any caller holds row ids)
@@ -1249,6 +1250,17 @@ class VectorStore:
             if off >= hi:
                 break
 
+    def _spill_executor(self):
+        """Lazy single-thread prefetcher for spilled slice fills;
+        shared by concurrent searches (serialized fills also keep the
+        memmap page-ins disk-friendly). Shut down by close()."""
+        with self._lock:
+            if self._spill_ex is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._spill_ex = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="sema-spill")
+            return self._spill_ex
+
     def _scan_host_bucket(self, b: dict, q, k_class: int,
                           window: list) -> list:
         """Stream a host-resident bucket (HBM spill) through the scan.
@@ -1273,13 +1285,28 @@ class VectorStore:
         override = "bfloat16" if self.store_dtype == "int8" else None
         fn = self._scan_fn(slice_rows, k_scan, dtype_override=override)
         deleted = self._deleted_snapshot(b["seg_range"])
-        out = []
-        for lo in range(0, rows, slice_rows):
+
+        def make_host(lo):
             hi = min(lo + slice_rows, rows)
             host = np.zeros((slice_rows, self.dim), dtype=self.np_dtype)
             valid = np.zeros((slice_rows,), dtype=bool)
             self._fill_rows_range(b["seg_range"], lo, hi, host, valid,
                                   deleted)
+            return host, valid
+
+        # the next slice's host fill (a 100+ ms memmap copy at full
+        # slice size) prefetches on a background thread while the
+        # current slice uploads + scans — numpy copies release the GIL,
+        # so on local-PCIe hardware (upload ≪ fill) the fill is the
+        # streamed scan's real bottleneck and this hides it; on this
+        # tunneled box the upload dominates either way
+        ex = self._spill_executor()
+        nxt = ex.submit(make_host, 0)
+        out = []
+        for lo in range(0, rows, slice_rows):
+            host, valid = nxt.result()
+            if lo + slice_rows < rows:
+                nxt = ex.submit(make_host, lo + slice_rows)
             packed = fn(jnp.asarray(host), q, jnp.asarray(valid))
             entry = [b["row_offset"] + lo, packed, k_scan]
             out.append(entry)
@@ -1452,6 +1479,11 @@ class VectorStore:
         self.save_file_hashes()
         self._save_manifest()
         self._pending_dev.clear()
+        if self._spill_ex is not None:
+            # wait=True: an in-flight prefetch still reads the segment
+            # memmaps being closed below
+            self._spill_ex.shutdown(wait=True)
+            self._spill_ex = None
         for seg in self.segments:
             seg.close()
         if self._lock_fd is not None:   # releases the flock
