@@ -25,6 +25,7 @@
 #include <unistd.h>
 
 #include <algorithm>
+#include <cctype>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -556,6 +557,33 @@ std::vector<uint32_t> phrase_rows_positional(
     return rows_all;
 }
 
+// Local doc ids containing EVERY token of one clause (postings only —
+// works on v2 segments too). Mirrors the Python _term_rows_all.
+std::vector<uint32_t> term_rows(const SegView& sv,
+                                const std::vector<std::string>& toks) {
+    std::vector<uint32_t> rows;
+    bool first = true;
+    for (auto& t : toks) {
+        int64_t ti = sv.find_term(t);
+        if (ti < 0) return {};
+        const uint64_t* pix = sv.post_idx();
+        const uint32_t* ids = sv.post_ids();
+        std::vector<uint32_t> cur(ids + pix[ti], ids + pix[ti + 1]);
+        if (first) {
+            rows = std::move(cur);
+            first = false;
+        } else {
+            std::vector<uint32_t> out;
+            std::set_intersection(rows.begin(), rows.end(),
+                                  cur.begin(), cur.end(),
+                                  std::back_inserter(out));
+            rows = std::move(out);
+        }
+        if (rows.empty()) return {};
+    }
+    return rows;
+}
+
 }  // namespace
 
 extern "C" {
@@ -599,10 +627,13 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
         segs[i]->del_bits = del_bytes ? r.bytes(del_bytes) : nullptr;
     }
 
-    // split out "quoted phrases" (same convention as the Python regex:
-    // an unmatched quote stays in the bare part and tokenizes away)
+    // Parse the tantivy-QueryParser subset — the grammar spec and the
+    // token-for-token reference implementation live in the Python
+    // engine (sema_tpu/index/text_index.py, class _Query): [+|-]
+    // clause occurs, standalone UPPERCASE AND/OR, quoted phrases
+    // (sequential find('"') pairing; an unmatched quote stays bare).
     std::string query(query_utf8);
-    std::vector<std::string> phrases;
+    std::vector<std::vector<std::string>> req_ptoks, not_ptoks;
     std::string bare;
     size_t pos = 0;
     while (pos < query.size()) {
@@ -610,26 +641,95 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
         if (open == std::string::npos) { bare += query.substr(pos); break; }
         size_t close = query.find('"', open + 1);
         if (close == std::string::npos) { bare += query.substr(pos); break; }
-        bare += query.substr(pos, open - pos);
+        std::string pre = query.substr(pos, open - pos);
+        char occ = 0;
+        if (!pre.empty() && (pre.back() == '+' || pre.back() == '-')) {
+            occ = pre.back();
+            pre.pop_back();
+        }
+        auto pt = tokenize(query.substr(open + 1, close - open - 1));
+        bare += pre;
         bare += ' ';
-        phrases.push_back(query.substr(open + 1, close - open - 1));
+        if (!pt.empty()) {
+            if (occ == '-') {
+                not_ptoks.push_back(std::move(pt));
+            } else {
+                bare += "\x01 ";   // adjacency marker for AND promotion
+                req_ptoks.push_back(std::move(pt));
+            }
+        }
         pos = close + 1;
     }
-    std::vector<std::string> terms = tokenize(bare);
-    for (auto& p : phrases)
-        for (auto& t : tokenize(p)) terms.push_back(t);
 
-    if (terms.empty() || n_live == 0) {
+    // bare clauses in order (whitespace split), then AND promotion
+    struct Clause { char occ; std::vector<std::string> toks; };
+    struct Item { int kind; int clause; };  // 0=clause 1=AND 2=OR 3=marker
+    std::vector<Clause> clauses;
+    std::vector<Item> items;
+    {
+        size_t i = 0;
+        while (i < bare.size()) {
+            while (i < bare.size() && isspace((unsigned char)bare[i])) i++;
+            size_t j = i;
+            while (j < bare.size() && !isspace((unsigned char)bare[j])) j++;
+            if (j > i) {
+                std::string piece = bare.substr(i, j - i);
+                if (piece == "AND") items.push_back({1, -1});
+                else if (piece == "OR") items.push_back({2, -1});
+                else if (piece == "\x01") items.push_back({3, -1});
+                else {
+                    char occ = 0;
+                    if (piece[0] == '+' || piece[0] == '-') {
+                        occ = piece[0];
+                        piece.erase(0, 1);
+                    }
+                    auto toks = tokenize(piece);
+                    if (!toks.empty()) {
+                        items.push_back({0, (int)clauses.size()});
+                        clauses.push_back({occ, std::move(toks)});
+                    }
+                }
+            }
+            i = j;
+        }
+    }
+    for (size_t i = 0; i < items.size(); i++) {
+        if (items[i].kind != 1) continue;   // AND
+        for (int dir = 0; dir < 2; dir++) {
+            for (size_t k = i; ; ) {
+                if (dir == 0) { if (k == 0) break; k--; }
+                else { k++; if (k >= items.size()) break; }
+                if (items[k].kind == 0) {
+                    Clause& c = clauses[items[k].clause];
+                    if (c.occ == 0) c.occ = '+';
+                    break;
+                }
+                if (items[k].kind == 3) break;  // required phrase: no-op
+            }
+        }
+    }
+
+    std::vector<std::string> terms;          // scoring tokens, in order
+    std::vector<std::vector<std::string>> must_sets, not_sets;
+    for (auto& it : items) {
+        if (it.kind != 0) continue;
+        Clause& c = clauses[it.clause];
+        if (c.occ == '-') { not_sets.push_back(c.toks); continue; }
+        for (auto& t : c.toks) terms.push_back(t);
+        if (c.occ == '+') must_sets.push_back(c.toks);
+    }
+    for (auto& pt : req_ptoks)
+        for (auto& t : pt) terms.push_back(t);
+
+    if (terms.empty() || n_live == 0) {   // incl. pure-negative queries
         put_u32(payload, 0);
         return make_result(payload);
     }
     if (avg == 0.0) avg = 1.0;
 
-    std::vector<std::vector<std::string>> ptoks;
-    for (auto& p : phrases) {
-        auto pt = tokenize(p);
-        if (!pt.empty()) ptoks.push_back(std::move(pt));
-    }
+    const std::vector<std::vector<std::string>>& ptoks = req_ptoks;
+    bool has_filters = !must_sets.empty() || !not_sets.empty()
+                       || !req_ptoks.empty() || !not_ptoks.empty();
 
     // pass 1: global live df per term (cache per-seg term indexes)
     struct TermHits {
@@ -671,7 +771,7 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
         if (a.second != b.second) return a.second > b.second;
         return a.first < b.first;
     };
-    bool dense = ptoks.empty() && sum_df * 8 >= total_docs;
+    bool dense = !has_filters && sum_df * 8 >= total_docs;
     std::vector<std::pair<uint64_t, double>> ranked;
     auto score_into = [&](auto&& add) {
         for (auto& th : hits_by_term) {
@@ -711,13 +811,17 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
         std::sort(ranked.begin(), ranked.end(), cmp);
     }
 
-    // candidates verified in rank order until `limit` accepted. Phrase
-    // filtering: v3 segments answer from positional postings (index-
-    // only, computed lazily per segment — content is never read for
-    // rejected candidates); v2 segments keep the per-candidate content
-    // re-tokenize check.
-    std::vector<char> phrase_done(n_segs, 0);
-    std::vector<std::vector<uint32_t>> phrase_rows(n_segs);
+    // candidates verified in rank order until `limit` accepted.
+    // Filtering (combined per segment, computed lazily on first touch —
+    // content is never read for index-rejected candidates): the MUST
+    // requirement is the intersection of every must-clause's term rows
+    // and (on v3) the required-phrase rows; the MUST_NOT exclusion is
+    // the union of not-clause / not-phrase rows. v2 segments without
+    // positions apply the term-set parts here and fall back to content
+    // checks for the phrase parts below.
+    std::vector<char> flt_done(n_segs, 0), req_active(n_segs, 0);
+    std::vector<std::vector<uint32_t>> req_rows(n_segs),
+        excl_rows(n_segs);
     std::string hits;
     uint32_t n_hits = 0;
     for (auto& [gid, score] : ranked) {
@@ -727,17 +831,58 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
         while (s > 0 && segs[s]->base > gid) s--;
         const SegView& sv = *segs[s];
         uint32_t row = (uint32_t)(gid - sv.base);
-        if (!ptoks.empty() && sv.has_positions()) {
-            if (!phrase_done[s]) {
-                phrase_rows[s] = phrase_rows_positional(sv, ptoks);
-                phrase_done[s] = 1;
+        if (has_filters) {
+            if (!flt_done[s]) {
+                bool has_req = !must_sets.empty()
+                    || (!ptoks.empty() && sv.has_positions());
+                if (has_req) {
+                    std::vector<uint32_t> req;
+                    bool first = true;
+                    auto fold = [&](std::vector<uint32_t>&& r) {
+                        if (first) { req = std::move(r); first = false; }
+                        else {
+                            std::vector<uint32_t> out;
+                            std::set_intersection(
+                                req.begin(), req.end(), r.begin(),
+                                r.end(), std::back_inserter(out));
+                            req = std::move(out);
+                        }
+                    };
+                    for (auto& toks : must_sets)
+                        fold(term_rows(sv, toks));
+                    if (!ptoks.empty() && sv.has_positions())
+                        fold(phrase_rows_positional(sv, ptoks));
+                    req_rows[s] = std::move(req);
+                    req_active[s] = 1;
+                }
+                std::vector<uint32_t> ex;
+                for (auto& toks : not_sets) {
+                    auto r = term_rows(sv, toks);
+                    ex.insert(ex.end(), r.begin(), r.end());
+                }
+                if (!not_ptoks.empty() && sv.has_positions())
+                    for (auto& np : not_ptoks) {
+                        std::vector<std::vector<std::string>> one{np};
+                        auto r = phrase_rows_positional(sv, one);
+                        ex.insert(ex.end(), r.begin(), r.end());
+                    }
+                std::sort(ex.begin(), ex.end());
+                ex.erase(std::unique(ex.begin(), ex.end()), ex.end());
+                excl_rows[s] = std::move(ex);
+                flt_done[s] = 1;
             }
-            if (!std::binary_search(phrase_rows[s].begin(),
-                                    phrase_rows[s].end(), row))
+            if (req_active[s]
+                && !std::binary_search(req_rows[s].begin(),
+                                       req_rows[s].end(), row))
+                continue;
+            if (!excl_rows[s].empty()
+                && std::binary_search(excl_rows[s].begin(),
+                                      excl_rows[s].end(), row))
                 continue;
         }
         std::string body = sv.content(row);
-        if (!ptoks.empty() && !sv.has_positions()) {
+        if (!sv.has_positions()
+            && (!ptoks.empty() || !not_ptoks.empty())) {
             auto toks = tokenize(body);
             // sentinel-wrapped join: '\x00' on BOTH sides of every token
             // so a phrase term never matches a substring of a longer
@@ -753,6 +898,15 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
                     break;
                 }
             }
+            if (ok)
+                for (auto& pt : not_ptoks) {
+                    std::string needle(1, '\x00');
+                    for (auto& t : pt) { needle += t; needle += '\x00'; }
+                    if (joined.find(needle) != std::string::npos) {
+                        ok = false;
+                        break;
+                    }
+                }
             if (!ok) continue;
         }
         std::string id, path;

@@ -90,13 +90,129 @@ def tokenize(text: str) -> List[str]:
     return out
 
 
-def _parse_query(query: str) -> Tuple[List[str], List[List[str]]]:
-    """(terms incl. phrase terms in order, tokenized phrases)."""
-    phrases = re.findall(r'"([^"]+)"', query)
-    bare = re.sub(r'"[^"]*"', " ", query)
-    terms = tokenize(bare) + [t for p in phrases for t in tokenize(p)]
-    ptoks = [pt for pt in (tokenize(p) for p in phrases) if pt]
-    return terms, ptoks
+class _Query:
+    """Parsed keyword query (the tantivy QueryParser subset both
+    engines implement — the shared grammar spec lives here; the C++
+    parser in native/text_index.cpp mirrors it token for token):
+
+    - a clause is ``[+|-]`` immediately followed by a word-run or a
+      ``"quoted phrase"``; ``+`` = MUST, ``-`` = MUST_NOT, plain =
+      SHOULD (tantivy's default OR-of-terms);
+    - standalone UPPERCASE ``AND`` promotes its adjacent SHOULD bare
+      clauses to MUST (≙ tantivy's infix AND); ``OR`` is a no-op (OR is
+      already the default occur);
+    - bare/``+`` phrases keep this engine's established REQUIRED-filter
+      semantics; ``-"phrase"`` excludes its matches;
+    - scoring = sum of BM25 contributions of SHOULD+MUST term tokens
+      (phrase tokens included), accumulated in clause order then phrase
+      order — bit-identical to the historical OR-of-terms scores for
+      operator-free queries. MUST_NOT tokens never score;
+    - a multi-token clause (``+foo_bar`` tokenizes to two terms)
+      applies its occur to the SET of its tokens: MUST requires all,
+      MUST_NOT excludes docs containing all;
+    - a query with no scoring tokens (pure negative) matches nothing
+      (tantivy: a lone must_not clause matches no documents);
+    - operators inside quotes are plain terms; lowercase and/or are
+      plain terms (the analyzer lowercases them).
+    """
+
+    __slots__ = ("score_terms", "must_sets", "not_sets",
+                 "req_phrases", "not_phrases")
+
+    def __init__(self, score_terms, must_sets, not_sets,
+                 req_phrases, not_phrases):
+        self.score_terms = score_terms
+        self.must_sets = must_sets
+        self.not_sets = not_sets
+        self.req_phrases = req_phrases
+        self.not_phrases = not_phrases
+
+    @property
+    def has_filters(self) -> bool:
+        return bool(self.must_sets or self.not_sets
+                    or self.req_phrases or self.not_phrases)
+
+
+def _parse_query(query: str) -> _Query:
+    """Parse into a :class:`_Query`. Quote pairing is a sequential
+    ``find('"')`` scan (identical to the C++ engine; an unmatched
+    trailing quote stays in the bare part and tokenizes away)."""
+    req_phrases: List[List[str]] = []
+    not_phrases: List[List[str]] = []
+    bare = ""
+    pos = 0
+    while True:
+        open_ = query.find('"', pos)
+        close = query.find('"', open_ + 1) if open_ >= 0 else -1
+        if open_ < 0 or close < 0:
+            bare += query[pos:]
+            break
+        pre = query[pos:open_]
+        occ = ""
+        if pre and pre[-1] in "+-":
+            occ = pre[-1]
+            pre = pre[:-1]
+        pt = tokenize(query[open_ + 1:close])
+        bare += pre + " "
+        if pt:
+            if occ == "-":
+                not_phrases.append(pt)
+            else:
+                # a phrase placeholder keeps clause adjacency for AND
+                # promotion (a required phrase is already a filter, so
+                # promotion is a no-op on it)
+                bare += "\x01 "
+                req_phrases.append(pt)
+        pos = close + 1
+
+    # bare clauses in order: (occ, tokens) or the operators themselves
+    items: List = []   # ("AND"/"OR") | ["occ", [tokens]] | "\x01"
+    for piece in bare.split():
+        if piece in ("AND", "OR"):
+            items.append(piece)
+            continue
+        if piece == "\x01":
+            items.append("\x01")
+            continue
+        occ = ""
+        if piece[0] in "+-":
+            occ = piece[0]
+            piece = piece[1:]
+        toks = tokenize(piece)
+        if toks:
+            items.append([occ, toks])
+    # AND promotes the nearest clause on each side (SHOULD -> MUST);
+    # phrases and MUST_NOT clauses are left as-is
+    for i, it in enumerate(items):
+        if it != "AND":
+            continue
+        for j in (range(i - 1, -1, -1), range(i + 1, len(items))):
+            for k in j:
+                nb = items[k]
+                if isinstance(nb, list):
+                    if nb[0] == "":
+                        nb[0] = "+"
+                    break
+                if nb == "\x01":
+                    break   # adjacent required phrase: no-op
+
+    score_terms: List[str] = []
+    must_sets: List[List[str]] = []
+    not_sets: List[List[str]] = []
+    for it in items:
+        if not isinstance(it, list):
+            continue
+        occ, toks = it
+        if occ == "-":
+            not_sets.append(toks)
+            continue
+        score_terms.extend(toks)
+        if occ == "+":
+            must_sets.append(toks)
+    for pt in req_phrases:
+        score_terms.extend(pt)
+    return _Query(score_terms, must_sets, not_sets,
+                  req_phrases, not_phrases)
 
 
 class DiskTextIndex:
@@ -363,14 +479,16 @@ class DiskTextIndex:
 
     @_locked
     def search(self, query: str, limit: int) -> List[Tuple[Chunk, float]]:
-        """OR-of-terms BM25 (tantivy QueryParser default); quoted
-        substrings add an exact-phrase filter. Empty query → no results
-        (text_indexer.rs:76-78)."""
+        """BM25 over the tantivy QueryParser subset (grammar spec:
+        :class:`_Query` — OR-of-terms default, ``+``/``-`` occurs,
+        infix ``AND``/``OR``, quoted phrases). Empty query → no results
+        (text_indexer.rs:76-78); a pure-negative query matches nothing
+        (tantivy BooleanQuery with only must_not clauses)."""
         query = query.strip()
         if not query:
             return []
-        terms, ptoks = _parse_query(query)
-        if not terms:
+        q = _parse_query(query)
+        if not q.score_terms:
             return []
         n_live = self.num_live_docs
         if n_live == 0:
@@ -380,7 +498,7 @@ class DiskTextIndex:
             avg = 1.0
         if self.engine == "native":
             return self._search_native(query, limit, avg, n_live)
-        return self._search_py(terms, ptoks, limit, avg, n_live)
+        return self._search_py(q, limit, avg, n_live)
 
     @_locked
     def commit(self) -> None:
@@ -404,9 +522,10 @@ class DiskTextIndex:
             bases.append(bases[-1] + s.n_docs)
         return bases
 
-    def _search_py(self, terms: List[str], ptoks: List[List[str]],
-                   limit: int, avg: float, n_live: int
-                   ) -> List[Tuple[Chunk, float]]:
+    def _search_py(self, q: "_Query", limit: int, avg: float,
+                   n_live: int) -> List[Tuple[Chunk, float]]:
+        terms = q.score_terms
+        ptoks = q.req_phrases
         bases = self._bases()
         gids_all: List[np.ndarray] = []
         contribs_all: List[np.ndarray] = []
@@ -447,7 +566,7 @@ class DiskTextIndex:
         # same (query-term-major) order, so scores are bit-identical;
         # phrase queries keep the sparse path (verification needs the
         # full rank order).
-        if not ptoks and len(g) * 8 >= total:
+        if not q.has_filters and len(g) * 8 >= total:
             dense = np.bincount(g, weights=c, minlength=total)
             if limit < total:
                 thr = -np.partition(-dense, limit - 1)[limit - 1]
@@ -482,24 +601,58 @@ class DiskTextIndex:
         # rejected candidates, and a zero-hit phrase costs
         # len(order)/BLK vectorized passes, never a per-candidate
         # Python loop.
-        phrase_rows: Dict[int, np.ndarray] = {}
+        # per-segment filter row sets, computed lazily on first touch:
+        # combined MUST requirement (must-clause term sets ∩ positional
+        # phrase rows) and MUST_NOT exclusion (∪ of not-clause /
+        # not-phrase rows). v2 segments without positions apply the
+        # term-set parts here and fall back to content checks for the
+        # phrase parts in the emit loop.
+        seg_filters: Dict[int, tuple] = {}
+
+        def _filters(si: int):
+            f = seg_filters.get(si)
+            if f is None:
+                seg = self.segments[si]
+                req = None
+                for toks in q.must_sets:
+                    rows = _term_rows_all(seg, toks)
+                    req = rows if req is None else np.intersect1d(
+                        req, rows, assume_unique=True)
+                if q.req_phrases and seg.has_positions:
+                    pr = _phrase_rows_positional(seg, q.req_phrases)
+                    req = pr if req is None else np.intersect1d(
+                        req, pr, assume_unique=True)
+                excl = None
+                for toks in q.not_sets:
+                    rows = _term_rows_all(seg, toks)
+                    excl = rows if excl is None else np.union1d(excl,
+                                                                rows)
+                if q.not_phrases and seg.has_positions:
+                    for npt in q.not_phrases:
+                        rows = _phrase_rows_positional(seg, [npt])
+                        excl = rows if excl is None else np.union1d(
+                            excl, rows)
+                f = (req, excl)
+                seg_filters[si] = f
+            return f
+
         BLK = 8192
         for blk0 in range(0, len(order), BLK):
             oblk = order[blk0:blk0 + BLK]
             gids = uniq[oblk].astype(np.int64)
             sis = np.searchsorted(bases, gids, side="right") - 1
-            if ptoks:
+            if q.has_filters:
                 keep = np.ones(len(gids), dtype=bool)
                 for si in np.unique(sis):
-                    seg = self.segments[si]
-                    if not seg.has_positions:
-                        continue            # content verify in the loop
-                    rows_ok = phrase_rows.get(si)
-                    if rows_ok is None:
-                        rows_ok = _phrase_rows_positional(seg, ptoks)
-                        phrase_rows[si] = rows_ok
+                    req, excl = _filters(int(si))
                     m = sis == si
-                    keep[m] = np.isin(gids[m] - bases[si], rows_ok)
+                    local = gids[m] - bases[int(si)]
+                    kk = np.ones(len(local), dtype=bool)
+                    if req is not None:
+                        kk &= np.isin(local, req)
+                    if excl is not None and len(excl):
+                        kk &= ~np.isin(local, excl)
+                    keep[m] = kk
                 idxs = np.nonzero(keep)[0]
             else:
                 idxs = range(len(gids))
@@ -509,9 +662,14 @@ class DiskTextIndex:
                 seg = self.segments[si]
                 row = int(gids[j]) - bases[si]
                 content = seg.content(row)
-                if ptoks and not seg.has_positions \
-                        and not _has_phrases(content, ptoks):
-                    continue
+                if not seg.has_positions:
+                    if q.req_phrases and not _has_phrases(
+                            content, q.req_phrases):
+                        continue
+                    if q.not_phrases and any(
+                            _has_phrases(content, [npt])
+                            for npt in q.not_phrases):
+                        continue
                 doc_id, fpath, start, end = seg.meta(row)
                 out.append((Chunk(id=doc_id, file_path=Path(fpath),
                                   start_line=start, end_line=end,
@@ -537,6 +695,25 @@ class DiskTextIndex:
         return [(Chunk(id=i, file_path=Path(p), start_line=s, end_line=e,
                        content=content), float(score))
                 for i, p, s, e, content, score in hits]
+
+
+def _term_rows_all(seg, toks: List[str]) -> np.ndarray:
+    """Local doc ids of ``seg`` containing EVERY token of one clause
+    (postings only — no positions needed, so it works on v2 segments).
+    Postings ids are unique and ascending per term, so the intersection
+    can assume uniqueness."""
+    rows: Optional[np.ndarray] = None
+    for t in toks:
+        ti = seg.find_term(t.encode())
+        if ti < 0:
+            return np.empty(0, dtype=np.int64)
+        ids, _ = seg.postings(ti)
+        ids = ids.astype(np.int64)
+        rows = ids if rows is None else np.intersect1d(
+            rows, ids, assume_unique=True)
+        if len(rows) == 0:
+            return rows
+    return rows if rows is not None else np.empty(0, dtype=np.int64)
 
 
 def _phrase_rows_positional(seg, ptoks: List[List[str]]) -> np.ndarray:
