@@ -270,8 +270,14 @@ def preview_lines(content: str, file_path: Path, scroll_offset: int,
     is_semantic = not search_query.strip().startswith("'")
     terms: List[str] = []
     if not is_semantic:
-        terms = [t for t in
-                 search_query.strip().removeprefix("'").split() if t]
+        # highlight the POSITIVE side of the parsed query (matching is
+        # case-insensitive, so the analyzer's lowercase tokens are
+        # fine): operators (AND/OR), +/- prefixes, and excluded clauses
+        # must not be painted as matches — "+cat -dog" highlights cat
+        # occurrences, never dog or a literal "+cat"
+        from sema_tpu.index.text_index import _parse_query
+        q = _parse_query(search_query.strip().removeprefix("'"))
+        terms = list(dict.fromkeys(q.score_terms))
 
     lines = content.split("\n")
     if lines and lines[-1] == "":

@@ -236,6 +236,19 @@ def test_preview_lines_keyword_highlight():
     assert ("bar", rd.S_MATCH) in flat
 
 
+def test_preview_highlight_skips_operators_and_exclusions():
+    """Operator queries highlight only the positive parsed terms: the
+    AND keyword, +/- prefixes, and excluded clauses are never painted."""
+    lines = rd.preview_lines("foo AND bar and baz\n", Path("f.txt"),
+                             0, 10, "'+foo AND bar -baz")
+    flat = [(t, s) for line in lines for t, s in line]
+    assert ("foo", rd.S_MATCH) in flat
+    assert ("bar", rd.S_MATCH) in flat
+    assert all(s != rd.S_MATCH or t.lower() != "baz" for t, s in flat)
+    # the literal AND in the content is not a highlighted term
+    assert all(s != rd.S_MATCH or t != "AND" for t, s in flat)
+
+
 def test_preview_empty_file():
     lines = rd.preview_lines("", Path("f.txt"), 0, 10, "")
     assert lines == [[("  1 │ (empty file)", rd.S_DIM)]]
