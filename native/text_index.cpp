@@ -633,6 +633,10 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
     // clause occurs, standalone UPPERCASE AND/OR, quoted phrases
     // (sequential find('"') pairing; an unmatched quote stays bare).
     std::string query(query_utf8);
+    // sanitize the in-band phrase placeholder (mirrors the Python
+    // parser: a literal \x01 must not alter AND promotion)
+    for (auto& ch : query)
+        if (ch == '\x01') ch = ' ';
     std::vector<std::vector<std::string>> req_ptoks, not_ptoks;
     std::string bare;
     size_t pos = 0;

@@ -113,7 +113,16 @@ class _Query:
     - a query with no scoring tokens (pure negative) matches nothing
       (tantivy: a lone must_not clause matches no documents);
     - operators inside quotes are plain terms; lowercase and/or are
-      plain terms (the analyzer lowercases them).
+      plain terms (the analyzer lowercases them);
+    - clause boundaries are ASCII whitespace (both engines — C++
+      ``isspace``); a non-ASCII space glues its neighbors into one
+      multi-token clause;
+    - KNOWN BOUNDARY vs tantivy: queries MIXING AND with OR use flat
+      adjacent-clause promotion, not tantivy's precedence-nested
+      boolean tree — ``alpha OR beta AND gamma`` promotes beta and
+      gamma to MUST globally, where tantivy parses
+      ``alpha OR (beta AND gamma)``. Field syntax (``path:term``) and
+      parentheses are not implemented either.
     """
 
     __slots__ = ("score_terms", "must_sets", "not_sets",
@@ -137,6 +146,10 @@ def _parse_query(query: str) -> _Query:
     """Parse into a :class:`_Query`. Quote pairing is a sequential
     ``find('"')`` scan (identical to the C++ engine; an unmatched
     trailing quote stays in the bare part and tokenizes away)."""
+    # a literal \x01 in user input would collide with the phrase
+    # placeholder below and silently change AND promotion — sanitize
+    # (mirrored in the C++ parser)
+    query = query.replace("\x01", " ")
     req_phrases: List[List[str]] = []
     not_phrases: List[List[str]] = []
     bare = ""
@@ -165,9 +178,14 @@ def _parse_query(query: str) -> _Query:
                 req_phrases.append(pt)
         pos = close + 1
 
-    # bare clauses in order: (occ, tokens) or the operators themselves
+    # bare clauses in order: (occ, tokens) or the operators themselves.
+    # Split on ASCII whitespace ONLY — the C++ engine splits with
+    # isspace(), and str.split()'s Unicode whitespace (NBSP, U+3000…)
+    # would make the engines parse the same query differently
     items: List = []   # ("AND"/"OR") | ["occ", [tokens]] | "\x01"
-    for piece in bare.split():
+    for piece in re.split(r"[ \t\r\n\f\v]+", bare):
+        if not piece:
+            continue
         if piece in ("AND", "OR"):
             items.append(piece)
             continue

@@ -1299,7 +1299,12 @@ class VectorStore:
         # current slice uploads + scans — numpy copies release the GIL,
         # so on local-PCIe hardware (upload ≪ fill) the fill is the
         # streamed scan's real bottleneck and this hides it; on this
-        # tunneled box the upload dominates either way
+        # tunneled box the upload dominates either way. Host transient:
+        # the overlap keeps up to TWO slice buffers alive (current +
+        # prefetched, ~400 MB at the default slice) — fresh buffers per
+        # slice, NOT a reused ping-pong pair, because jnp.asarray's
+        # host→device copy may still be reading the previous buffer
+        # asynchronously when the next fill would overwrite it
         ex = self._spill_executor()
         nxt = ex.submit(make_host, 0)
         out = []

@@ -203,3 +203,28 @@ def test_parse_query_structure():
     assert not q2.must_sets and not q2.not_sets
     q3 = _parse_query("-only")
     assert q3.score_terms == []
+
+
+def test_unicode_whitespace_glues_clauses(index):
+    """Clause boundaries are ASCII whitespace in BOTH engines (C++
+    isspace); a NBSP glues its neighbors into one multi-token SHOULD
+    clause, so 'cat<NBSP>AND dog' scores like 'cat and dog' — the AND
+    is a term, not an operator (review finding: str.split()'s Unicode
+    whitespace made the engines parse this differently)."""
+    assert index.search("cat AND dog", 10) == \
+        index.search("cat and dog", 10)
+
+
+def test_ctrl_byte_does_not_break_and_promotion(index):
+    """A literal \\x01 (the internal phrase-adjacency marker) in user
+    input is sanitized, not mistaken for a required phrase."""
+    assert index.search("cat AND \x01 dog", 10) == \
+        index.search("cat AND dog", 10)
+
+
+def test_parse_sanitizes_and_ascii_splits():
+    q = _parse_query("cat AND dog")
+    assert q.score_terms == ["cat", "and", "dog"]
+    assert q.must_sets == []
+    q2 = _parse_query("cat AND \x01 dog")
+    assert q2.must_sets == [["cat"], ["dog"]]
