@@ -55,18 +55,18 @@ class Oracle:
         return [d for d in self.docs if d[3]]
 
     def search(self, query, limit):
-        phrases = re.findall(r'"([^"]+)"', query)
-        bare = re.sub(r'"[^"]*"', " ", query)
-        terms = toks(bare) + [t for p in phrases for t in toks(p)]
-        ptoks = [pt for pt in (toks(p) for p in phrases) if pt]
+        # clause structure comes from the (separately unit-tested)
+        # shared parser; matching and BM25 are recomputed here from the
+        # grammar spec, independent of both engines
+        q = ti._parse_query(query)
         live = self.live()
         n = len(live)
-        if not terms or n == 0:
+        if not q.score_terms or n == 0:
             return []
         lens = [len(toks(d[2])) for d in live]
         avg = (sum(lens) / n) or 1.0
         scores = [0.0] * n
-        for term in terms:
+        for term in q.score_terms:
             hits = [(i, Counter(toks(d[2]))[term])
                     for i, d in enumerate(live)
                     if term in toks(d[2])]
@@ -77,15 +77,30 @@ class Oracle:
             for i, tf in hits:
                 denom = tf + K1 * (1 - B + B * lens[i] / avg)
                 scores[i] += idf * tf * (K1 + 1) / denom
-        def has_phrases(content):
+
+        def has_phrases(content, pts):
             joined = "\x00" + "\x00".join(toks(content)) + "\x00"
             return all(("\x00" + "\x00".join(pt) + "\x00") in joined
-                       for pt in ptoks)
+                       for pt in pts)
+
+        def qualifies(i):
+            tk = set(toks(live[i][2]))
+            if any(not set(ms) <= tk for ms in q.must_sets):
+                return False
+            if any(set(ns) <= tk for ns in q.not_sets):
+                return False
+            if q.req_phrases and not has_phrases(live[i][2],
+                                                 q.req_phrases):
+                return False
+            if any(has_phrases(live[i][2], [np])
+                   for np in q.not_phrases):
+                return False
+            return True
 
         ranked = [i for i in sorted(
             (i for i in range(n) if scores[i] > 0),
             key=lambda i: (-scores[i], i))
-            if not ptoks or has_phrases(live[i][2])][:limit]
+            if qualifies(i)][:limit]
         return [(live[i][0], scores[i]) for i in ranked]
 
 
@@ -151,7 +166,21 @@ def test_differential_fuzz(tmp_path, seed):
                 cls = type(e)
                 engines[i] = (name, cls(tmp_path / name))
         else:
-            q = " ".join(rng.sample(WORDS, rng.randint(1, 3)))
+            # word clauses, sometimes with QueryParser operators
+            parts = []
+            for w in rng.sample(WORDS, rng.randint(1, 3)):
+                rr = rng.random()
+                if rr < 0.12:
+                    parts.append("+" + w)
+                elif rr < 0.24:
+                    parts.append("-" + w)
+                else:
+                    parts.append(w)
+            if len(parts) >= 2 and rng.random() < 0.15:
+                parts.insert(1, rng.choice(("AND", "OR")))
+            q = " ".join(parts)
+            if rng.random() < 0.08:
+                q += (f' -"{rng.choice(WORDS)} {rng.choice(WORDS)}"')
             r = rng.random()
             if r < 0.15:
                 # random phrase: usually a positional MISS
@@ -178,3 +207,7 @@ def test_differential_fuzz(tmp_path, seed):
     check(WORDS[0], 50)
     check(f"{WORDS[5]} {WORDS[17]}", 10)
     check(f'"{WORDS[0]} {WORDS[1]}"', 10)
+    check(f"{WORDS[0]} -{WORDS[1]}", 50)          # exclusion
+    check(f"{WORDS[2]} AND {WORDS[3]}", 10)       # conjunction
+    check(f"+{WORDS[0]} {WORDS[9]}", 50)          # must + should
+    check(f'{WORDS[0]} -"{WORDS[0]} {WORDS[1]}"', 50)  # phrase exclusion
