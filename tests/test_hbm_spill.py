@@ -460,3 +460,45 @@ def test_int8_admission_charges_bf16_transient(tmp_path):
     transient = store._bucket_dev_bytes(1024, transient=True)
     assert steady == 1024 * (32 + 4)
     assert transient == 1024 * 32 * 2 > steady
+
+
+def test_manager_end_to_end_with_spill(tmp_path, spill_env):
+    """Full IndexManager path (encode -> dual index -> search dispatch)
+    over a spilled store: the config knob flows through make-manager
+    glue, semantic search streams host buckets, keyword search is
+    untouched, and incremental re-index still works."""
+    import numpy as np
+    from sema_tpu.index.manager import IndexManager
+
+    class StubEncoder:
+        class spec:
+            dim = 32
+            name = "test-tiny"
+
+        def encode_texts(self, texts, progress=None):
+            rng = np.random.default_rng(
+                [len(t) for t in texts] or [1])
+            v = rng.standard_normal((len(texts), 32)).astype(np.float32)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            return v
+
+        def encode_query(self, text):
+            return self.encode_texts([text])[0]
+
+    mgr = IndexManager(tmp_path, StubEncoder(), store_dtype="float32",
+                       hbm_budget_mb=1e-6)
+    chunks = [Chunk(id=f"f{i // 64}.txt:{i}",
+                    file_path=Path(f"f{i // 64}.txt"),
+                    start_line=1, end_line=2,
+                    content=f"chunk body number {i}")
+              for i in range(192)]
+    mgr.index_chunks(chunks)
+    assert all(b.get("host_resident")
+               for b in mgr.vector_store.device_buckets())
+
+    # semantic search over the spilled store returns ranked chunks
+    hits = mgr.search("chunk body number 7", limit=5)
+    assert len(hits) == 5 and all(np.isfinite(s) for _, s in hits)
+    # keyword dispatch unaffected
+    khits = mgr.search("'number AND 190", limit=5)
+    assert [c.id for c, _ in khits] == ["f2.txt:190"]
