@@ -490,7 +490,53 @@ struct SegView {
         id.assign(reinterpret_cast<const char*>(rec + 12), idl);
         path.assign(reinterpret_cast<const char*>(rec + 12 + idl), pl);
     }
+
+    // file-run table (section 10): one (hash, row_start, row_count) per
+    // contiguous run of docs sharing a path; 16-byte packed records in
+    // an 8-aligned section
+    struct FileRunRec { uint64_t hash; uint32_t start, count; };
+    const FileRunRec* files() const {
+        return reinterpret_cast<const FileRunRec*>(map + off[10]);
+    }
 };
+
+// Rows of `sv` whose file path satisfies one path: field clause
+// (grammar spec: text_index.py::_Query — path clauses FILTER on the
+// path's analyzer tokens; a quoted path phrase needs its tokens
+// consecutive in order). The file table stores only hashes, so each
+// run's path string is read from its first doc's meta record.
+std::vector<uint32_t> path_clause_rows(const SegView& sv,
+                                       const std::vector<std::string>& toks,
+                                       bool is_phrase) {
+    std::vector<uint32_t> rows;
+    const auto* runs = sv.files();
+    std::string id, path;
+    uint32_t s_, e_;
+    for (uint64_t j = 0; j < sv.n_files; j++) {
+        sv.meta(runs[j].start, id, path, s_, e_);
+        auto ptoks = tokenize(path);
+        bool ok;
+        if (is_phrase) {
+            ok = false;
+            for (size_t i = 0; !ok && i + toks.size() <= ptoks.size(); i++)
+                ok = std::equal(toks.begin(), toks.end(),
+                                ptoks.begin() + i);
+        } else {
+            ok = true;
+            for (auto& t : toks)
+                if (std::find(ptoks.begin(), ptoks.end(), t)
+                        == ptoks.end()) {
+                    ok = false;
+                    break;
+                }
+        }
+        if (ok)
+            for (uint32_t r = 0; r < runs[j].count; r++)
+                rows.push_back(runs[j].start + r);
+    }
+    std::sort(rows.begin(), rows.end());
+    return rows;
+}
 
 // Rows of `sv` satisfying ALL phrases, answered from v3 positional
 // postings (≙ tantivy PhraseQuery; content never read). Per phrase,
@@ -638,6 +684,10 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
     for (auto& ch : query)
         if (ch == '\x01') ch = ' ';
     std::vector<std::vector<std::string>> req_ptoks, not_ptoks;
+    // path: field clauses — (tokens, is_phrase); spec in the Python
+    // engine's _Query docstring (filters, never score)
+    std::vector<std::pair<std::vector<std::string>, bool>> path_must,
+        path_not;
     std::string bare;
     size_t pos = 0;
     while (pos < query.size()) {
@@ -646,6 +696,10 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
         size_t close = query.find('"', open + 1);
         if (close == std::string::npos) { bare += query.substr(pos); break; }
         std::string pre = query.substr(pos, open - pos);
+        // field prefix binds tighter than the occur char: +path:"a b"
+        bool is_path = pre.size() >= 5
+            && pre.compare(pre.size() - 5, 5, "path:") == 0;
+        if (is_path) pre.resize(pre.size() - 5);
         char occ = 0;
         if (!pre.empty() && (pre.back() == '+' || pre.back() == '-')) {
             occ = pre.back();
@@ -655,7 +709,14 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
         bare += pre;
         bare += ' ';
         if (!pt.empty()) {
-            if (occ == '-') {
+            if (is_path) {
+                if (occ == '-') {
+                    path_not.emplace_back(std::move(pt), true);
+                } else {
+                    bare += "\x01 ";   // adjacency marker, like phrases
+                    path_must.emplace_back(std::move(pt), true);
+                }
+            } else if (occ == '-') {
                 not_ptoks.push_back(std::move(pt));
             } else {
                 bare += "\x01 ";   // adjacency marker for AND promotion
@@ -687,10 +748,27 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
                         occ = piece[0];
                         piece.erase(0, 1);
                     }
-                    auto toks = tokenize(piece);
-                    if (!toks.empty()) {
-                        items.push_back({0, (int)clauses.size()});
-                        clauses.push_back({occ, std::move(toks)});
+                    if (piece.rfind("path:", 0) == 0) {
+                        // path clauses are filters: they take an
+                        // adjacency marker like required phrases (AND
+                        // promotion is a no-op on them but must not
+                        // walk past to a farther clause)
+                        auto toks = tokenize(piece.substr(5));
+                        if (!toks.empty()) {
+                            items.push_back({3, -1});
+                            if (occ == '-')
+                                path_not.emplace_back(std::move(toks),
+                                                      false);
+                            else
+                                path_must.emplace_back(std::move(toks),
+                                                       false);
+                        }
+                    } else {
+                        auto toks = tokenize(piece);
+                        if (!toks.empty()) {
+                            items.push_back({0, (int)clauses.size()});
+                            clauses.push_back({occ, std::move(toks)});
+                        }
                     }
                 }
             }
@@ -725,15 +803,70 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
     for (auto& pt : req_ptoks)
         for (auto& t : pt) terms.push_back(t);
 
-    if (terms.empty() || n_live == 0) {   // incl. pure-negative queries
+    // empty / pure-negative queries match nothing
+    if (n_live == 0 || (terms.empty() && path_must.empty())) {
         put_u32(payload, 0);
+        return make_result(payload);
+    }
+    if (terms.empty()) {
+        // filter-only query (just path: requirements): score 0.0,
+        // global doc order — mirrors TextIndex._search_filter_only
+        std::string hits;
+        uint32_t n_hits = 0;
+        for (uint32_t s = 0; s < n_segs && n_hits < limit; s++) {
+            const SegView& sv = *segs[s];
+            std::vector<uint32_t> req;
+            bool first = true;
+            for (auto& [ptoks2, isp] : path_must) {
+                auto r = path_clause_rows(sv, ptoks2, isp);
+                if (first) { req = std::move(r); first = false; }
+                else {
+                    std::vector<uint32_t> out;
+                    std::set_intersection(req.begin(), req.end(),
+                                          r.begin(), r.end(),
+                                          std::back_inserter(out));
+                    req = std::move(out);
+                }
+                if (req.empty()) break;
+            }
+            if (req.empty()) continue;
+            std::vector<uint32_t> ex;
+            for (auto& [ptoks2, isp] : path_not) {
+                auto r = path_clause_rows(sv, ptoks2, isp);
+                ex.insert(ex.end(), r.begin(), r.end());
+            }
+            std::sort(ex.begin(), ex.end());
+            for (uint32_t row : req) {
+                if (n_hits >= limit) break;
+                if (!sv.live(row)) continue;
+                if (!ex.empty()
+                    && std::binary_search(ex.begin(), ex.end(), row))
+                    continue;
+                std::string id, path;
+                uint32_t st, en;
+                sv.meta(row, id, path, st, en);
+                put_str(hits, id);
+                put_str(hits, path);
+                put_u64(hits, st);
+                put_u64(hits, en);
+                put_str(hits, sv.content(row));
+                double z = 0.0;
+                uint64_t bits;
+                memcpy(&bits, &z, 8);
+                put_u64(hits, bits);
+                n_hits++;
+            }
+        }
+        put_u32(payload, n_hits);
+        payload += hits;
         return make_result(payload);
     }
     if (avg == 0.0) avg = 1.0;
 
     const std::vector<std::vector<std::string>>& ptoks = req_ptoks;
     bool has_filters = !must_sets.empty() || !not_sets.empty()
-                       || !req_ptoks.empty() || !not_ptoks.empty();
+                       || !req_ptoks.empty() || !not_ptoks.empty()
+                       || !path_must.empty() || !path_not.empty();
 
     // pass 1: global live df per term (cache per-seg term indexes)
     struct TermHits {
@@ -837,7 +970,7 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
         uint32_t row = (uint32_t)(gid - sv.base);
         if (has_filters) {
             if (!flt_done[s]) {
-                bool has_req = !must_sets.empty()
+                bool has_req = !must_sets.empty() || !path_must.empty()
                     || (!ptoks.empty() && sv.has_positions());
                 if (has_req) {
                     std::vector<uint32_t> req;
@@ -854,6 +987,8 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
                     };
                     for (auto& toks : must_sets)
                         fold(term_rows(sv, toks));
+                    for (auto& [ptoks2, isp] : path_must)
+                        fold(path_clause_rows(sv, ptoks2, isp));
                     if (!ptoks.empty() && sv.has_positions())
                         fold(phrase_rows_positional(sv, ptoks));
                     req_rows[s] = std::move(req);
@@ -870,6 +1005,10 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
                         auto r = phrase_rows_positional(sv, one);
                         ex.insert(ex.end(), r.begin(), r.end());
                     }
+                for (auto& [ptoks2, isp] : path_not) {
+                    auto r = path_clause_rows(sv, ptoks2, isp);
+                    ex.insert(ex.end(), r.begin(), r.end());
+                }
                 std::sort(ex.begin(), ex.end());
                 ex.erase(std::unique(ex.begin(), ex.end()), ex.end());
                 excl_rows[s] = std::move(ex);

@@ -117,29 +117,53 @@ class _Query:
     - clause boundaries are ASCII whitespace (both engines — C++
       ``isspace``); a non-ASCII space glues its neighbors into one
       multi-token clause;
+    - ``path:`` field clauses (the one queryable non-default field —
+      the reference indexes ``path`` as TEXT, text_indexer.rs:32, so
+      tantivy's parser accepts ``path:term`` even though the default
+      field list is just ``content``): ``path:term``, ``+path:term``
+      and ``path:"quoted path"`` FILTER on the file-path's analyzer
+      tokens (``src/foo_bar.py`` → ``src foo bar py``) — bare and
+      ``+`` require the clause (all its tokens present; a quoted path
+      phrase must appear as consecutive path tokens in order),
+      ``-path:…`` excludes. Path clauses never score and never
+      highlight; a query consisting ONLY of path requirements matches
+      the filtered docs with score 0.0 in global doc order. BOUNDARY
+      vs tantivy: tantivy scores path matches with BM25 over the path
+      field and treats bare ``path:x`` as SHOULD; this engine pins
+      path clauses to filter semantics (deterministic content-only
+      scores, the useful behavior for code search). Field names are
+      case-sensitive like tantivy's; anything other than ``path:``
+      (including ``id:`` — stored but not indexed in the reference
+      schema) is NOT a field and tokenizes as plain terms;
     - KNOWN BOUNDARY vs tantivy: queries MIXING AND with OR use flat
       adjacent-clause promotion, not tantivy's precedence-nested
       boolean tree — ``alpha OR beta AND gamma`` promotes beta and
       gamma to MUST globally, where tantivy parses
-      ``alpha OR (beta AND gamma)``. Field syntax (``path:term``) and
-      parentheses are not implemented either.
+      ``alpha OR (beta AND gamma)``. Parentheses are not implemented
+      either.
     """
 
     __slots__ = ("score_terms", "must_sets", "not_sets",
-                 "req_phrases", "not_phrases")
+                 "req_phrases", "not_phrases", "path_must", "path_not")
 
     def __init__(self, score_terms, must_sets, not_sets,
-                 req_phrases, not_phrases):
+                 req_phrases, not_phrases, path_must=None, path_not=None):
         self.score_terms = score_terms
         self.must_sets = must_sets
         self.not_sets = not_sets
         self.req_phrases = req_phrases
         self.not_phrases = not_phrases
+        # path field clauses: lists of (tokens, is_phrase); is_phrase
+        # requires the tokens consecutive in order within the path's
+        # token sequence, plain clauses require mere containment
+        self.path_must = path_must or []
+        self.path_not = path_not or []
 
     @property
     def has_filters(self) -> bool:
         return bool(self.must_sets or self.not_sets
-                    or self.req_phrases or self.not_phrases)
+                    or self.req_phrases or self.not_phrases
+                    or self.path_must or self.path_not)
 
 
 def _parse_query(query: str) -> _Query:
@@ -152,6 +176,8 @@ def _parse_query(query: str) -> _Query:
     query = query.replace("\x01", " ")
     req_phrases: List[List[str]] = []
     not_phrases: List[List[str]] = []
+    path_must: List[Tuple[List[str], bool]] = []
+    path_not: List[Tuple[List[str], bool]] = []
     bare = ""
     pos = 0
     while True:
@@ -161,6 +187,10 @@ def _parse_query(query: str) -> _Query:
             bare += query[pos:]
             break
         pre = query[pos:open_]
+        # field prefix binds tighter than the occur char: +path:"a b"
+        is_path = pre.endswith("path:")
+        if is_path:
+            pre = pre[:-5]
         occ = ""
         if pre and pre[-1] in "+-":
             occ = pre[-1]
@@ -168,7 +198,14 @@ def _parse_query(query: str) -> _Query:
         pt = tokenize(query[open_ + 1:close])
         bare += pre + " "
         if pt:
-            if occ == "-":
+            if is_path:
+                if occ == "-":
+                    path_not.append((pt, True))
+                else:
+                    # adjacency marker, same role as required phrases
+                    bare += "\x01 "
+                    path_must.append((pt, True))
+            elif occ == "-":
                 not_phrases.append(pt)
             else:
                 # a phrase placeholder keeps clause adjacency for AND
@@ -196,6 +233,18 @@ def _parse_query(query: str) -> _Query:
         if piece[0] in "+-":
             occ = piece[0]
             piece = piece[1:]
+        if piece.startswith("path:"):
+            toks = tokenize(piece[5:])
+            if toks:
+                # path clauses are filters: like required phrases they
+                # take an adjacency marker (AND promotion is a no-op on
+                # them but must not walk past to a farther clause)
+                items.append("\x01")
+                if occ == "-":
+                    path_not.append((toks, False))
+                else:
+                    path_must.append((toks, False))
+            continue
         toks = tokenize(piece)
         if toks:
             items.append([occ, toks])
@@ -230,7 +279,7 @@ def _parse_query(query: str) -> _Query:
     for pt in req_phrases:
         score_terms.extend(pt)
     return _Query(score_terms, must_sets, not_sets,
-                  req_phrases, not_phrases)
+                  req_phrases, not_phrases, path_must, path_not)
 
 
 class DiskTextIndex:
@@ -506,11 +555,17 @@ class DiskTextIndex:
         if not query:
             return []
         q = _parse_query(query)
-        if not q.score_terms:
-            return []
         n_live = self.num_live_docs
         if n_live == 0:
             return []
+        if not q.score_terms:
+            if not q.path_must:
+                return []   # empty / pure-negative: matches nothing
+            # filter-only query (just path: requirements): score 0.0,
+            # global doc order — see the _Query grammar spec
+            if self.engine == "native":
+                return self._search_native(query, limit, 1.0, n_live)
+            return self._search_filter_only(q, limit)
         avg = sum(s.live_len for s in self.segments) / n_live
         if avg == 0.0:
             avg = 1.0
@@ -636,6 +691,10 @@ class DiskTextIndex:
                     rows = _term_rows_all(seg, toks)
                     req = rows if req is None else np.intersect1d(
                         req, rows, assume_unique=True)
+                for toks, isp in q.path_must:
+                    rows = _path_clause_rows(seg, toks, isp)
+                    req = rows if req is None else np.intersect1d(
+                        req, rows, assume_unique=True)
                 if q.req_phrases and seg.has_positions:
                     pr = _phrase_rows_positional(seg, q.req_phrases)
                     req = pr if req is None else np.intersect1d(
@@ -650,6 +709,10 @@ class DiskTextIndex:
                         rows = _phrase_rows_positional(seg, [npt])
                         excl = rows if excl is None else np.union1d(
                             excl, rows)
+                for toks, isp in q.path_not:
+                    rows = _path_clause_rows(seg, toks, isp)
+                    excl = rows if excl is None else np.union1d(excl,
+                                                                rows)
                 f = (req, excl)
                 seg_filters[si] = f
             return f
@@ -693,6 +756,41 @@ class DiskTextIndex:
                                   start_line=start, end_line=end,
                                   content=content),
                             float(scores[oi])))
+                if len(out) >= limit:
+                    return out
+        return out
+
+    def _search_filter_only(self, q: "_Query", limit: int
+                            ) -> List[Tuple[Chunk, float]]:
+        """Walk for queries whose only requirements are ``path:``
+        clauses (no scoring terms): emit matching live docs with score
+        0.0 in global doc order, exclusions applied."""
+        out: List[Tuple[Chunk, float]] = []
+        for seg in self.segments:
+            req: Optional[np.ndarray] = None
+            for toks, isp in q.path_must:
+                rows = _path_clause_rows(seg, toks, isp)
+                req = rows if req is None else np.intersect1d(
+                    req, rows, assume_unique=True)
+                if len(req) == 0:
+                    break
+            if req is None or len(req) == 0:
+                continue
+            excl: Optional[np.ndarray] = None
+            for toks, isp in q.path_not:
+                rows = _path_clause_rows(seg, toks, isp)
+                excl = rows if excl is None else np.union1d(excl, rows)
+            if excl is not None and len(excl):
+                req = req[~np.isin(req, excl)]
+            if len(req) == 0:
+                continue
+            req = req[seg.live_mask(req.astype(np.uint32))]
+            for row in req:
+                row = int(row)
+                doc_id, fpath, start, end = seg.meta(row)
+                out.append((Chunk(id=doc_id, file_path=Path(fpath),
+                                  start_line=start, end_line=end,
+                                  content=seg.content(row)), 0.0))
                 if len(out) >= limit:
                     return out
         return out
@@ -772,6 +870,48 @@ def _phrase_rows_positional(seg, ptoks: List[List[str]]) -> np.ndarray:
         if len(rows_all) == 0:
             return empty
     return rows_all if rows_all is not None else empty
+
+
+def _seg_path_runs(seg) -> List[Tuple[Tuple[str, ...], int, int]]:
+    """(path tokens, row_start, row_count) per file run of ``seg``,
+    tokenized with the content analyzer (tantivy applies the same
+    default analyzer to its TEXT path field). Cached on the segment —
+    segments are immutable, and the table is tiny (one entry per file,
+    not per doc). The path string comes from the run's first doc's meta
+    record; the file table itself stores only hashes."""
+    cached = getattr(seg, "_path_runs_cache", None)
+    if cached is None:
+        cached = []
+        runs = seg.file_runs_all()
+        for j in range(len(runs)):
+            start = int(runs["start"][j])
+            count = int(runs["count"][j])
+            toks = tuple(tokenize(seg.doc_path_bytes(start).decode()))
+            cached.append((toks, start, count))
+        seg._path_runs_cache = cached
+    return cached
+
+
+def _path_clause_rows(seg, toks: List[str], is_phrase: bool) -> np.ndarray:
+    """Local doc ids of ``seg`` whose file path satisfies one ``path:``
+    clause: containment of every clause token (plain) or a consecutive
+    in-order token run (quoted path phrase)."""
+    spans: List[Tuple[int, int]] = []
+    for ptoks, start, count in _seg_path_runs(seg):
+        if is_phrase:
+            n, m = len(ptoks), len(toks)
+            ok = any(list(ptoks[i:i + m]) == toks
+                     for i in range(n - m + 1))
+        else:
+            ok = all(t in ptoks for t in toks)
+        if ok:
+            spans.append((start, count))
+    if not spans:
+        return np.empty(0, dtype=np.int64)
+    rows = np.concatenate([np.arange(s, s + c, dtype=np.int64)
+                           for s, c in spans])
+    rows.sort()
+    return rows
 
 
 def _has_phrases(content: str, ptoks: List[List[str]]) -> bool:

@@ -331,6 +331,14 @@ class Segment:
 
     # -- file runs (O(file) delete) -------------------------------------------
 
+    def file_runs_all(self) -> np.ndarray:
+        """The whole (hash, row_start, row_count) file-run table — one
+        row per contiguous run of docs sharing a path (sorted by hash).
+        Consumers needing the path STRING of a run read the first doc's
+        meta record (``doc_path_bytes(start)``); used by the ``path:``
+        field-query filters in text_index.py."""
+        return self._view(10, _FILES_DT, self.n_files)
+
     def file_rows(self, path_bytes: bytes) -> List[int]:
         files = self._view(10, _FILES_DT, self.n_files)
         h = fnv1a64(path_bytes)

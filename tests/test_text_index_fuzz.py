@@ -61,8 +61,32 @@ class Oracle:
         q = ti._parse_query(query)
         live = self.live()
         n = len(live)
-        if not q.score_terms or n == 0:
+
+        def path_ok(d):
+            pt = toks(d[1])
+            for tk, isp in q.path_must:
+                if isp:
+                    m = len(tk)
+                    if not any(pt[i:i + m] == list(tk)
+                               for i in range(len(pt) - m + 1)):
+                        return False
+                elif not all(t in pt for t in tk):
+                    return False
+            for tk, isp in q.path_not:
+                if isp:
+                    m = len(tk)
+                    if any(pt[i:i + m] == list(tk)
+                           for i in range(len(pt) - m + 1)):
+                        return False
+                elif all(t in pt for t in tk):
+                    return False
+            return True
+
+        if n == 0 or (not q.score_terms and not q.path_must):
             return []
+        if not q.score_terms:
+            # filter-only (just path: requirements): score 0.0, doc order
+            return [(d[0], 0.0) for d in live if path_ok(d)][:limit]
         lens = [len(toks(d[2])) for d in live]
         avg = (sum(lens) / n) or 1.0
         scores = [0.0] * n
@@ -94,6 +118,8 @@ class Oracle:
                 return False
             if any(has_phrases(live[i][2], [np])
                    for np in q.not_phrases):
+                return False
+            if not path_ok(live[i]):
                 return False
             return True
 
@@ -178,6 +204,23 @@ def test_differential_fuzz(tmp_path, seed):
                     parts.append(w)
             if len(parts) >= 2 and rng.random() < 0.15:
                 parts.insert(1, rng.choice(("AND", "OR")))
+            if rng.random() < 0.25 and files_alive:
+                # path: field clauses — live path tokens (hits),
+                # random words (misses), phrases, exclusions
+                ptoks = toks(rng.choice(files_alive))
+                rr = rng.random()
+                if rr < 0.3:
+                    parts.append("path:" + rng.choice(ptoks))
+                elif rr < 0.5:
+                    parts.append("-path:" + rng.choice(ptoks))
+                elif rr < 0.7:
+                    parts.append('path:"' + " ".join(ptoks) + '"')
+                else:
+                    parts.append("+path:" + rng.choice(WORDS))
+            if rng.random() < 0.04 and files_alive:
+                # filter-only query: just the path requirement
+                parts = ["path:" + rng.choice(toks(
+                    rng.choice(files_alive)))]
             q = " ".join(parts)
             if rng.random() < 0.08:
                 q += (f' -"{rng.choice(WORDS)} {rng.choice(WORDS)}"')
@@ -211,3 +254,6 @@ def test_differential_fuzz(tmp_path, seed):
     check(f"{WORDS[2]} AND {WORDS[3]}", 10)       # conjunction
     check(f"+{WORDS[0]} {WORDS[9]}", 50)          # must + should
     check(f'{WORDS[0]} -"{WORDS[0]} {WORDS[1]}"', 50)  # phrase exclusion
+    check("path:txt", 50)                          # filter-only, all files
+    check(f"{WORDS[0]} -path:txt", 50)             # path-excludes-everything
+    check(f"{WORDS[0]} path:f007", 10)             # one file's docs
