@@ -684,10 +684,31 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
     for (auto& ch : query)
         if (ch == '\x01') ch = ' ';
     std::vector<std::vector<std::string>> req_ptoks, not_ptoks;
+    std::vector<double> req_pboosts;
     // path: field clauses — (tokens, is_phrase); spec in the Python
     // engine's _Query docstring (filters, never score)
     std::vector<std::pair<std::vector<std::string>, bool>> path_must,
         path_not;
+    // ^boost parsing (tantivy grammar) — mirrors the Python regexes
+    // character for character: digits(.digits), longest match
+    auto match_boost = [](const std::string& s, size_t p, double& boost) {
+        // returns the end of a ^boost starting at p, or p when absent
+        if (p >= s.size() || s[p] != '^') return p;
+        size_t t = p + 1, d0 = t;
+        while (t < s.size() && isdigit((unsigned char)s[t])) t++;
+        if (t == d0) return p;
+        // optional .digits — only consumed when at least one digit
+        // follows the dot (regex (?:\.\d+)? backtracking)
+        if (t + 1 < s.size() && s[t] == '.'
+            && isdigit((unsigned char)s[t + 1])) {
+            t++;
+            while (t < s.size() && isdigit((unsigned char)s[t])) t++;
+        }
+        // parse EXACTLY the matched span (strtod from p+1 would also
+        // eat exponents the grammar does not allow)
+        boost = std::stod(s.substr(p + 1, t - p - 1));
+        return t;
+    };
     std::string bare;
     size_t pos = 0;
     while (pos < query.size()) {
@@ -706,6 +727,11 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
             pre.pop_back();
         }
         auto pt = tokenize(query.substr(open + 1, close - open - 1));
+        // ^boost immediately after the closing quote ("a b"^1.5);
+        // consumed whether used or not
+        pos = close + 1;
+        double pboost = 1.0;
+        pos = match_boost(query, pos, pboost);
         bare += pre;
         bare += ' ';
         if (!pt.empty()) {
@@ -721,13 +747,14 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
             } else {
                 bare += "\x01 ";   // adjacency marker for AND promotion
                 req_ptoks.push_back(std::move(pt));
+                req_pboosts.push_back(pboost);
             }
         }
-        pos = close + 1;
     }
 
     // bare clauses in order (whitespace split), then AND promotion
-    struct Clause { char occ; std::vector<std::string> toks; };
+    struct Clause { char occ; std::vector<std::string> toks;
+                    double boost; };
     struct Item { int kind; int clause; };  // 0=clause 1=AND 2=OR 3=marker
     std::vector<Clause> clauses;
     std::vector<Item> items;
@@ -748,6 +775,20 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
                         occ = piece[0];
                         piece.erase(0, 1);
                     }
+                    // end-anchored ^boost suffix (term^2); malformed
+                    // suffixes are not boosts (mirrors _SBOOST_RE)
+                    double boost = 1.0;
+                    {
+                        size_t c = piece.rfind('^');
+                        if (c != std::string::npos) {
+                            double b2 = 1.0;
+                            if (match_boost(piece, c, b2)
+                                    == piece.size()) {
+                                boost = b2;
+                                piece.resize(c);
+                            }
+                        }
+                    }
                     if (piece.rfind("path:", 0) == 0) {
                         // path clauses are filters: they take an
                         // adjacency marker like required phrases (AND
@@ -767,7 +808,8 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
                         auto toks = tokenize(piece);
                         if (!toks.empty()) {
                             items.push_back({0, (int)clauses.size()});
-                            clauses.push_back({occ, std::move(toks)});
+                            clauses.push_back({occ, std::move(toks),
+                                               boost});
                         }
                     }
                 }
@@ -791,17 +833,19 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
         }
     }
 
-    std::vector<std::string> terms;          // scoring tokens, in order
+    // scoring tokens with their clause boosts, in order
+    std::vector<std::pair<std::string, double>> terms;
     std::vector<std::vector<std::string>> must_sets, not_sets;
     for (auto& it : items) {
         if (it.kind != 0) continue;
         Clause& c = clauses[it.clause];
         if (c.occ == '-') { not_sets.push_back(c.toks); continue; }
-        for (auto& t : c.toks) terms.push_back(t);
+        for (auto& t : c.toks) terms.emplace_back(t, c.boost);
         if (c.occ == '+') must_sets.push_back(c.toks);
     }
-    for (auto& pt : req_ptoks)
-        for (auto& t : pt) terms.push_back(t);
+    for (size_t pi = 0; pi < req_ptoks.size(); pi++)
+        for (auto& t : req_ptoks[pi])
+            terms.emplace_back(t, req_pboosts[pi]);
 
     // empty / pure-negative queries match nothing
     if (n_live == 0 || (terms.empty() && path_must.empty())) {
@@ -871,6 +915,7 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
     // pass 1: global live df per term (cache per-seg term indexes)
     struct TermHits {
         double idf;
+        double boost;
         std::vector<std::pair<uint32_t, int64_t>> found;  // (seg, t idx)
     };
     std::vector<TermHits> hits_by_term;
@@ -878,8 +923,9 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
     for (uint32_t s = 0; s < n_segs; s++)
         total_docs = std::max(total_docs, segs[s]->base + segs[s]->n_docs);
     uint64_t sum_df = 0;
-    for (auto& term : terms) {
+    for (auto& [term, tboost] : terms) {
         TermHits th;
+        th.boost = tboost;
         uint64_t df = 0;
         for (uint32_t s = 0; s < n_segs; s++) {
             int64_t t = segs[s]->find_term(term);
@@ -924,7 +970,10 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
                     double tf = tfs[e];
                     double dl = dls[doc];
                     double denom = tf + K1 * (1 - B + B * dl / avg);
-                    add(sv.base + doc, th.idf * tf * (K1 + 1) / denom);
+                    // boost outermost — identical expression tree to
+                    // the Python engine (1.0 * c == c exactly)
+                    add(sv.base + doc,
+                        th.boost * (th.idf * tf * (K1 + 1) / denom));
                 }
             }
         }

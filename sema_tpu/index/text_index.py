@@ -79,6 +79,13 @@ _COMPACT_DEAD_FRACTION = 0.25
 # '_' is NOT alphanumeric in Rust, so "foo_bar" → ["foo", "bar"]
 _SPLIT_RE = re.compile(r"[^\W_]+", re.UNICODE)
 
+# ^boost (tantivy grammar): unsigned decimal. _QBOOST_RE matches right
+# after a closing quote (longest digits(.digits) run); _SBOOST_RE is
+# the end-anchored bare-clause suffix form. The C++ parser mirrors both
+# character for character.
+_QBOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)")
+_SBOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
+
 
 def tokenize(text: str) -> List[str]:
     """tantivy default analyzer: alphanumeric runs, lowercased, ≤40 chars."""
@@ -98,6 +105,13 @@ class _Query:
     - a clause is ``[+|-]`` immediately followed by a word-run or a
       ``"quoted phrase"``; ``+`` = MUST, ``-`` = MUST_NOT, plain =
       SHOULD (tantivy's default OR-of-terms);
+    - a clause may carry a ``^boost`` suffix (tantivy grammar:
+      ``term^2``, ``"a b"^1.5``) — an unsigned decimal immediately
+      after the word-run / closing quote; it multiplies the BM25
+      contribution of the clause's scoring tokens (MUST_NOT and
+      ``path:`` clauses ignore the value but still strip the suffix).
+      A malformed suffix (``foo^x``) is not a boost and tokenizes as
+      plain text, preserving the historical parse;
     - standalone UPPERCASE ``AND`` promotes its adjacent SHOULD bare
       clauses to MUST (≙ tantivy's infix AND); ``OR`` is a no-op (OR is
       already the default occur);
@@ -144,10 +158,12 @@ class _Query:
     """
 
     __slots__ = ("score_terms", "must_sets", "not_sets",
-                 "req_phrases", "not_phrases", "path_must", "path_not")
+                 "req_phrases", "not_phrases", "path_must", "path_not",
+                 "score_boosts")
 
     def __init__(self, score_terms, must_sets, not_sets,
-                 req_phrases, not_phrases, path_must=None, path_not=None):
+                 req_phrases, not_phrases, path_must=None, path_not=None,
+                 score_boosts=None):
         self.score_terms = score_terms
         self.must_sets = must_sets
         self.not_sets = not_sets
@@ -158,6 +174,11 @@ class _Query:
         # token sequence, plain clauses require mere containment
         self.path_must = path_must or []
         self.path_not = path_not or []
+        # per-score-term boost multipliers, parallel to score_terms
+        # (1.0 = unboosted; scores are bit-identical to the pre-boost
+        # engine because c * 1.0 == c exactly)
+        self.score_boosts = (score_boosts if score_boosts is not None
+                             else [1.0] * len(score_terms))
 
     @property
     def has_filters(self) -> bool:
@@ -175,6 +196,7 @@ def _parse_query(query: str) -> _Query:
     # (mirrored in the C++ parser)
     query = query.replace("\x01", " ")
     req_phrases: List[List[str]] = []
+    req_pboosts: List[float] = []
     not_phrases: List[List[str]] = []
     path_must: List[Tuple[List[str], bool]] = []
     path_not: List[Tuple[List[str], bool]] = []
@@ -196,6 +218,14 @@ def _parse_query(query: str) -> _Query:
             occ = pre[-1]
             pre = pre[:-1]
         pt = tokenize(query[open_ + 1:close])
+        # ^boost immediately after the closing quote ("a b"^1.5);
+        # longest digits(.digits) run, consumed whether used or not
+        pos = close + 1
+        boost = 1.0
+        mb = _QBOOST_RE.match(query, pos)
+        if mb:
+            boost = float(mb.group(1))
+            pos = mb.end()
         bare += pre + " "
         if pt:
             if is_path:
@@ -213,7 +243,7 @@ def _parse_query(query: str) -> _Query:
                 # promotion is a no-op on it)
                 bare += "\x01 "
                 req_phrases.append(pt)
-        pos = close + 1
+                req_pboosts.append(boost)
 
     # bare clauses in order: (occ, tokens) or the operators themselves.
     # Split on ASCII whitespace ONLY — the C++ engine splits with
@@ -233,6 +263,13 @@ def _parse_query(query: str) -> _Query:
         if piece[0] in "+-":
             occ = piece[0]
             piece = piece[1:]
+        # ^boost suffix (term^2); malformed suffixes are not boosts and
+        # tokenize as plain text (historical parse preserved)
+        boost = 1.0
+        mb = _SBOOST_RE.search(piece)
+        if mb:
+            boost = float(mb.group(1))
+            piece = piece[:mb.start()]
         if piece.startswith("path:"):
             toks = tokenize(piece[5:])
             if toks:
@@ -247,7 +284,7 @@ def _parse_query(query: str) -> _Query:
             continue
         toks = tokenize(piece)
         if toks:
-            items.append([occ, toks])
+            items.append([occ, toks, boost])
     # AND promotes the nearest clause on each side (SHOULD -> MUST);
     # phrases and MUST_NOT clauses are left as-is
     for i, it in enumerate(items):
@@ -264,22 +301,26 @@ def _parse_query(query: str) -> _Query:
                     break   # adjacent required phrase: no-op
 
     score_terms: List[str] = []
+    score_boosts: List[float] = []
     must_sets: List[List[str]] = []
     not_sets: List[List[str]] = []
     for it in items:
         if not isinstance(it, list):
             continue
-        occ, toks = it
+        occ, toks, boost = it
         if occ == "-":
             not_sets.append(toks)
             continue
         score_terms.extend(toks)
+        score_boosts.extend([boost] * len(toks))
         if occ == "+":
             must_sets.append(toks)
-    for pt in req_phrases:
+    for pt, pb in zip(req_phrases, req_pboosts):
         score_terms.extend(pt)
+        score_boosts.extend([pb] * len(pt))
     return _Query(score_terms, must_sets, not_sets,
-                  req_phrases, not_phrases, path_must, path_not)
+                  req_phrases, not_phrases, path_must, path_not,
+                  score_boosts)
 
 
 class DiskTextIndex:
@@ -598,11 +639,12 @@ class DiskTextIndex:
     def _search_py(self, q: "_Query", limit: int, avg: float,
                    n_live: int) -> List[Tuple[Chunk, float]]:
         terms = q.score_terms
+        boosts = q.score_boosts
         ptoks = q.req_phrases
         bases = self._bases()
         gids_all: List[np.ndarray] = []
         contribs_all: List[np.ndarray] = []
-        for term in terms:
+        for term, boost in zip(terms, boosts):
             tb = term.encode()
             seg_hits = []
             df = 0
@@ -625,7 +667,11 @@ class DiskTextIndex:
                 tf = tfs.astype(np.float64)
                 dl = seg.doc_len[ids].astype(np.float64)
                 denom = tf + K1 * (1 - B + B * dl / avg)
-                contribs_all.append(idf * tf * (K1 + 1) / denom)
+                # boost outermost (C++ mirrors the expression tree);
+                # 1.0 * c == c exactly, so unboosted queries keep their
+                # historical bit-identical scores
+                contribs_all.append(boost * (idf * tf * (K1 + 1)
+                                             / denom))
                 gids_all.append(ids.astype(np.int64) + base)
         if not gids_all:
             return []

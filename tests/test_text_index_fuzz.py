@@ -90,7 +90,7 @@ class Oracle:
         lens = [len(toks(d[2])) for d in live]
         avg = (sum(lens) / n) or 1.0
         scores = [0.0] * n
-        for term in q.score_terms:
+        for term, boost in zip(q.score_terms, q.score_boosts):
             hits = [(i, Counter(toks(d[2]))[term])
                     for i, d in enumerate(live)
                     if term in toks(d[2])]
@@ -100,7 +100,7 @@ class Oracle:
             idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
             for i, tf in hits:
                 denom = tf + K1 * (1 - B + B * lens[i] / avg)
-                scores[i] += idf * tf * (K1 + 1) / denom
+                scores[i] += boost * (idf * tf * (K1 + 1) / denom)
 
         def has_phrases(content, pts):
             joined = "\x00" + "\x00".join(toks(content)) + "\x00"
@@ -202,6 +202,10 @@ def test_differential_fuzz(tmp_path, seed):
                     parts.append("-" + w)
                 else:
                     parts.append(w)
+                if rng.random() < 0.15:
+                    # ^boost suffix, occasionally malformed (not a boost)
+                    parts[-1] += rng.choice(
+                        ("^2", "^0.5", "^3.25", "^1", "^x", "^2."))
             if len(parts) >= 2 and rng.random() < 0.15:
                 parts.insert(1, rng.choice(("AND", "OR")))
             if rng.random() < 0.25 and files_alive:
@@ -230,6 +234,8 @@ def test_differential_fuzz(tmp_path, seed):
                 q += (' "' + " ".join(rng.choice(WORDS)
                                       for _ in range(rng.randint(2, 3)))
                       + '"')
+                if rng.random() < 0.3:
+                    q += "^2.5"
             elif r < 0.3 and oracle.live():
                 # phrase lifted from a live doc: positional HIT path
                 # (random pairs almost never co-occur adjacently)
@@ -257,3 +263,5 @@ def test_differential_fuzz(tmp_path, seed):
     check("path:txt", 50)                          # filter-only, all files
     check(f"{WORDS[0]} -path:txt", 50)             # path-excludes-everything
     check(f"{WORDS[0]} path:f007", 10)             # one file's docs
+    check(f"{WORDS[0]}^2 {WORDS[1]}", 50)          # boosted term
+    check(f'"{WORDS[0]} {WORDS[1]}"^1.5 {WORDS[2]}', 50)  # boosted phrase
