@@ -1,0 +1,147 @@
+"""IVF clustering for the pruned (ANN) scan path.
+
+The exact scan streams EVERY row of a bucket through the Pallas top-k
+kernel. For interactive single-query latency on 10M+-row stores the
+optional IVF mode trades a little recall for a large cut in scanned
+bytes, the classic inverted-file way (≙ what the reference's LanceDB
+backend offers via IVF indexes — the reference itself never builds one,
+so this is a capability increase, opt-in and off by default):
+
+- at sealed-bucket build time, k-means clusters the bucket's rows
+  (device Lloyd iterations — blocked MXU matmuls, no scatter), and the
+  bucket's device array is permuted CLUSTER-MAJOR so each cluster is a
+  contiguous row range;
+- at query time the host picks the top-``nprobe`` clusters per query
+  (a tiny (Q, C)·(C, d) matmul), unions their covering tiles, and
+  dispatches the scalar-prefetch Pallas kernel
+  (ops/pallas_topk.py:pallas_topk_pruned) that DMAs ONLY those tiles.
+
+Everything here is deterministic (strided init, no RNG) so a store
+reopened on another host builds the identical layout.
+
+TPU notes: Lloyd's accumulation is one-hot matmuls under ``lax.scan``
+over fixed row blocks — assignment scatter-adds don't tile onto the
+MXU, (block, C) one-hots do. Padding rows (all-zero) carry zero weight
+and dead (all-zero) centroids are score-penalized so they never attract
+real rows.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_DEAD_PENALTY = -1.0e30
+
+
+def _l2(x: jnp.ndarray) -> jnp.ndarray:
+    n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / jnp.maximum(n, 1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "iters"))
+def kmeans_cluster(x: jax.Array, c: int, iters: int = 8
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Cosine k-means over (N, d) rows → (assign (N,) i32, cent (C, d) f32).
+
+    Rows are expected L2-normalized-or-zero (the store's contract: real
+    rows are unit vectors, bucket padding is all-zero). Zero rows get
+    zero weight in centroid updates; centroids that never attract a row
+    stay all-zero and are skipped by the host probe (empty ranges).
+    """
+    n, d = x.shape
+    block = min(8192, n)
+    nb = n // block
+    xb = x.astype(jnp.float32).reshape(nb, block, d)
+    w = (jnp.sum(xb * xb, axis=2) > 0).astype(jnp.float32)  # (nb, block)
+
+    stride = max(1, n // c)
+    cent = _l2(x.astype(jnp.float32)[::stride][:c])
+    if cent.shape[0] < c:  # n < c: degenerate tiny bucket
+        cent = jnp.pad(cent, ((0, c - cent.shape[0]), (0, 0)))
+
+    def scores(xbl, cent):
+        # dead (all-zero) centroids score 0 against everything, which
+        # would beat genuinely negative cosines — penalize them out
+        dead = (jnp.sum(cent * cent, axis=1) == 0).astype(jnp.float32)
+        return xbl @ cent.T + dead * _DEAD_PENALTY
+
+    def lloyd(cent, _):
+        def blk(carry, inp):
+            sums, counts = carry
+            xbl, wbl = inp
+            a = jnp.argmax(scores(xbl, cent), axis=1)
+            oh = jax.nn.one_hot(a, c, dtype=jnp.float32) * wbl[:, None]
+            return (sums + oh.T @ xbl, counts + jnp.sum(oh, axis=0)), None
+        zero = (jnp.zeros((c, d), jnp.float32), jnp.zeros((c,), jnp.float32))
+        (sums, counts), _ = jax.lax.scan(blk, zero, (xb, w))
+        new = _l2(sums)
+        # empty cluster: keep the old centroid (it may re-attract later)
+        return jnp.where((counts > 0)[:, None], new, cent), None
+
+    cent, _ = jax.lax.scan(lloyd, cent, None, length=iters)
+
+    def blk_assign(_, inp):
+        xbl, _w = inp
+        return None, jnp.argmax(scores(xbl, cent), axis=1).astype(jnp.int32)
+
+    _, assign = jax.lax.scan(blk_assign, None, (xb, w))
+    return assign.reshape(n), cent
+
+
+def cluster_layout(assign: np.ndarray, c: int
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host side of the build: cluster-major row order.
+
+    Returns ``perm`` (new position → original row, i32) and ``starts``
+    (C+1 cumulative row offsets per cluster, i64). The store's device
+    array is reordered as ``rows[perm]``; a kernel hit at permuted
+    position p maps back through ``perm[p]``.
+    """
+    assign = np.asarray(assign)
+    perm = np.argsort(assign, kind="stable").astype(np.int32)
+    counts = np.bincount(assign, minlength=c)
+    starts = np.zeros(c + 1, dtype=np.int64)
+    starts[1:] = np.cumsum(counts)
+    return perm, starts
+
+
+def select_tiles(centroids: np.ndarray, starts: np.ndarray,
+                 queries: np.ndarray, nprobe: int, tile_n: int,
+                 budget: int) -> Optional[Tuple[np.ndarray, int]]:
+    """Host side of a probe: the tile list for one dispatch.
+
+    ``queries`` are the LIVE query rows only (phantom zero-padded rows
+    would probe garbage clusters and blow the budget). Returns
+    ``(tile_ids (budget,) i32, n_live)`` — padded by repeating the last
+    live tile id so Mosaic elides the pad steps' DMA — or ``None`` when
+    the union of probed clusters exceeds ``budget`` tiles (caller falls
+    back to the exact full scan) or probes nothing.
+    """
+    if len(queries) == 0:
+        return None
+    cs = np.asarray(queries, dtype=np.float32) @ centroids.T  # (Q, C)
+    nprobe = min(nprobe, cs.shape[1])
+    if nprobe < cs.shape[1]:
+        idx = np.argpartition(-cs, nprobe - 1, axis=1)[:, :nprobe]
+    else:
+        idx = np.broadcast_to(np.arange(cs.shape[1]), cs.shape)
+    sel = np.unique(idx)
+    lo, hi = starts[sel], starts[sel + 1]
+    keep = hi > lo  # skip empty/dead clusters
+    lo, hi = lo[keep], hi[keep]
+    if len(lo) == 0:
+        return None
+    spans = [np.arange(a // tile_n, (b - 1) // tile_n + 1)
+             for a, b in zip(lo, hi)]
+    tiles = np.unique(np.concatenate(spans))
+    n_live = len(tiles)
+    if n_live > budget:
+        return None
+    out = np.full(budget, tiles[-1], dtype=np.int32)
+    out[:n_live] = tiles
+    return out, n_live

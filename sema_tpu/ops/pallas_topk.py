@@ -35,12 +35,15 @@ NEG = -3.0e38  # effectively -inf; plain float so kernels embed it literally
 K_PAD = 128    # lane-aligned width of the running top-k state
 
 
-def _merge_and_emit(scores, i, out_s_ref, out_i_ref,
+def _merge_and_emit(scores, i, row0, out_s_ref, out_i_ref,
                     run_s, run_i, wide, tmp_s, tmp_i, *, k: int,
                     tile_n: int):
-    """Shared tail of both scan kernels: init running state, threshold
+    """Shared tail of the scan kernels: init running state, threshold
     screen, survivor-bounded insertion merge, and the final-tile emit.
-    ``scores`` is (Q, TILE_N) f32 with NEG in dead slots.
+    ``scores`` is (Q, TILE_N) f32 with NEG in dead slots; ``row0`` is
+    the store-row index of the tile's first column (``i * tile_n`` for
+    the dense kernels, ``tile_ids[i] * tile_n`` for the IVF-pruned
+    scalar-prefetch kernel).
 
     Merge design (third iteration; A/B history in docs/PERF.md):
 
@@ -72,8 +75,6 @@ def _merge_and_emit(scores, i, out_s_ref, out_i_ref,
     def _():
         run_s[:] = jnp.full((qn, K_PAD), NEG, jnp.float32)
         run_i[:] = jnp.zeros((qn, K_PAD), jnp.int32)
-
-    row0 = i * tile_n
 
     # threshold screen: the running top-k is stored rank-descending, so
     # column k-1 holds each query's current k-th best. A tile with no
@@ -140,7 +141,7 @@ def _scan_kernel(q_ref, store_ref, valid_ref, out_s_ref, out_i_ref,
         preferred_element_type=jnp.float32)         # (Q, TILE_N)
     vmask = valid_ref[:]                            # (1, TILE_N) 0/1 f32
     scores = jnp.where(vmask > 0, scores, NEG)
-    _merge_and_emit(scores, i, out_s_ref, out_i_ref,
+    _merge_and_emit(scores, i, i * tile_n, out_s_ref, out_i_ref,
                     run_s, run_i, wide, tmp_s, tmp_i, k=k, tile_n=tile_n)
 
 
@@ -156,7 +157,7 @@ def _scan_kernel_nomask(q_ref, store_ref, out_s_ref, out_i_ref,
     scores = jax.lax.dot_general(
         q, tile, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)         # (Q, TILE_N)
-    _merge_and_emit(scores, i, out_s_ref, out_i_ref,
+    _merge_and_emit(scores, i, i * tile_n, out_s_ref, out_i_ref,
                     run_s, run_i, wide, tmp_s, tmp_i, k=k, tile_n=tile_n)
 
 
@@ -177,7 +178,7 @@ def _scan_kernel_int8(q_ref, store_ref, scale_ref, valid_ref,
     scores = raw.astype(jnp.float32) * scales
     vmask = valid_ref[:]                            # (1, TILE_N) 0/1 f32
     scores = jnp.where(vmask > 0, scores, NEG)
-    _merge_and_emit(scores, i, out_s_ref, out_i_ref,
+    _merge_and_emit(scores, i, i * tile_n, out_s_ref, out_i_ref,
                     run_s, run_i, wide, tmp_s, tmp_i, k=k, tile_n=tile_n)
 
 
@@ -347,5 +348,166 @@ def pallas_topk_int8(store_q: jax.Array, store_scale: jax.Array,
     out_s = out_s[:, :k]
     # normalize sentinels BEFORE the per-query rescale (scale is positive
     # and per-query constant, so applying it post-merge preserves order)
+    out_s = jnp.where(out_s <= NEG, -jnp.inf, out_s * qscale[:, None])
+    return out_s, out_i[:, :k]
+
+
+# -- IVF-pruned scan (scalar-prefetch tile gather) ---------------------------
+#
+# The dense kernels above stream EVERY tile of a bucket. The pruned
+# variants take a prefetched tile-id list (ops/ivf.py picks it from the
+# bucket's cluster layout) and DMA only those tiles: the grid runs over
+# the STATIC tile budget T, the store/valid block index_maps read
+# tile_ids[i], and steps past n_live repeat the last live tile id —
+# Mosaic elides the re-fetch of an unchanged block, and the `live`
+# predicate folds into the existing validity select (zero extra VPU
+# passes), turning pad steps into score=NEG no-ops the threshold screen
+# skips. Emitted ids are positions in the PERMUTED (cluster-major)
+# bucket; the store maps them back through the build-time permutation.
+
+
+def _scan_kernel_pruned(nl_ref, tid_ref, q_ref, store_ref, valid_ref,
+                        out_s_ref, out_i_ref,
+                        run_s, run_i, wide, tmp_s, tmp_i, *, k: int,
+                        tile_n: int):
+    i = pl.program_id(0)
+    live = i < nl_ref[0]
+    q = q_ref[:]                                    # (Q, d)
+    tile = store_ref[:]                             # (TILE_N, d)
+    scores = jax.lax.dot_general(
+        q, tile, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (Q, TILE_N)
+    vmask = valid_ref[:]                            # (1, TILE_N) 0/1 f32
+    scores = jnp.where(jnp.logical_and(vmask > 0, live), scores, NEG)
+    _merge_and_emit(scores, i, tid_ref[i] * tile_n, out_s_ref, out_i_ref,
+                    run_s, run_i, wide, tmp_s, tmp_i, k=k, tile_n=tile_n)
+
+
+def _scan_kernel_int8_pruned(nl_ref, tid_ref, q_ref, store_ref, scale_ref,
+                             valid_ref, out_s_ref, out_i_ref,
+                             run_s, run_i, wide, tmp_s, tmp_i, *, k: int,
+                             tile_n: int):
+    i = pl.program_id(0)
+    live = i < nl_ref[0]
+    q = q_ref[:]                                    # (Q, d) int8
+    tile = store_ref[:]                             # (TILE_N, d) int8
+    raw = jax.lax.dot_general(
+        q, tile, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)           # (Q, TILE_N) i32
+    scores = raw.astype(jnp.float32) * scale_ref[:]
+    vmask = valid_ref[:]                            # (1, TILE_N) 0/1 f32
+    scores = jnp.where(jnp.logical_and(vmask > 0, live), scores, NEG)
+    _merge_and_emit(scores, i, tid_ref[i] * tile_n, out_s_ref, out_i_ref,
+                    run_s, run_i, wide, tmp_s, tmp_i, k=k, tile_n=tile_n)
+
+
+def _pruned_grid_spec(qn, d, tile_n, t, masked_scale: bool):
+    in_specs = [
+        pl.BlockSpec((qn, d), lambda i, nl, tid: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, d), lambda i, nl, tid: (tid[i], 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if masked_scale:
+        in_specs.append(pl.BlockSpec((1, tile_n),
+                                     lambda i, nl, tid: (0, tid[i]),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((1, tile_n),
+                                 lambda i, nl, tid: (0, tid[i]),
+                                 memory_space=pltpu.VMEM))
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # n_live (1,) i32, tile_ids (T,) i32
+        grid=(t,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((qn, K_PAD), lambda i, nl, tid: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, K_PAD), lambda i, nl, tid: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((qn, K_PAD), jnp.float32),
+            pltpu.VMEM((qn, K_PAD), jnp.int32),
+            pltpu.VMEM((qn, tile_n), jnp.float32),
+            pltpu.VMEM((qn, K_PAD), jnp.float32),
+            pltpu.VMEM((qn, K_PAD), jnp.int32),
+        ],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def pallas_topk_pruned(store: jax.Array, queries: jax.Array,
+                       valid: jax.Array, tile_ids: jax.Array,
+                       n_live: jax.Array, k: int, tile_n: int = 512,
+                       interpret: bool = False):
+    """Top-k of ``queries @ store.T`` over ONLY the tiles in ``tile_ids``.
+
+    store:    (N, d) bf16/f32, PERMUTED cluster-major, N % tile_n == 0
+    queries:  (Q, d) — cast to the store dtype for the MXU
+    valid:    (N,) bool, in PERMUTED order
+    tile_ids: (T,) i32 — tile indices to scan; entries past ``n_live``
+              must repeat a live id (see ops/ivf.py:select_tiles)
+    n_live:   (1,) i32 — number of live entries in ``tile_ids``
+    Returns (scores (Q, k) f32, ids (Q, k) i32); ids are PERMUTED row
+    positions — map through the bucket's ``perm`` on host. Exact over
+    the selected tiles; recall vs the full scan is the IVF trade.
+    """
+    n, d = store.shape
+    qn = queries.shape[0]
+    t = tile_ids.shape[0]
+    if n % tile_n:
+        raise ValueError(f"N={n} must be a multiple of tile_n={tile_n}")
+    if k > K_PAD:
+        raise ValueError(f"k={k} exceeds the kernel's K_PAD={K_PAD}")
+    kernel = functools.partial(_scan_kernel_pruned, k=k, tile_n=tile_n)
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=_pruned_grid_spec(qn, d, tile_n, t, masked_scale=False),
+        out_shape=[
+            jax.ShapeDtypeStruct((qn, K_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((qn, K_PAD), jnp.int32),
+        ],
+        interpret=interpret,
+    )(n_live.astype(jnp.int32), tile_ids.astype(jnp.int32),
+      queries.astype(store.dtype), store,
+      valid.astype(jnp.float32).reshape(1, n))
+    out_s = out_s[:, :k]
+    out_s = jnp.where(out_s <= NEG, -jnp.inf, out_s)
+    return out_s, out_i[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def pallas_topk_int8_pruned(store_q: jax.Array, store_scale: jax.Array,
+                            queries: jax.Array, valid: jax.Array,
+                            tile_ids: jax.Array, n_live: jax.Array,
+                            k: int, tile_n: int = 512,
+                            interpret: bool = False):
+    """int8 variant of :func:`pallas_topk_pruned` (same contract as
+    pallas_topk_int8 otherwise: per-query quantization here, sentinel
+    normalization before the order-preserving per-query rescale)."""
+    from sema_tpu.ops.quant import quantize_query
+    n, d = store_q.shape
+    qn = queries.shape[0]
+    t = tile_ids.shape[0]
+    if n % tile_n:
+        raise ValueError(f"N={n} must be a multiple of tile_n={tile_n}")
+    if k > K_PAD:
+        raise ValueError(f"k={k} exceeds the kernel's K_PAD={K_PAD}")
+    qi, qscale = quantize_query(queries)
+    kernel = functools.partial(_scan_kernel_int8_pruned, k=k,
+                               tile_n=tile_n)
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=_pruned_grid_spec(qn, d, tile_n, t, masked_scale=True),
+        out_shape=[
+            jax.ShapeDtypeStruct((qn, K_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((qn, K_PAD), jnp.int32),
+        ],
+        interpret=interpret,
+    )(n_live.astype(jnp.int32), tile_ids.astype(jnp.int32),
+      qi, store_q,
+      store_scale.astype(jnp.float32).reshape(1, n),
+      valid.astype(jnp.float32).reshape(1, n))
+    out_s = out_s[:, :k]
     out_s = jnp.where(out_s <= NEG, -jnp.inf, out_s * qscale[:, None])
     return out_s, out_i[:, :k]
