@@ -190,7 +190,8 @@ def make_index_manager(config: Config, metrics=None):
     return IndexManager(
         data_dir(), encoder, store_dtype=config.index.store_dtype,
         mesh=mesh, metrics=metrics, rescore_k=config.index.rescore_k,
-        hbm_budget_mb=config.index.hbm_budget_mb)
+        hbm_budget_mb=config.index.hbm_budget_mb,
+        ivf=config.index.ivf, ivf_nprobe=config.index.ivf_nprobe)
 
 
 def cmd_index(args) -> int:

@@ -83,6 +83,14 @@ class IndexConfig:
     hbm_budget_mb: float = 0.0       # device-bucket cap; 0 = auto (PJRT limit
                                      # or unlimited); past it, buckets stream
                                      # from host (HBM spill, docs/PERF.md)
+    ivf: bool = False                # cluster sealed buckets (device k-means)
+                                     # and prune small-batch scans to the
+                                     # probed clusters' tiles (ANN; the exact
+                                     # scan stays the default and the
+                                     # fallback). Capability increase over
+                                     # the reference (LanceDB offers IVF but
+                                     # lance_indexer.rs never builds one).
+    ivf_nprobe: int = 32             # clusters probed per query in IVF mode
 
 
 @dataclass

@@ -259,7 +259,8 @@ class VectorStore:
     def __init__(self, data_dir: Path | str, dim: int, model: str,
                  store_dtype: str = "bfloat16", mesh=None,
                  index_axis: str = "index", rescore_k: int = 100,
-                 hbm_budget_mb: float = 0.0):
+                 hbm_budget_mb: float = 0.0, ivf: bool = False,
+                 ivf_nprobe: int = 32):
         self.dir = Path(data_dir) / "vector_index"
         self.dir.mkdir(parents=True, exist_ok=True)
         self.dim = dim
@@ -268,6 +269,17 @@ class VectorStore:
         self.np_dtype = _STORE_DTYPES[store_dtype]
         self.rescore_k = rescore_k
         self.hbm_budget_mb = hbm_budget_mb   # 0 = auto; [index] config knob
+        # IVF (ANN) mode: cluster sealed buckets at build time and prune
+        # small-batch scans to the probed clusters' tiles (ops/ivf.py +
+        # the scalar-prefetch kernels in ops/pallas_topk.py). Opt-in —
+        # the exact scan stays the default AND the per-dispatch fallback
+        # whenever a probe's tile union exceeds the budget (large query
+        # batches) or a bucket is unsealed/spilled/sharded.
+        env_ivf = os.environ.get("SEMA_TPU_IVF")
+        self.ivf = (env_ivf not in ("", "0")) if env_ivf is not None \
+            else ivf
+        self.ivf_nprobe = int(os.environ.get("SEMA_TPU_IVF_NPROBE",
+                                             ivf_nprobe))
         self.mesh = mesh
         self.index_axis = index_axis
         self.segments: List[_Segment] = []
@@ -637,6 +649,16 @@ class VectorStore:
     MAX_TAIL_BUCKETS = 8
     SPILL_SLICE_ROWS = 262_144
     SPILL_INFLIGHT = 2
+    # IVF mode (self.ivf): sealed buckets are k-means-clustered and laid
+    # out cluster-major; probes scan only the selected clusters' tiles.
+    # ~IVF_CLUSTER_ROWS rows per centroid; the pruned kernel's tile is
+    # narrower than the dense scan's 2048 so a probed cluster costs
+    # little over-read at its range boundaries. A dispatch may touch at
+    # most 1/IVF_BUDGET_DIV of the bucket's tiles (the kernel grid is
+    # static at that budget) — past it, the exact scan is cheaper anyway.
+    IVF_TILE = 512
+    IVF_CLUSTER_ROWS = 512
+    IVF_BUDGET_DIV = 4
 
     def _invalidate_device(self, tail_only: bool = False) -> None:
         if tail_only and self._buckets:
@@ -760,18 +782,40 @@ class VectorStore:
         valid = self._bucket_valid_host(seg_range, n_pad)
 
         axis = self.index_axis
+        dev = self._put(host, P(axis, None))
+        ivf_meta = None
+        if (self.ivf and sealed and self.mesh is None
+                and n_pad % self.IVF_TILE == 0
+                and n_pad >= 2 * self.IVF_TILE):
+            # cluster on device (bf16 rows even for int8 stores — the
+            # layout decision deserves full precision and quantization
+            # happens after the permutation so per-row scales ride along
+            # automatically), then reorder cluster-major. The kernel's
+            # hits come back as PERMUTED positions; search_batch_finish
+            # maps them through ``perm`` before the global row offset.
+            from sema_tpu.ops.ivf import cluster_layout, kmeans_cluster
+            c = max(16, n_pad // self.IVF_CLUSTER_ROWS)
+            assign, cent = kmeans_cluster(dev, c)
+            # c + 1: padding rows live in the overflow cluster past every
+            # real one (never probed, never scanned)
+            perm, starts = cluster_layout(np.asarray(assign), c + 1)
+            dev = jnp.take(dev, jnp.asarray(perm), axis=0)
+            valid = valid[perm]
+            ivf_meta = {"perm": perm,
+                        "centroids": np.asarray(cent),
+                        "starts": starts}
         if self.store_dtype == "int8":
             # upload the bf16 rows and quantize on device (see
             # _quantize_rows_device) — no host-side numpy pass
-            qvals, scales = _quantize_rows_device(
-                self._put(host, P(axis, None)))
+            qvals, scales = _quantize_rows_device(dev)
             store = (qvals, scales)
             self._store_specs = (P(axis, None), P(axis))
         else:
-            store = self._put(host, P(axis, None))
+            store = dev
             self._store_specs = P(axis, None)
         return {
             "store": store,
+            "ivf": ivf_meta,
             "valid": self._put(valid, P(axis)),
             # every row live AND no padding: eligible for the mask-free
             # scan kernel (one fewer full VPU pass per tile)
@@ -990,9 +1034,14 @@ class VectorStore:
                 if id(b) in reused and not b.get("host_resident"):
                     host_valid = self._bucket_valid_host(
                         b["seg_range"], b["n_pad"])
+                    b["all_valid"] = bool(host_valid.all())
+                    ivf = b.get("ivf")
+                    if ivf is not None:
+                        # the bucket's rows are cluster-major: the mask
+                        # must follow the same permutation
+                        host_valid = host_valid[ivf["perm"]]
                     b["valid"] = self._put(host_valid,
                                            P(self.index_axis))
-                    b["all_valid"] = bool(host_valid.all())
         self._buckets = buckets
         self._valid_dirty = False
         # every segment is covered now: any pending device rows that a
@@ -1215,6 +1264,73 @@ class VectorStore:
         self._topk_fns[key] = fn
         return fn
 
+    def _ivf_scan_fn(self, n_pad: int, k_eff: int, t: int):
+        """Compiled pruned scan (store, queries, valid, tile_ids, n_live)
+        → packed (Q, 2k) i32, cached per (rows, k, dtype, budget). Same
+        single-fetch packing contract as _scan_fn. Single-device only —
+        the IVF layout is per-bucket, not per-shard."""
+        key = ("ivf", n_pad, k_eff, self.store_dtype, t)
+        fn = self._topk_fns.get(key)
+        if fn is not None:
+            return fn
+        on_tpu = jax.default_backend() == "tpu"
+        tile = self.IVF_TILE
+        if self.store_dtype == "int8":
+            from sema_tpu.ops.pallas_topk import pallas_topk_int8_pruned
+
+            def local(store, q, valid, tiles, nl):
+                return pallas_topk_int8_pruned(
+                    store[0], store[1], q, valid, tiles, nl, k_eff,
+                    tile_n=tile, interpret=not on_tpu)
+        else:
+            from sema_tpu.ops.pallas_topk import pallas_topk_pruned
+
+            def local(store, q, valid, tiles, nl):
+                return pallas_topk_pruned(
+                    store, q, valid, tiles, nl, k_eff,
+                    tile_n=tile, interpret=not on_tpu)
+
+        def packed(store, q, valid, tiles, nl):
+            s, i = local(store, q, valid, tiles, nl)
+            # integer-domain pack — see _scan_fn for why NOT ids→f32
+            return jnp.concatenate(
+                [jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1)
+
+        fn = jax.jit(packed)
+        self._topk_fns[key] = fn
+        return fn
+
+    def _ivf_dispatch(self, b: dict, q, query_vecs: np.ndarray,
+                      live: int, k_scan: int):
+        """Try the pruned (ANN) scan for one IVF-clustered bucket.
+
+        Returns a pending entry, or None when the probe's tile union
+        exceeds the static budget (large/diverse query batches — the
+        exact scan is the better program there) or the backend can't run
+        the Pallas kernel. Probing uses only the LIVE query rows;
+        phantom zero-padded serving rows would union garbage clusters.
+        """
+        from sema_tpu.ops.ivf import select_tiles
+        if k_scan > 128:           # K_PAD ceiling of the fused kernels
+            return None
+        on_tpu = jax.default_backend() == "tpu"
+        if not (on_tpu
+                or os.environ.get("SEMA_TPU_SCAN_BACKEND") == "pallas"):
+            return None
+        ivf = b["ivf"]
+        n_tiles = b["n_pad"] // self.IVF_TILE
+        budget = max(2, n_tiles // self.IVF_BUDGET_DIV)
+        sel = select_tiles(ivf["centroids"], ivf["starts"],
+                           np.asarray(query_vecs[:live], np.float32),
+                           self.ivf_nprobe, self.IVF_TILE, budget)
+        if sel is None:
+            return None
+        tiles, n_live_tiles = sel
+        fn = self._ivf_scan_fn(b["n_pad"], k_scan, budget)
+        packed = fn(b["store"], q, b["valid"], jnp.asarray(tiles),
+                    jnp.asarray([n_live_tiles], dtype=jnp.int32))
+        return [b["row_offset"], packed, k_scan, ivf["perm"]]
+
     def _deleted_snapshot(self, seg_range) -> list:
         """Per-segment tombstone arrays, copied under the store lock:
         ``remove_file_chunks`` mutates ``seg.deleted`` (a set) from
@@ -1275,7 +1391,7 @@ class VectorStore:
         (bulk builds split buckets at SEAL_ROWS ≈ one slice each, so a
         per-bucket window would never fill and a deeply spilled store
         would hold every staged slice in HBM at once). Returns pending
-        entries in the same (row_offset, packed, k_scan) shape as device
+        entries in the same (row_offset, packed, k_scan, perm) shape as device
         buckets, so the merge path cannot tell the difference. int8
         stores stream their bf16 disk originals (see _scan_fn
         dtype_override)."""
@@ -1313,7 +1429,7 @@ class VectorStore:
             if lo + slice_rows < rows:
                 nxt = ex.submit(make_host, lo + slice_rows)
             packed = fn(jnp.asarray(host), q, jnp.asarray(valid))
-            entry = [b["row_offset"] + lo, packed, k_scan]
+            entry = [b["row_offset"] + lo, packed, k_scan, None]
             out.append(entry)
             window.append(entry)
             if len(window) >= self.SPILL_INFLIGHT:
@@ -1363,10 +1479,20 @@ class VectorStore:
                                                       spill_window))
                 continue
             k_scan = min(k_class, b["n_pad"])
+            if b.get("ivf") is not None:
+                entry = self._ivf_dispatch(b, q, query_vecs, live,
+                                           k_scan)
+                if entry is not None:
+                    pending.append(entry)
+                    continue
+                # over-budget probe or ineligible backend: exact scan of
+                # the (permuted) bucket — ids still map through perm
             fn = self._scan_fn(b["n_pad"], k_scan,
                                all_valid=b.get("all_valid", False))
+            perm = (b["ivf"]["perm"] if b.get("ivf") is not None
+                    else None)
             pending.append((b["row_offset"],
-                            fn(b["store"], q, b["valid"]), k_scan))
+                            fn(b["store"], q, b["valid"]), k_scan, perm))
         return (live, k, quantized, pending)
 
     def search_batch_finish(self, handle, query_vecs: np.ndarray
@@ -1388,14 +1514,19 @@ class VectorStore:
                     np.zeros((live, k), dtype=np.int32))
         all_scores = []
         all_idx = []
-        for row_off, packed, k_scan in pending:  # dispatched; now sync
+        for row_off, packed, k_scan, perm in pending:  # dispatched; sync
             # (Q, 2k) i32 — see _scan_fn; spilled slices arrive already
             # fetched as numpy (np.asarray is then a no-op)
             buf = np.asarray(packed)
             # phantom padded rows (>= live) are dropped before the merge
             # and, in int8 mode, before the per-row rescore preads
             all_scores.append(buf[:live, :k_scan].view(np.float32))
-            all_idx.append(buf[:live, k_scan:] + row_off)
+            idx = buf[:live, k_scan:]
+            if perm is not None:
+                # IVF bucket: kernel positions are cluster-major — map
+                # back to segment row order before the global offset
+                idx = perm[idx]
+            all_idx.append(idx + row_off)
         scores = np.concatenate(all_scores, axis=1)
         idx = np.concatenate(all_idx, axis=1)
         return self._merge_candidates(scores, idx, query_vecs[:live], k,

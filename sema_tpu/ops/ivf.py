@@ -50,8 +50,10 @@ def kmeans_cluster(x: jax.Array, c: int, iters: int = 8
 
     Rows are expected L2-normalized-or-zero (the store's contract: real
     rows are unit vectors, bucket padding is all-zero). Zero rows get
-    zero weight in centroid updates; centroids that never attract a row
-    stay all-zero and are skipped by the host probe (empty ranges).
+    zero weight in centroid updates and the overflow assignment ``c``
+    (one past the last real cluster — pass ``c + 1`` to
+    :func:`cluster_layout`); centroids that never attract a row stay
+    all-zero and are skipped by the host probe (empty ranges).
     """
     n, d = x.shape
     block = min(8192, n)
@@ -86,8 +88,14 @@ def kmeans_cluster(x: jax.Array, c: int, iters: int = 8
     cent, _ = jax.lax.scan(lloyd, cent, None, length=iters)
 
     def blk_assign(_, inp):
-        xbl, _w = inp
-        return None, jnp.argmax(scores(xbl, cent), axis=1).astype(jnp.int32)
+        xbl, wbl = inp
+        a = jnp.argmax(scores(xbl, cent), axis=1).astype(jnp.int32)
+        # zero (padding) rows get the dedicated overflow id ``c``: they
+        # are invalid anyway, and parking them past every real cluster
+        # keeps the cluster-major ranges tight — a heavily padded bucket
+        # would otherwise splice thousands of dead rows into whichever
+        # real cluster they argmax'd into, inflating its tile span
+        return None, jnp.where(wbl > 0, a, jnp.int32(c))
 
     _, assign = jax.lax.scan(blk_assign, None, (xb, w))
     return assign.reshape(n), cent

@@ -129,6 +129,11 @@ def test_kmeans_ignores_zero_padding_rows():
     # unit vector or dead-zero, never a small-norm zero-diluted mean
     norms = np.linalg.norm(np.asarray(cent), axis=1)
     assert ((norms > 0.999) | (norms < 1e-6)).all()
+    # padding rows park in the overflow cluster (id == c), real rows
+    # in [0, c) — the overflow range is never probed
+    assign = np.asarray(assign)
+    assert (assign[1000:] == 8).all()
+    assert (assign[:1000] < 8).all()
 
 
 def test_select_tiles_budget_and_padding():

@@ -1,0 +1,156 @@
+"""VectorStore IVF mode end-to-end (CPU, Pallas interpret).
+
+Sealed buckets cluster + permute at build; small-batch searches go
+through the pruned scalar-prefetch kernel and map hits back through the
+permutation; tombstones, persistence reload, and the over-budget →
+exact-scan fallback all keep working.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from sema_tpu.index.vector_store import VectorStore
+from sema_tpu.types import Chunk
+
+
+def chunks_and_vecs(n, d=128, path="f.txt", seed=0, start=0):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    cs = [Chunk(id=f"{path}:{start + i}", file_path=Path(path),
+                start_line=i + 1, end_line=i + 2,
+                content=f"content {start + i}")
+          for i in range(n)]
+    return cs, vecs
+
+
+@pytest.fixture()
+def ivf_env(monkeypatch):
+    # interpret-mode Pallas on CPU; tiny tiles so a 2048-row padded
+    # bucket has enough of them for a meaningful probe/budget split
+    monkeypatch.setenv("SEMA_TPU_SCAN_BACKEND", "pallas")
+    monkeypatch.setattr(VectorStore, "SEAL_ROWS", 256)
+    monkeypatch.setattr(VectorStore, "IVF_TILE", 128)
+    monkeypatch.setattr(VectorStore, "IVF_CLUSTER_ROWS", 128)
+    monkeypatch.setenv("SEMA_TPU_IVF_NPROBE", "3")
+
+
+def make_store(tmp_path, **kw):
+    return VectorStore(tmp_path, dim=128, model="test-ivf", ivf=True,
+                       **kw)
+
+
+def _sealed_ivf_buckets(store):
+    return [b for b in store.device_buckets()
+            if b.get("ivf") is not None]
+
+
+def test_ivf_bucket_built_and_probed(tmp_path, ivf_env):
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(300)
+    store.add_chunks(cs, vecs)
+    assert _sealed_ivf_buckets(store), "sealed bucket should cluster"
+    b = _sealed_ivf_buckets(store)[0]
+    perm = b["ivf"]["perm"]
+    assert sorted(perm.tolist()) == list(range(b["n_pad"]))
+    # a stored row as its own query must come back as the top hit
+    for probe_row in (0, 57, 123, 299):
+        if probe_row >= b["rows"] + 100:
+            continue
+        res = store.search(vecs[probe_row], k=3)
+        assert res[0][0].id == f"f.txt:{probe_row}"
+        assert res[0][1] == pytest.approx(1.0, abs=1e-2)
+    store.close()
+
+
+def test_ivf_dispatch_is_pruned_not_fallback(tmp_path, ivf_env):
+    """The probe must actually take the pruned path (compile-cache key
+    proves it) and scan fewer tiles than the full bucket."""
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(300, seed=3)
+    store.add_chunks(cs, vecs)
+    store.search(vecs[7], k=2)
+    assert any(k[0] == "ivf" for k in store._topk_fns), \
+        "single-query search should dispatch the pruned kernel"
+    store.close()
+
+
+def test_ivf_tombstones_respected(tmp_path, ivf_env):
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(280, path="a.txt", seed=1)
+    store.add_chunks(cs, vecs)
+    removed = store.remove_file_chunks("a.txt")
+    assert removed == 280
+    res = store.search(vecs[11], k=2)
+    assert res == []
+    store.close()
+
+
+def test_ivf_matches_exact_scan(tmp_path, ivf_env, monkeypatch):
+    """With nprobe == every cluster (and a budget that admits them all),
+    the pruned scan must equal the exact scan bit-for-bit."""
+    monkeypatch.setenv("SEMA_TPU_IVF_NPROBE", "4096")
+    monkeypatch.setattr(VectorStore, "IVF_BUDGET_DIV", 1)
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(300, seed=2)
+    store.add_chunks(cs, vecs)
+    queries = vecs[17:21]
+    s_ivf, i_ivf = store.search_batch(queries, k=5)
+    assert any(k[0] == "ivf" for k in store._topk_fns)
+
+    exact = VectorStore(tmp_path, dim=128, model="test-ivf", ivf=False)
+    s_ex, i_ex = exact.search_batch(queries, k=5)
+    np.testing.assert_allclose(s_ivf, s_ex, atol=1e-6)
+    np.testing.assert_array_equal(np.sort(i_ivf, 1), np.sort(i_ex, 1))
+    exact.close()
+    store.close()
+
+
+def test_ivf_overbudget_falls_back_exact(tmp_path, ivf_env, monkeypatch):
+    """A probe whose tile union exceeds the budget takes the exact scan
+    of the permuted bucket — results must still map correctly."""
+    monkeypatch.setenv("SEMA_TPU_IVF_NPROBE", "4096")  # probe everything
+    monkeypatch.setattr(VectorStore, "IVF_BUDGET_DIV", 4096)  # budget ~2
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(300, seed=4)
+    store.add_chunks(cs, vecs)
+    res = store.search(vecs[123], k=1)
+    assert res[0][0].id == "f.txt:123"
+    assert not any(k[0] == "ivf" for k in store._topk_fns), \
+        "over-budget probe must not compile the pruned kernel"
+    store.close()
+
+
+def test_ivf_survives_reload(tmp_path, ivf_env):
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(300, seed=5)
+    store.add_chunks(cs, vecs)
+    store.close()
+    store2 = make_store(tmp_path)
+    assert _sealed_ivf_buckets(store2)
+    res = store2.search(vecs[200], k=1)
+    assert res[0][0].id == "f.txt:200"
+    store2.close()
+
+
+def test_ivf_off_by_default(tmp_path, ivf_env, monkeypatch):
+    monkeypatch.delenv("SEMA_TPU_IVF", raising=False)
+    store = VectorStore(tmp_path, dim=128, model="test-ivf")
+    cs, vecs = chunks_and_vecs(300, seed=6)
+    store.add_chunks(cs, vecs)
+    assert not _sealed_ivf_buckets(store)
+    store.close()
+
+
+def test_ivf_int8_store(tmp_path, ivf_env):
+    store = make_store(tmp_path, store_dtype="int8")
+    cs, vecs = chunks_and_vecs(300, seed=7)
+    store.add_chunks(cs, vecs)
+    assert _sealed_ivf_buckets(store)
+    res = store.search(vecs[42], k=3)
+    # int8 scan + full-precision rescore: planted winner exact
+    assert res[0][0].id == "f.txt:42"
+    assert res[0][1] == pytest.approx(1.0, abs=1e-3)
+    store.close()
