@@ -15,6 +15,10 @@ session will actually use, through the REAL store/search code paths:
 - ``scan-ids-pallas``: the same gate with the fused Pallas kernel forced
   (tile-padded store; interpret mode off-TPU).
 - ``scan-int8``: the quantized scan + full-precision rescore path.
+- ``scan-ivf``: IVF (ANN) mode — sealed bucket clustered by device
+  k-means, self-match probes through the pruned scalar-prefetch kernel
+  (asserted: the pruned executable really dispatched), hits mapped back
+  through the cluster permutation.
 - ``encoder-parity``: the configured encoder (fused kernels, bf16, maybe
   int8) against a same-process XLA f32 reference forward — cosine must
   be ≥ 0.999 (matches the weight-porting gate in tests; meaningful with
@@ -57,7 +61,8 @@ def _env(key: str, value: Optional[str]):
 
 def _scan_check(name: str, dim: int, store_dtype: str,
                 backend: Optional[str], rows: int,
-                mesh: bool = False, spill: bool = False) -> Check:
+                mesh: bool = False, spill: bool = False,
+                ivf: bool = False) -> Check:
     from sema_tpu.index.vector_store import VectorStore
     from sema_tpu.types import Chunk
 
@@ -80,30 +85,48 @@ def _scan_check(name: str, dim: int, store_dtype: str,
                              axis_names=("index",))
     with tempfile.TemporaryDirectory() as td, \
             _env("SEMA_TPU_SCAN_BACKEND", backend), \
+            _env("SEMA_TPU_IVF_NPROBE", "2" if ivf else None), \
             _env("SEMA_TPU_HBM_BUDGET_MB", "0.000001" if spill else None):
         store = VectorStore(td, dim=dim, model="selftest",
-                            store_dtype=store_dtype, mesh=mesh_obj)
+                            store_dtype=store_dtype, mesh=mesh_obj,
+                            ivf=ivf)
         if spill:
             # instance-level shrink so this small store actually seals
             # and spills, and streams in >1 slice
             store.SEAL_ROWS = 128
             store.SPILL_SLICE_ROWS = 128
+        if ivf:
+            # instance-level shrink so this small store seals and
+            # clusters; the forced pallas backend pads the bucket to
+            # 2048 rows -> 16 tiles of 128, probe budget 4, so an
+            # nprobe=2 self-match probe (<= 4 boundary-crossing tiles)
+            # always fits and takes the PRUNED kernel, not the fallback
+            store.SEAL_ROWS = 256
+            store.IVF_TILE = 128
+            store.IVF_CLUSTER_ROWS = 128
         store.add_chunks(chunks, vecs)
         misses = []
         if spill and not all(b.get("host_resident")
                              for b in store.device_buckets()):
             misses.append("store did not spill (check is vacuous)")
+        if ivf and not any(b.get("ivf") is not None
+                           for b in store.device_buckets()):
+            misses.append("store did not cluster (check is vacuous)")
         for p in probes:
             res = store.search(vecs[p], k=1)
             got = res[0][0].id if res else "<none>"
             if got != f"r{p}":
                 misses.append(f"row {p} -> {got}")
+        if ivf and not any(key[0] == "ivf" for key in store._topk_fns):
+            misses.append("probe fell back to the exact scan "
+                          "(pruned kernel never dispatched)")
         store.close()
     if misses:
         return (name, False, "planted winners missed: " + "; ".join(misses))
     return (name, True, f"{len(probes)} planted winners exact "
                         f"({rows} rows, {store_dtype}"
-                        f"{', spilled' if spill else ''})")
+                        f"{', spilled' if spill else ''}"
+                        f"{', ivf-pruned' if ivf else ''})")
 
 
 def _encoder_parity_check(model_cfg, enc=None) -> Check:
@@ -148,6 +171,12 @@ def run_device_selftest(model_cfg=None, dim: int = 384,
         # partial tail) through this backend's staging path
         _scan_check("scan-spill", dim, "bfloat16", None, rows=300,
                     spill=True),
+        # IVF (ANN) mode: sealed bucket k-means-clustered, self-match
+        # probes through the PRUNED scalar-prefetch kernel (pallas pin
+        # so the path is eligible off-TPU too), hits mapped back
+        # through the cluster permutation
+        _scan_check("scan-ivf", dim, "bfloat16", "pallas", rows=300,
+                    ivf=True),
     ]
     if with_encoder and model_cfg is not None:
         checks.append(_encoder_parity_check(model_cfg, enc=encoder))
