@@ -919,6 +919,25 @@ class VectorStore:
             if take_end > seg_start:
                 extended = self._extend_bucket_on_device(
                     last, seg_start, take_end, rows_add)
+                if extended["sealed"] and self.ivf:
+                    # an extension that SEALS an IVF-mode bucket must
+                    # not leave it unclustered forever (buckets are
+                    # reused untouched once sealed — without this, a
+                    # streaming-append store would never prune until a
+                    # reopen rebuilt its buckets): pay one full rebuild,
+                    # which clusters + permutes it like any bulk-sealed
+                    # bucket. On OOM keep the unclustered (exact-scan)
+                    # bucket — clustering is an optimization, never
+                    # worth failing a build over.
+                    try:
+                        extended = self._build_bucket(
+                            extended["seg_range"],
+                            extended["row_offset"], sealed=True)
+                    except Exception as e:
+                        msg = str(e).lower()
+                        if not ("resource_exhausted" in msg
+                                or "out of memory" in msg):
+                            raise
                 buckets[-1] = extended          # fresh dict: in-flight
                 reused.discard(id(last))        # searches keep the old one
                 reused.add(id(extended))

@@ -154,3 +154,23 @@ def test_ivf_int8_store(tmp_path, ivf_env):
     assert res[0][0].id == "f.txt:42"
     assert res[0][1] == pytest.approx(1.0, abs=1e-3)
     store.close()
+
+
+def test_ivf_arena_seal_clusters(tmp_path, ivf_env):
+    """A bucket sealed IN PLACE by arena extension (streamed appends
+    crossing SEAL_ROWS) must be rebuilt clustered — not left as an
+    unclustered exact-scan bucket until the next reopen."""
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(100, seed=8)
+    store.add_chunks(cs, vecs)
+    store.search(vecs[0], k=1)   # materialize the unsealed arena bucket
+    assert not _sealed_ivf_buckets(store)
+    cs2, vecs2 = chunks_and_vecs(200, seed=9, start=100, path="g.txt")
+    store.add_chunks(cs2, vecs2)  # 300 rows >= SEAL_ROWS: seals in place
+    res = store.search(vecs2[150], k=1)
+    assert res[0][0].id == "g.txt:250"
+    sealed = [b for b in store.device_buckets() if b["sealed"]]
+    assert sealed and all(b.get("ivf") is not None for b in sealed)
+    assert any(k[0] == "ivf" for k in store._topk_fns), \
+        "post-seal search should take the pruned path"
+    store.close()

@@ -18,7 +18,7 @@ from sema_tpu.index.vector_store import VectorStore
 from sema_tpu.types import Chunk
 
 
-@pytest.mark.parametrize("spill", [None, "all", "mixed"])
+@pytest.mark.parametrize("spill", [None, "all", "mixed", "ivf"])
 @pytest.mark.parametrize("seed", [3, 41])
 def test_differential_fuzz(tmp_path, seed, spill, monkeypatch):
     monkeypatch.setattr(VectorStore, "SEAL_ROWS", 96)
@@ -28,6 +28,7 @@ def test_differential_fuzz(tmp_path, seed, spill, monkeypatch):
     # ("mixed" — ~2 sealed device buckets of 8 KiB fit the 0.02 MB
     # budget); slices are smaller than buckets so multi-slice streaming
     # with partial tails is exercised too
+    ivf = spill == "ivf"
     if spill == "all":
         monkeypatch.setenv("SEMA_TPU_HBM_BUDGET_MB", "0.000001")
         monkeypatch.setattr(VectorStore, "SPILL_SLICE_ROWS", 64)
@@ -36,10 +37,25 @@ def test_differential_fuzz(tmp_path, seed, spill, monkeypatch):
         monkeypatch.setattr(VectorStore, "SPILL_SLICE_ROWS", 64)
     else:
         monkeypatch.delenv("SEMA_TPU_HBM_BUDGET_MB", raising=False)
+    if ivf:
+        # the IVF axis drives the full state machine with sealed buckets
+        # k-means-clustered (permuted cluster-major) and searches routed
+        # through the PRUNED scalar-prefetch kernel — at FULL probe
+        # coverage (nprobe ∞, budget = every tile) so results stay
+        # bit-equal to the exact scan and the same oracle applies; what
+        # this fuzzes is the permutation machinery (id map-back,
+        # tombstone masks permuted per bucket, arena/seal/consolidate/
+        # reopen transitions on clustered buckets). The recall trade of
+        # real pruning is covered by test_ivf + tools/ivf_bench.py.
+        monkeypatch.setenv("SEMA_TPU_SCAN_BACKEND", "pallas")
+        monkeypatch.setenv("SEMA_TPU_IVF_NPROBE", "99999")
+        monkeypatch.setattr(VectorStore, "IVF_TILE", 128)
+        monkeypatch.setattr(VectorStore, "IVF_CLUSTER_ROWS", 128)
+        monkeypatch.setattr(VectorStore, "IVF_BUDGET_DIV", 1)
     rng = np.random.default_rng(seed)
     pyrng = random.Random(seed)
     d = 32
-    store = VectorStore(tmp_path, dim=d, model="fuzz")
+    store = VectorStore(tmp_path, dim=d, model="fuzz", ivf=ivf)
 
     rows = []          # (id, vec, alive)
     by_file = {}       # path -> [row indices]
@@ -117,10 +133,23 @@ def test_differential_fuzz(tmp_path, seed, spill, monkeypatch):
                 rows[i][2] = False
         elif op < 0.75:
             store.close()
-            store = VectorStore(tmp_path, dim=d, model="fuzz")
+            store = VectorStore(tmp_path, dim=d, model="fuzz", ivf=ivf)
         else:
             check(pyrng.choice((1, 5, 20)))
         assert store.live_rows == sum(1 for r in rows if r[2]), (
             seed, step)
     check(10)
+    if ivf:
+        # non-vacuity: at least one sealed device bucket must have
+        # clustered (incl. ones sealed in place by arena extension),
+        # and the final check must have gone through the PRUNED
+        # scalar-prefetch executable, not the exact-scan fallback
+        sealed = [b for b in store.device_buckets()
+                  if b["sealed"] and not b.get("host_resident")]
+        # bulk-freeze can seal small fragments in place without
+        # clustering them (they stay exact-scan buckets) — so `any`,
+        # with the pruned-executable check as the real non-vacuity gate
+        if sealed and any(r[2] for r in rows):
+            assert any(b.get("ivf") is not None for b in sealed)
+            assert any(key[0] == "ivf" for key in store._topk_fns)
     store.close()
