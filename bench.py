@@ -475,6 +475,38 @@ def run(config_name: str = "minilm-1m") -> int:
         tix.close()
         shutil.rmtree(tdir, ignore_errors=True)
 
+        # --- IVF (ANN) rung: pruned scan on a clustered 1M corpus at the
+        # production default nprobe — recall vs the exact oracle plus the
+        # single-query speedup (docs/PERF.md "IVF (pruned ANN scan)").
+        # Subprocess for the same reason as serving: this process's HBM
+        # is fragmented by the 10M int8 rung. iid-random corpora have no
+        # cluster structure, so the tool builds its own (clustered)
+        # store; skippable for smoke via SEMA_BENCH_SKIP_IVF.
+        if on_tpu and not os.environ.get("SEMA_BENCH_SKIP_IVF"):
+            print("# stage: ivf pruned scan (1M clustered)",
+                  file=sys.stderr, flush=True)
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "ivf_bench.py"),
+                 "--rows", str(min(rows, 1 << 20)), "--dim", "384",
+                 "--q", "48", "--nprobe", "32"],
+                capture_output=True, text=True, timeout=3600)
+            try:
+                ivf = json.loads(proc.stdout.strip().splitlines()[-1])
+                rung = ivf["rungs"]["nprobe32"]
+                ladder["ivf_recall_at_10"] = rung["recall_at_k"]
+                ladder["ivf_single_query_ms_device"] = \
+                    rung["single_query_ms_device"]
+                ladder["ivf_speedup_vs_exact"] = rung["speedup_vs_exact"]
+                ladder["ivf_tiles_scanned_frac"] = \
+                    rung["tiles_scanned_frac"]
+                ladder["ivf_kmeans_build_s"] = ivf["kmeans_build_s"]
+            except (json.JSONDecodeError, IndexError, KeyError):
+                # ANN is an extra over the reference (exact is the
+                # headline); a failed rung is reported, never fatal
+                ladder["ivf_error"] = proc.stderr[-500:]
+
     target_p50_ms = 10.0  # BASELINE.json north-star serving target
     # a single query can never cost more than a full batch; when the
     # chained single-query measurement degraded to the noisy
