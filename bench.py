@@ -485,14 +485,15 @@ def run(config_name: str = "minilm-1m") -> int:
         if on_tpu and not os.environ.get("SEMA_BENCH_SKIP_IVF"):
             print("# stage: ivf pruned scan (1M clustered)",
                   file=sys.stderr, flush=True)
-            proc = subprocess.run(
-                [sys.executable,
-                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "tools", "ivf_bench.py"),
-                 "--rows", str(min(rows, 1 << 20)), "--dim", "384",
-                 "--q", "48", "--nprobe", "32"],
-                capture_output=True, text=True, timeout=3600)
             try:
+                proc = subprocess.run(
+                    [sys.executable,
+                     os.path.join(os.path.dirname(
+                         os.path.abspath(__file__)),
+                         "tools", "ivf_bench.py"),
+                     "--rows", str(min(rows, 1 << 20)), "--dim", "384",
+                     "--q", "48", "--nprobe", "32"],
+                    capture_output=True, text=True, timeout=3600)
                 ivf = json.loads(proc.stdout.strip().splitlines()[-1])
                 rung = ivf["rungs"]["nprobe32"]
                 ladder["ivf_recall_at_10"] = rung["recall_at_k"]
@@ -502,10 +503,13 @@ def run(config_name: str = "minilm-1m") -> int:
                 ladder["ivf_tiles_scanned_frac"] = \
                     rung["tiles_scanned_frac"]
                 ladder["ivf_kmeans_build_s"] = ivf["kmeans_build_s"]
-            except (json.JSONDecodeError, IndexError, KeyError):
+            except (json.JSONDecodeError, IndexError, KeyError,
+                    subprocess.TimeoutExpired) as e:
                 # ANN is an extra over the reference (exact is the
                 # headline); a failed rung is reported, never fatal
-                ladder["ivf_error"] = proc.stderr[-500:]
+                ladder["ivf_error"] = (
+                    "timeout" if isinstance(e, subprocess.TimeoutExpired)
+                    else proc.stderr[-500:])
 
     target_p50_ms = 10.0  # BASELINE.json north-star serving target
     # a single query can never cost more than a full batch; when the

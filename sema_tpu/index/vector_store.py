@@ -746,6 +746,13 @@ class VectorStore:
                 else steady
         return n_pad * self.dim * np.dtype(self.np_dtype).itemsize
 
+    def _ivf_eligible(self, n_pad: int) -> bool:
+        """Whether a sealed bucket of this padded size would cluster
+        (single-device IVF mode, tile-aligned, ≥2 tiles)."""
+        return (self.ivf and self.mesh is None
+                and n_pad % self.IVF_TILE == 0
+                and n_pad >= 2 * self.IVF_TILE)
+
     def _build_host_bucket(self, seg_range, row_offset: int) -> dict:
         """A bucket with NO device arrays: vectors stay in the segment
         memmaps and are streamed at scan time (_scan_host_bucket).
@@ -784,9 +791,7 @@ class VectorStore:
         axis = self.index_axis
         dev = self._put(host, P(axis, None))
         ivf_meta = None
-        if (self.ivf and sealed and self.mesh is None
-                and n_pad % self.IVF_TILE == 0
-                and n_pad >= 2 * self.IVF_TILE):
+        if sealed and self._ivf_eligible(n_pad):
             # cluster on device (bf16 rows even for int8 stores — the
             # layout decision deserves full precision and quantization
             # happens after the permutation so per-row scales ride along
@@ -917,27 +922,33 @@ class VectorStore:
                 rows_add += self.segments[take_end].rows
                 take_end += 1
             if take_end > seg_start:
-                extended = self._extend_bucket_on_device(
-                    last, seg_start, take_end, rows_add)
-                if extended["sealed"] and self.ivf:
+                rows_new = last["rows"] + rows_add
+                seals = rows_new >= self.SEAL_ROWS
+                extended = None
+                if seals and self._ivf_eligible(self._pad_rows(rows_new)):
                     # an extension that SEALS an IVF-mode bucket must
                     # not leave it unclustered forever (buckets are
                     # reused untouched once sealed — without this, a
                     # streaming-append store would never prune until a
-                    # reopen rebuilt its buckets): pay one full rebuild,
-                    # which clusters + permutes it like any bulk-sealed
-                    # bucket. On OOM keep the unclustered (exact-scan)
-                    # bucket — clustering is an optimization, never
-                    # worth failing a build over.
+                    # reopen rebuilt its buckets). Sealing is known
+                    # BEFORE extending, so build the clustered
+                    # replacement directly instead of paying the device
+                    # append and throwing it away. On OOM fall through
+                    # to the ordinary (unclustered) extension —
+                    # clustering is an optimization, never worth
+                    # failing a build over.
                     try:
                         extended = self._build_bucket(
-                            extended["seg_range"],
-                            extended["row_offset"], sealed=True)
+                            (last["seg_range"][0], take_end),
+                            last["row_offset"], sealed=True)
                     except Exception as e:
                         msg = str(e).lower()
                         if not ("resource_exhausted" in msg
                                 or "out of memory" in msg):
                             raise
+                if extended is None:
+                    extended = self._extend_bucket_on_device(
+                        last, seg_start, take_end, rows_add)
                 buckets[-1] = extended          # fresh dict: in-flight
                 reused.discard(id(last))        # searches keep the old one
                 reused.add(id(extended))
@@ -1319,15 +1330,18 @@ class VectorStore:
         self._topk_fns[key] = fn
         return fn
 
-    def _ivf_dispatch(self, b: dict, q, query_vecs: np.ndarray,
-                      live: int, k_scan: int):
+    def _ivf_dispatch(self, b: dict, q, q_live_host: np.ndarray,
+                      k_scan: int):
         """Try the pruned (ANN) scan for one IVF-clustered bucket.
 
         Returns a pending entry, or None when the probe's tile union
         exceeds the static budget (large/diverse query batches — the
         exact scan is the better program there) or the backend can't run
-        the Pallas kernel. Probing uses only the LIVE query rows;
-        phantom zero-padded serving rows would union garbage clusters.
+        the Pallas kernel. ``q_live_host`` is the LIVE query rows
+        already on host (fetched ONCE by the caller — a per-bucket
+        np.asarray of a device-resident query would add one blocking
+        round-trip per IVF bucket); phantom zero-padded serving rows
+        would union garbage clusters.
         """
         from sema_tpu.ops.ivf import select_tiles
         if k_scan > 128:           # K_PAD ceiling of the fused kernels
@@ -1340,7 +1354,7 @@ class VectorStore:
         n_tiles = b["n_pad"] // self.IVF_TILE
         budget = max(2, n_tiles // self.IVF_BUDGET_DIV)
         sel = select_tiles(ivf["centroids"], ivf["starts"],
-                           np.asarray(query_vecs[:live], np.float32),
+                           q_live_host,
                            self.ivf_nprobe, self.IVF_TILE, budget)
         if sel is None:
             return None
@@ -1489,6 +1503,7 @@ class VectorStore:
 
         pending = []
         spill_window = []   # staged-slice bound shared across buckets
+        q_live_host = None  # lazy one-time fetch for IVF probes
         for b in buckets:
             if b.get("host_resident"):
                 # HBM-spill: stream this bucket through the scan now.
@@ -1499,8 +1514,10 @@ class VectorStore:
                 continue
             k_scan = min(k_class, b["n_pad"])
             if b.get("ivf") is not None:
-                entry = self._ivf_dispatch(b, q, query_vecs, live,
-                                           k_scan)
+                if q_live_host is None:
+                    q_live_host = np.asarray(query_vecs[:live],
+                                             np.float32)
+                entry = self._ivf_dispatch(b, q, q_live_host, k_scan)
                 if entry is not None:
                     pending.append(entry)
                     continue

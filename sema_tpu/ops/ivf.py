@@ -57,7 +57,14 @@ def kmeans_cluster(x: jax.Array, c: int, iters: int = 8
     """
     n, d = x.shape
     block = min(8192, n)
-    nb = n // block
+    pad = (-n) % block
+    if pad:
+        # generic N: zero-pad to a whole number of blocks — zero rows
+        # already carry zero update weight and take the overflow
+        # assignment, and the pad assignments are sliced off below
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad, d), dtype=x.dtype)], axis=0)
+    nb = (n + pad) // block
     xb = x.astype(jnp.float32).reshape(nb, block, d)
     w = (jnp.sum(xb * xb, axis=2) > 0).astype(jnp.float32)  # (nb, block)
 
@@ -98,7 +105,7 @@ def kmeans_cluster(x: jax.Array, c: int, iters: int = 8
         return None, jnp.where(wbl > 0, a, jnp.int32(c))
 
     _, assign = jax.lax.scan(blk_assign, None, (xb, w))
-    return assign.reshape(n), cent
+    return assign.reshape(n + pad)[:n], cent
 
 
 def cluster_layout(assign: np.ndarray, c: int

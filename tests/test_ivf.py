@@ -136,6 +136,18 @@ def test_kmeans_ignores_zero_padding_rows():
     assert (assign[:1000] < 8).all()
 
 
+def test_kmeans_generic_n_not_block_multiple():
+    """N >= 8192 but not a multiple of the 8192 Lloyd block must work
+    (generic contract; the store's pow2 n_pad is a lucky multiple)."""
+    store, _ = _data(8192 + 4096, d=32, seed=9)
+    assign, cent = kmeans_cluster(jnp.asarray(store), 16, iters=2)
+    assign = np.asarray(assign)
+    assert assign.shape == (12288,)
+    assert assign.min() >= 0 and assign.max() < 16
+    perm, starts = cluster_layout(assign, 16)
+    assert sorted(perm.tolist()) == list(range(12288))
+
+
 def test_select_tiles_budget_and_padding():
     rng = np.random.default_rng(6)
     cent = rng.standard_normal((8, 32)).astype(np.float32)

@@ -43,25 +43,13 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def _fetch(out):
-    import jax
-    leaf = jax.tree.leaves(out)[0]
-    return np.asarray(leaf if leaf.ndim == 0 else leaf[:1])
-
-
 def _measure_device(fn_one, n_calls: int = 16, repeats: int = 3):
-    """Sustained wall time per dispatch: pipelined, best block (additive
-    tunnel noise means min is the honest device estimator — bench.py)."""
-    _fetch(fn_one(0))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = None
-        for i in range(n_calls):
-            out = fn_one(i)
-        _fetch(out)
-        best = min(best, (time.perf_counter() - t0) / n_calls)
-    return best
+    """Sustained wall time per dispatch: bench.py's pipelined best-block
+    min-estimator (shared so honest-fetch fixes land in ONE place),
+    adapted to an index-taking thunk."""
+    from bench import _measure_device as _md
+    return _md(lambda i: fn_one(int(i)), np.arange(4), n_calls=n_calls,
+               repeats=repeats)
 
 
 def main() -> int:
