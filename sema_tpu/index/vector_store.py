@@ -748,10 +748,11 @@ class VectorStore:
 
     def _ivf_eligible(self, n_pad: int) -> bool:
         """Whether a sealed bucket of this padded size would cluster
-        (single-device IVF mode, tile-aligned, ≥2 tiles)."""
-        return (self.ivf and self.mesh is None
-                and n_pad % self.IVF_TILE == 0
-                and n_pad >= 2 * self.IVF_TILE)
+        (tile-aligned, ≥2 tiles per shard; on a mesh every shard's row
+        block clusters independently — see _build_bucket)."""
+        sr = n_pad // self._shards()
+        return (self.ivf and sr % self.IVF_TILE == 0
+                and sr >= 2 * self.IVF_TILE)
 
     def _build_host_bucket(self, seg_range, row_offset: int) -> dict:
         """A bucket with NO device arrays: vectors stay in the segment
@@ -789,9 +790,38 @@ class VectorStore:
         valid = self._bucket_valid_host(seg_range, n_pad)
 
         axis = self.index_axis
-        dev = self._put(host, P(axis, None))
         ivf_meta = None
-        if sealed and self._ivf_eligible(n_pad):
+        ivf_here = sealed and self._ivf_eligible(n_pad)
+        if ivf_here and self._shards() > 1:
+            # mesh: cluster every shard's row block INDEPENDENTLY so the
+            # cluster-major permutation stays block-local — shard
+            # boundaries are preserved (no cross-chip gather to apply it)
+            # and each chip's probe prunes within its own shard. The
+            # per-shard centroid/offset tables ((shards, C, d) /
+            # (shards, C+2)) drive per-shard host probes; dispatch goes
+            # through parallel/sharded_topk.py:make_sharded_pruned_topk.
+            # Permute on HOST before the upload (block-local jnp.take
+            # over a sharded array would still lower to a gather
+            # collective) — clustering itself runs on device per block.
+            from sema_tpu.ops.ivf import cluster_layout, kmeans_cluster
+            shards = self._shards()
+            sr = n_pad // shards
+            c = max(16, sr // self.IVF_CLUSTER_ROWS)
+            perm = np.empty(n_pad, dtype=np.int32)
+            cents = np.empty((shards, c, self.dim), dtype=np.float32)
+            starts = np.empty((shards, c + 2), dtype=np.int64)
+            for s in range(shards):
+                a, ct = kmeans_cluster(jnp.asarray(host[s*sr:(s+1)*sr]), c)
+                p, st = cluster_layout(np.asarray(a), c + 1)
+                perm[s*sr:(s+1)*sr] = p + s * sr
+                cents[s] = np.asarray(ct)
+                starts[s] = st
+            host = host[perm]
+            valid = valid[perm]
+            ivf_meta = {"perm": perm, "centroids": cents,
+                        "starts": starts}
+        dev = self._put(host, P(axis, None))
+        if ivf_here and self._shards() == 1:
             # cluster on device (bf16 rows even for int8 stores — the
             # layout decision deserves full precision and quantization
             # happens after the permutation so per-row scales ride along
@@ -1297,8 +1327,10 @@ class VectorStore:
     def _ivf_scan_fn(self, n_pad: int, k_eff: int, t: int):
         """Compiled pruned scan (store, queries, valid, tile_ids, n_live)
         → packed (Q, 2k) i32, cached per (rows, k, dtype, budget). Same
-        single-fetch packing contract as _scan_fn. Single-device only —
-        the IVF layout is per-bucket, not per-shard."""
+        single-fetch packing contract as _scan_fn. On a mesh the pruned
+        kernel runs per shard under the shard_map all-gather merge
+        (tiles/n_live arrive as per-shard tables sharded with the
+        store); single-device calls the kernel directly."""
         key = ("ivf", n_pad, k_eff, self.store_dtype, t)
         fn = self._topk_fns.get(key)
         if fn is not None:
@@ -1320,8 +1352,19 @@ class VectorStore:
                     store, q, valid, tiles, nl, k_eff,
                     tile_n=tile, interpret=not on_tpu)
 
+        if self.mesh is not None:
+            from sema_tpu.parallel.sharded_topk import \
+                make_sharded_pruned_topk
+            inner = make_sharded_pruned_topk(
+                self.mesh, n_pad, k_eff, axis=self.index_axis,
+                local_fn=lambda st, q, v, ti, nl, k: local(st, q, v,
+                                                           ti, nl),
+                store_specs=self._store_specs)
+        else:
+            inner = local
+
         def packed(store, q, valid, tiles, nl):
-            s, i = local(store, q, valid, tiles, nl)
+            s, i = inner(store, q, valid, tiles, nl)
             # integer-domain pack — see _scan_fn for why NOT ids→f32
             return jnp.concatenate(
                 [jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1)
@@ -1351,6 +1394,36 @@ class VectorStore:
                 or os.environ.get("SEMA_TPU_SCAN_BACKEND") == "pallas"):
             return None
         ivf = b["ivf"]
+        if ivf["centroids"].ndim == 3:
+            # mesh bucket: one probe per shard against its own centroid
+            # table; every shard shares the static tile budget (the
+            # sharded kernel's grid). A single over-budget shard fails
+            # the whole dispatch to the exact scan — mixed exact/pruned
+            # shards would need a second program shape per combination.
+            from jax.sharding import PartitionSpec as P
+            shards, c = ivf["centroids"].shape[:2]
+            sr = b["n_pad"] // shards
+            budget = max(2, (sr // self.IVF_TILE) // self.IVF_BUDGET_DIV)
+            tiles = np.zeros((shards, budget), dtype=np.int32)
+            n_live = np.ones((shards, 1), dtype=np.int32)
+            for s in range(shards):
+                if ivf["starts"][s][c] == 0:
+                    # all-padding shard (bulk pads land in a trailing
+                    # block): a 1-live-tile dummy probe of its first
+                    # (all-invalid) tile keeps the program shape uniform
+                    # and contributes only -inf candidates
+                    continue
+                sel = select_tiles(ivf["centroids"][s], ivf["starts"][s],
+                                   q_live_host, self.ivf_nprobe,
+                                   self.IVF_TILE, budget)
+                if sel is None:
+                    return None
+                tiles[s], n_live[s, 0] = sel
+            fn = self._ivf_scan_fn(b["n_pad"], k_scan, budget)
+            packed = fn(b["store"], q, b["valid"],
+                        self._put(tiles, P(self.index_axis, None)),
+                        self._put(n_live, P(self.index_axis, None)))
+            return [b["row_offset"], packed, k_scan, ivf["perm"]]
         n_tiles = b["n_pad"] // self.IVF_TILE
         budget = max(2, n_tiles // self.IVF_BUDGET_DIV)
         sel = select_tiles(ivf["centroids"], ivf["starts"],

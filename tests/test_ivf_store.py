@@ -174,3 +174,82 @@ def test_ivf_arena_seal_clusters(tmp_path, ivf_env):
     assert any(k[0] == "ivf" for k in store._topk_fns), \
         "post-seal search should take the pruned path"
     store.close()
+
+
+# ---------------------------------------------------------------------------
+# mesh-sharded IVF: per-shard clustering + the sharded pruned dispatch
+# (parallel/sharded_topk.py:make_sharded_pruned_topk) on the 8-device
+# virtual CPU mesh
+# ---------------------------------------------------------------------------
+
+import jax  # noqa: E402
+
+from sema_tpu.parallel import make_mesh  # noqa: E402
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+class TestMeshIVF:
+    def _store(self, tmp_path, **kw):
+        return make_store(tmp_path, mesh=make_mesh(), **kw)
+
+    def test_per_shard_clustering_block_local(self, tmp_path, ivf_env):
+        store = self._store(tmp_path)
+        cs, vecs = chunks_and_vecs(300, seed=10)
+        store.add_chunks(cs, vecs)
+        bs = _sealed_ivf_buckets(store)
+        assert bs, "sealed mesh bucket should cluster"
+        ivf = bs[0]["ivf"]
+        assert ivf["centroids"].ndim == 3          # (shards, C, d)
+        shards = ivf["centroids"].shape[0]
+        sr = bs[0]["n_pad"] // shards
+        perm = ivf["perm"]
+        for s in range(shards):                    # permutation is block-local
+            blk = perm[s * sr:(s + 1) * sr]
+            assert blk.min() >= s * sr and blk.max() < (s + 1) * sr
+        store.close()
+
+    def test_planted_winners_across_shards(self, tmp_path, ivf_env,
+                                           monkeypatch):
+        """Live rows spanning several shard blocks: each probed shard must
+        recover its own planted winner through the sharded pruned path."""
+        # fully live shards spread nprobe=3 clusters over more tiles than
+        # the default 1/4 budget admits — allow half the shard's tiles so
+        # the dispatch stays on the pruned path
+        monkeypatch.setattr(VectorStore, "IVF_BUDGET_DIV", 2)
+        store = self._store(tmp_path)
+        cs, vecs = chunks_and_vecs(4400, seed=11)
+        store.add_chunks(cs, vecs)
+        assert _sealed_ivf_buckets(store)
+        for row in (100, 2500, 4300):              # shards 0, 1, 2
+            res = store.search(vecs[row], k=1)
+            assert res[0][0].id == f"f.txt:{row}"
+            assert res[0][1] == pytest.approx(1.0, abs=1e-2)
+        assert any(k[0] == "ivf" for k in store._topk_fns), \
+            "mesh searches should dispatch the sharded pruned kernel"
+        store.close()
+
+    def test_full_probe_matches_exact(self, tmp_path, ivf_env, monkeypatch):
+        monkeypatch.setenv("SEMA_TPU_IVF_NPROBE", "4096")
+        monkeypatch.setattr(VectorStore, "IVF_BUDGET_DIV", 1)
+        store = self._store(tmp_path)
+        cs, vecs = chunks_and_vecs(300, seed=12)
+        store.add_chunks(cs, vecs)
+        queries = vecs[40:44]
+        s_ivf, i_ivf = store.search_batch(queries, k=5)
+        assert any(k[0] == "ivf" for k in store._topk_fns)
+
+        exact = VectorStore(tmp_path, dim=128, model="test-ivf",
+                            ivf=False, mesh=make_mesh())
+        s_ex, i_ex = exact.search_batch(queries, k=5)
+        np.testing.assert_allclose(s_ivf, s_ex, atol=1e-6)
+        np.testing.assert_array_equal(np.sort(i_ivf, 1), np.sort(i_ex, 1))
+        exact.close()
+        store.close()
+
+    def test_tombstones_respected(self, tmp_path, ivf_env):
+        store = self._store(tmp_path)
+        cs, vecs = chunks_and_vecs(280, path="a.txt", seed=13)
+        store.add_chunks(cs, vecs)
+        assert store.remove_file_chunks("a.txt") == 280
+        assert store.search(vecs[11], k=2) == []
+        store.close()
