@@ -405,6 +405,13 @@ class VectorStore:
                     p.unlink(missing_ok=True)
             except OSError:
                 pass
+        # IVF layout sidecars whose covered segments were compacted away
+        # (or the mode was turned off — their vector blobs are a full
+        # extra copy of the bucket) leak disk the same way
+        from sema_tpu.index import ivf_cache
+        ivf_cache.sweep_stale(self.dir,
+                              {s.name for s in self.segments},
+                              keep_any=self.ivf)
 
     def _save_manifest(self) -> None:
         _atomic_write_json(self._manifest_path, {
@@ -754,16 +761,105 @@ class VectorStore:
         return (self.ivf and sr % self.IVF_TILE == 0
                 and sr >= 2 * self.IVF_TILE)
 
+    # -- persisted IVF layouts (index/ivf_cache.py) ---------------------------
+
+    def _ivf_key(self, seg_range, n_pad: int):
+        from sema_tpu.index import ivf_cache
+        segs = [(s.name, s.rows)
+                for s in self.segments[seg_range[0]:seg_range[1]]]
+        return ivf_cache.layout_key(
+            segs, n_pad, self.dim, self.store_dtype, self._shards(),
+            self.IVF_TILE, self.IVF_CLUSTER_ROWS), segs
+
+    def _ivf_layout_load(self, seg_range, n_pad: int,
+                         need_vectors: bool = False):
+        from sema_tpu.index import ivf_cache
+        key, _ = self._ivf_key(seg_range, n_pad)
+        return ivf_cache.load_layout(self.dir, key,
+                                     need_vectors=need_vectors)
+
+    def _ivf_layout_save(self, seg_range, n_pad: int, meta: dict,
+                         vectors=None) -> None:
+        """Persist one bucket's layout; best-effort (a cache write must
+        never fail a build) and owner-only (a read-only second process
+        must not race the owner's sweep with fresh files)."""
+        if not self._owner:
+            return
+        from sema_tpu.index import ivf_cache
+        key, segs = self._ivf_key(seg_range, n_pad)
+        try:
+            ivf_cache.save_layout(self.dir, key, segs, meta["perm"],
+                                  meta["centroids"], meta["starts"],
+                                  vectors=vectors)
+        except OSError as e:
+            import sys
+            print(f"Warning: IVF sidecar write failed ({e}); layout will "
+                  f"be recomputed next open", file=sys.stderr)
+
     def _build_host_bucket(self, seg_range, row_offset: int) -> dict:
         """A bucket with NO device arrays: vectors stay in the segment
         memmaps and are streamed at scan time (_scan_host_bucket).
-        Always sealed — it never arena-extends or consolidates."""
+        Always sealed — it never arena-extends or consolidates.
+
+        In IVF mode the bucket additionally carries ``ivf_spill``: a
+        persisted cluster-major blob + layout (_ivf_spill_layout) that
+        lets small-batch probes upload ONLY the probed tiles instead of
+        streaming every byte of an over-HBM store through the scan
+        (_ivf_spill_dispatch)."""
         rows = sum(s.rows
                    for s in self.segments[seg_range[0]:seg_range[1]])
-        return {"host_resident": True, "store": None, "valid": None,
-                "all_valid": False, "n_pad": rows, "rows": rows,
-                "seg_range": tuple(seg_range), "row_offset": row_offset,
-                "sealed": True}
+        b = {"host_resident": True, "store": None, "valid": None,
+             "all_valid": False, "n_pad": rows, "rows": rows,
+             "seg_range": tuple(seg_range), "row_offset": row_offset,
+             "sealed": True}
+        if (self.ivf and self.mesh is None
+                and rows >= 2 * self.IVF_TILE):
+            b["ivf_spill"] = self._ivf_spill_layout(seg_range, rows)
+        return b
+
+    def _ivf_spill_layout(self, seg_range, rows: int):
+        """Layout + cluster-major on-disk blob for one spilled bucket.
+
+        Loads the persisted sidecar when present; otherwise (owner only)
+        reads the bucket's rows once, k-means-clusters them on device
+        (transient — freed immediately; an OOM on a budget-tight chip
+        just skips IVF for this bucket, the streamed exact scan still
+        works), and persists layout + permuted rows so every future open
+        probes straight from disk. Returns None when IVF can't be set up
+        — callers fall back to the full streamed scan."""
+        lp = ((rows + self.IVF_TILE - 1) // self.IVF_TILE) * self.IVF_TILE
+        cached = self._ivf_layout_load(seg_range, lp, need_vectors=True)
+        if cached is None:
+            if not self._owner:
+                return None
+            host = np.zeros((lp, self.dim), dtype=self.np_dtype)
+            off = 0
+            for seg in self.segments[seg_range[0]:seg_range[1]]:
+                host[off:off + seg.rows] = seg.vectors
+                off += seg.rows
+            from sema_tpu.ops.ivf import cluster_layout, kmeans_cluster
+            c = max(16, lp // self.IVF_CLUSTER_ROWS)
+            try:
+                assign, cent = kmeans_cluster(jnp.asarray(host), c)
+                assign = np.asarray(assign)
+                cent = np.asarray(cent)
+            except Exception as e:
+                msg = str(e).lower()
+                if not ("resource_exhausted" in msg
+                        or "out of memory" in msg):
+                    raise
+                return None
+            perm, starts = cluster_layout(assign, c + 1)
+            meta = {"perm": perm, "centroids": cent, "starts": starts}
+            self._ivf_layout_save(seg_range, lp, meta,
+                                  vectors=host[perm])
+            cached = self._ivf_layout_load(seg_range, lp,
+                                           need_vectors=True)
+            if cached is None:   # write failed (disk full etc.)
+                return None
+        return {"perm": cached["perm"], "centroids": cached["centroids"],
+                "starts": cached["starts"], "vectors": cached["vectors"],
+                "n_pad": lp}
 
     def _bucket_valid_host(self, seg_range, n_pad: int) -> np.ndarray:
         valid = np.zeros((n_pad,), dtype=bool)
@@ -792,6 +888,18 @@ class VectorStore:
         axis = self.index_axis
         ivf_meta = None
         ivf_here = sealed and self._ivf_eligible(n_pad)
+        if ivf_here:
+            # the layout is a pure function of the rows — reuse a
+            # persisted sidecar (index/ivf_cache.py) instead of re-running
+            # device k-means on every open/rebuild of an unchanged bucket
+            cached = self._ivf_layout_load(seg_range, n_pad)
+            if cached is not None:
+                host = host[cached["perm"]]
+                valid = valid[cached["perm"]]
+                ivf_meta = {"perm": cached["perm"],
+                            "centroids": cached["centroids"],
+                            "starts": cached["starts"]}
+                ivf_here = False   # skip the compute paths below
         if ivf_here and self._shards() > 1:
             # mesh: cluster every shard's row block INDEPENDENTLY so the
             # cluster-major permutation stays block-local — shard
@@ -820,6 +928,7 @@ class VectorStore:
             valid = valid[perm]
             ivf_meta = {"perm": perm, "centroids": cents,
                         "starts": starts}
+            self._ivf_layout_save(seg_range, n_pad, ivf_meta)
         dev = self._put(host, P(axis, None))
         if ivf_here and self._shards() == 1:
             # cluster on device (bf16 rows even for int8 stores — the
@@ -839,6 +948,7 @@ class VectorStore:
             ivf_meta = {"perm": perm,
                         "centroids": np.asarray(cent),
                         "starts": starts}
+            self._ivf_layout_save(seg_range, n_pad, ivf_meta)
         if self.store_dtype == "int8":
             # upload the bf16 rows and quantize on device (see
             # _quantize_rows_device) — no host-side numpy pass
@@ -1324,20 +1434,24 @@ class VectorStore:
         self._topk_fns[key] = fn
         return fn
 
-    def _ivf_scan_fn(self, n_pad: int, k_eff: int, t: int):
+    def _ivf_scan_fn(self, n_pad: int, k_eff: int, t: int,
+                     dtype_override: Optional[str] = None):
         """Compiled pruned scan (store, queries, valid, tile_ids, n_live)
         → packed (Q, 2k) i32, cached per (rows, k, dtype, budget). Same
         single-fetch packing contract as _scan_fn. On a mesh the pruned
         kernel runs per shard under the shard_map all-gather merge
         (tiles/n_live arrive as per-shard tables sharded with the
-        store); single-device calls the kernel directly."""
-        key = ("ivf", n_pad, k_eff, self.store_dtype, t)
+        store); single-device calls the kernel directly.
+        ``dtype_override`` mirrors _scan_fn's: the spilled-IVF path
+        stages an int8 store's bf16 DISK originals."""
+        sdt = dtype_override or self.store_dtype
+        key = ("ivf", n_pad, k_eff, sdt, t)
         fn = self._topk_fns.get(key)
         if fn is not None:
             return fn
         on_tpu = jax.default_backend() == "tpu"
         tile = self.IVF_TILE
-        if self.store_dtype == "int8":
+        if sdt == "int8":
             from sema_tpu.ops.pallas_topk import pallas_topk_int8_pruned
 
             def local(store, q, valid, tiles, nl):
@@ -1436,6 +1550,86 @@ class VectorStore:
         packed = fn(b["store"], q, b["valid"], jnp.asarray(tiles),
                     jnp.asarray([n_live_tiles], dtype=jnp.int32))
         return [b["row_offset"], packed, k_scan, ivf["perm"]]
+
+    def _dead_bitmap(self, seg_range, rows: int) -> Optional[np.ndarray]:
+        """(rows,) bool of tombstoned bucket-relative rows, or None when
+        nothing is deleted (the overwhelmingly common case — callers skip
+        the mask work entirely)."""
+        deleted = self._deleted_snapshot(seg_range)
+        if all(d is None for d in deleted):
+            return None
+        dead = np.zeros((rows,), dtype=bool)
+        off = 0
+        for seg, d in zip(self.segments[seg_range[0]:seg_range[1]],
+                          deleted):
+            if d is not None:
+                dead[off + d] = True
+            off += seg.rows
+        return dead
+
+    def _ivf_spill_dispatch(self, b: dict, q, q_live_host: np.ndarray,
+                            k_scan: int, window: list):
+        """Pruned probe over a SPILLED bucket: gather only the probed
+        tiles from the cluster-major disk blob (contiguous 512-row
+        reads), upload that fixed-shape staging buffer, and scan it with
+        the pruned kernel (identity tile ids; pad steps repeat the last
+        live tile so Mosaic elides their DMA). This is what makes an
+        over-HBM store SERVABLE for interactive queries: the exact
+        streamed scan moves the whole bucket host→device per batch, the
+        probe moves ~1/IVF_BUDGET_DIV of it at most and typically a few
+        percent. Returns a pending entry (joined to the shared staging
+        ``window`` — same HBM bound as streamed slices), or None →
+        caller falls back to the full streamed scan."""
+        from sema_tpu.ops.ivf import select_tiles
+        if k_scan > 128:           # K_PAD ceiling of the fused kernels
+            return None
+        on_tpu = jax.default_backend() == "tpu"
+        if not (on_tpu
+                or os.environ.get("SEMA_TPU_SCAN_BACKEND") == "pallas"):
+            return None
+        iv = b["ivf_spill"]
+        t = self.IVF_TILE
+        n_tiles = iv["n_pad"] // t
+        budget = max(2, n_tiles // self.IVF_BUDGET_DIV)
+        sel = select_tiles(iv["centroids"], iv["starts"], q_live_host,
+                           self.ivf_nprobe, t, budget)
+        if sel is None:
+            return None
+        tiles, n_live = sel
+        live_tiles = tiles[:n_live]
+        staged = np.zeros((budget * t, self.dim), dtype=self.np_dtype)
+        for j, tid in enumerate(live_tiles):
+            staged[j * t:(j + 1) * t] = iv["vectors"][tid * t:(tid + 1) * t]
+        # staged position -> original bucket row (for the merge), and
+        # validity: blob pad rows (cluster-major overflow block can bleed
+        # into a probed tile's 512-span) + tombstones
+        pos = (live_tiles[:, None].astype(np.int64) * t
+               + np.arange(t)).ravel()
+        rowmap = np.zeros((budget * t,), dtype=np.int32)
+        rowmap[:n_live * t] = iv["perm"][pos]
+        rows = b["rows"]
+        v = rowmap[:n_live * t] < rows
+        dead = self._dead_bitmap(b["seg_range"], rows)
+        if dead is not None:
+            v &= ~dead[np.minimum(rowmap[:n_live * t], rows - 1)]
+        valid = np.zeros((budget * t,), dtype=bool)
+        valid[:n_live * t] = v
+        # identity tile ids over the staging buffer; pad steps repeat the
+        # last live tile (DMA elided), their scores are masked by n_live
+        tiles_ident = np.minimum(np.arange(budget, dtype=np.int32),
+                                 n_live - 1)
+        override = "bfloat16" if self.store_dtype == "int8" else None
+        fn = self._ivf_scan_fn(budget * t, k_scan, budget,
+                               dtype_override=override)
+        packed = fn(jnp.asarray(staged), q, jnp.asarray(valid),
+                    jnp.asarray(tiles_ident),
+                    jnp.asarray([n_live], dtype=jnp.int32))
+        entry = [b["row_offset"], packed, k_scan, rowmap]
+        window.append(entry)
+        if len(window) >= self.SPILL_INFLIGHT:
+            oldest = window.pop(0)
+            oldest[1] = np.asarray(oldest[1])   # fetch → frees HBM
+        return entry
 
     def _deleted_snapshot(self, seg_range) -> list:
         """Per-segment tombstone arrays, copied under the store lock:
@@ -1579,11 +1773,24 @@ class VectorStore:
         q_live_host = None  # lazy one-time fetch for IVF probes
         for b in buckets:
             if b.get("host_resident"):
-                # HBM-spill: stream this bucket through the scan now.
-                # This blocks for the streamed portion (bounded staging
-                # HBM beats async purity for an over-capacity store).
-                pending.extend(self._scan_host_bucket(b, q, k_class,
-                                                      spill_window))
+                # HBM-spill: IVF-clustered spilled buckets try the pruned
+                # probe first (upload only the probed tiles from the
+                # cluster-major blob); otherwise stream the whole bucket
+                # through the scan now. Both block for the staged
+                # portion (bounded staging HBM beats async purity for an
+                # over-capacity store).
+                entry = None
+                if b.get("ivf_spill") is not None:
+                    if q_live_host is None:
+                        q_live_host = np.asarray(query_vecs[:live],
+                                                 np.float32)
+                    entry = self._ivf_spill_dispatch(
+                        b, q, q_live_host, k_class, spill_window)
+                if entry is not None:
+                    pending.append(entry)
+                else:
+                    pending.extend(self._scan_host_bucket(b, q, k_class,
+                                                          spill_window))
                 continue
             k_scan = min(k_class, b["n_pad"])
             if b.get("ivf") is not None:

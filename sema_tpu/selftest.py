@@ -104,12 +104,18 @@ def _scan_check(name: str, dim: int, store_dtype: str,
             store.SEAL_ROWS = 256
             store.IVF_TILE = 128
             store.IVF_CLUSTER_ROWS = 128
+            if spill:
+                # spilled blobs aren't pallas-padded: admit every tile
+                # so the blob probe (not the streamed fallback) is the
+                # path under test regardless of cluster imbalance
+                store.IVF_BUDGET_DIV = 1
         store.add_chunks(chunks, vecs)
         misses = []
         if spill and not all(b.get("host_resident")
                              for b in store.device_buckets()):
             misses.append("store did not spill (check is vacuous)")
-        if ivf and not any(b.get("ivf") is not None
+        ivf_field = "ivf_spill" if (ivf and spill) else "ivf"
+        if ivf and not any(b.get(ivf_field) is not None
                            for b in store.device_buckets()):
             misses.append("store did not cluster (check is vacuous)")
         for p in probes:
@@ -177,6 +183,11 @@ def run_device_selftest(model_cfg=None, dim: int = 384,
         # through the cluster permutation
         _scan_check("scan-ivf", dim, "bfloat16", "pallas", rows=300,
                     ivf=True),
+        # spilled IVF: the over-HBM bucket's cluster-major disk blob
+        # serves the probe — only the probed tiles are staged/uploaded
+        # (900 rows -> 1024-row layout, 8 tiles of 128, all admissible)
+        _scan_check("scan-spill-ivf", dim, "bfloat16", "pallas",
+                    rows=900, ivf=True, spill=True),
     ]
     if with_encoder and model_cfg is not None:
         checks.append(_encoder_parity_check(model_cfg, enc=encoder))

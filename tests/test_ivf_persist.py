@@ -1,0 +1,321 @@
+"""Persisted IVF layouts (index/ivf_cache.py) + the spilled-IVF probe.
+
+Covers: sidecar roundtrip (with/without the vectors blob, corruption,
+truncation), reopen-without-reclustering (the sidecar makes device
+k-means a once-per-bucket cost, not once-per-open), the stale sweep, and
+the pruned probe over HOST-RESIDENT (HBM-spilled) buckets — the path
+that makes over-HBM stores servable by uploading only probed tiles from
+the cluster-major disk blob instead of streaming every byte.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from sema_tpu.index import ivf_cache
+from sema_tpu.index.vector_store import VectorStore
+from sema_tpu.types import Chunk
+
+
+def chunks_and_vecs(n, d=128, path="f.txt", seed=0, start=0):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    cs = [Chunk(id=f"{path}:{start + i}", file_path=Path(path),
+                start_line=i + 1, end_line=i + 2,
+                content=f"content {start + i}")
+          for i in range(n)]
+    return cs, vecs
+
+
+# ---------------------------------------------------------------------------
+# sidecar file format
+# ---------------------------------------------------------------------------
+
+def _layout(n_pad=256, d=16, c=4, with_vectors=False, seed=0):
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n_pad).astype(np.int32)
+    cents = rng.standard_normal((c, d)).astype(np.float32)
+    starts = np.sort(rng.integers(0, n_pad, c + 2)).astype(np.int64)
+    vecs = (rng.standard_normal((n_pad, d)).astype(np.float32)
+            if with_vectors else None)
+    return perm, cents, starts, vecs
+
+
+class TestSidecarFormat:
+    SEGS = [("seg-000000", 200), ("seg-000001", 56)]
+
+    def test_roundtrip_layout_only(self, tmp_path):
+        perm, cents, starts, _ = _layout()
+        key = ivf_cache.layout_key(self.SEGS, 256, 16, "float32", 1,
+                                   128, 128)
+        ivf_cache.save_layout(tmp_path, key, self.SEGS, perm, cents,
+                              starts)
+        got = ivf_cache.load_layout(tmp_path, key)
+        np.testing.assert_array_equal(got["perm"], perm)
+        np.testing.assert_array_equal(got["centroids"], cents)
+        np.testing.assert_array_equal(got["starts"], starts)
+        assert "vectors" not in got
+        # a layout-only sidecar cannot serve the spill path
+        assert ivf_cache.load_layout(tmp_path, key,
+                                     need_vectors=True) is None
+
+    def test_roundtrip_with_vectors(self, tmp_path):
+        perm, cents, starts, vecs = _layout(with_vectors=True)
+        key = ivf_cache.layout_key(self.SEGS, 256, 16, "float32", 1,
+                                   128, 128)
+        ivf_cache.save_layout(tmp_path, key, self.SEGS, perm, cents,
+                              starts, vectors=vecs)
+        got = ivf_cache.load_layout(tmp_path, key, need_vectors=True)
+        np.testing.assert_array_equal(np.asarray(got["vectors"]), vecs)
+        # the blob comes back as a read-only memmap, not a resident copy
+        assert isinstance(got["vectors"], np.memmap)
+
+    def test_mesh_shaped_tables(self, tmp_path):
+        """(shards, C, d) centroids / (shards, C+2) starts roundtrip."""
+        rng = np.random.default_rng(1)
+        perm = rng.permutation(512).astype(np.int32)
+        cents = rng.standard_normal((4, 8, 16)).astype(np.float32)
+        starts = rng.integers(0, 128, (4, 10)).astype(np.int64)
+        key = ivf_cache.layout_key(self.SEGS, 512, 16, "bfloat16", 4,
+                                   128, 128)
+        ivf_cache.save_layout(tmp_path, key, self.SEGS, perm, cents,
+                              starts)
+        got = ivf_cache.load_layout(tmp_path, key)
+        assert got["centroids"].shape == (4, 8, 16)
+        assert got["starts"].shape == (4, 10)
+
+    def test_missing_corrupt_truncated(self, tmp_path):
+        key = ivf_cache.layout_key(self.SEGS, 256, 16, "float32", 1,
+                                   128, 128)
+        assert ivf_cache.load_layout(tmp_path, key) is None  # missing
+        p = ivf_cache.sidecar_path(tmp_path, key)
+        p.write_bytes(b"garbage not a sidecar")
+        assert ivf_cache.load_layout(tmp_path, key) is None  # corrupt
+        perm, cents, starts, _ = _layout()
+        ivf_cache.save_layout(tmp_path, key, self.SEGS, perm, cents,
+                              starts)
+        whole = p.read_bytes()
+        p.write_bytes(whole[:len(whole) // 2])
+        assert ivf_cache.load_layout(tmp_path, key) is None  # truncated
+
+    def test_key_sensitivity(self):
+        base = dict(n_pad=256, dim=16, dtype="float32", shards=1,
+                    tile=128, cluster_rows=128)
+        k0 = ivf_cache.layout_key(self.SEGS, **base)
+        assert k0 != ivf_cache.layout_key([("seg-000000", 200)], **base)
+        assert k0 != ivf_cache.layout_key(
+            self.SEGS, **{**base, "shards": 2})
+        assert k0 != ivf_cache.layout_key(
+            self.SEGS, **{**base, "n_pad": 512})
+
+    def test_sweep(self, tmp_path):
+        import os
+        perm, cents, starts, _ = _layout()
+        key_live = ivf_cache.layout_key(self.SEGS, 256, 16, "f4", 1,
+                                        128, 128)
+        key_dead = ivf_cache.layout_key([("seg-gone", 10)], 256, 16,
+                                        "f4", 1, 128, 128)
+        ivf_cache.save_layout(tmp_path, key_live, self.SEGS, perm,
+                              cents, starts)
+        ivf_cache.save_layout(tmp_path, key_dead, [("seg-gone", 10)],
+                              perm, cents, starts)
+        live = {"seg-000000", "seg-000001"}
+        # fresh files survive any sweep (concurrent-writer age gate)
+        ivf_cache.sweep_stale(tmp_path, live, keep_any=True)
+        assert ivf_cache.sidecar_path(tmp_path, key_dead).exists()
+        # age both files past the gate
+        old = (0, 0)
+        for key in (key_live, key_dead):
+            os.utime(ivf_cache.sidecar_path(tmp_path, key), old)
+        ivf_cache.sweep_stale(tmp_path, live, keep_any=True)
+        assert ivf_cache.sidecar_path(tmp_path, key_live).exists()
+        assert not ivf_cache.sidecar_path(tmp_path, key_dead).exists()
+        # IVF mode off: every sidecar goes (blobs are a full bucket copy)
+        os.utime(ivf_cache.sidecar_path(tmp_path, key_live), old)
+        ivf_cache.sweep_stale(tmp_path, live, keep_any=False)
+        assert not ivf_cache.sidecar_path(tmp_path, key_live).exists()
+
+
+# ---------------------------------------------------------------------------
+# device buckets: reopen reuses the persisted layout (no re-clustering)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def ivf_env(monkeypatch):
+    monkeypatch.setenv("SEMA_TPU_SCAN_BACKEND", "pallas")
+    monkeypatch.setattr(VectorStore, "SEAL_ROWS", 256)
+    monkeypatch.setattr(VectorStore, "IVF_TILE", 128)
+    monkeypatch.setattr(VectorStore, "IVF_CLUSTER_ROWS", 128)
+    monkeypatch.setenv("SEMA_TPU_IVF_NPROBE", "3")
+
+
+def make_store(tmp_path, **kw):
+    return VectorStore(tmp_path, dim=128, model="test-ivf", ivf=True,
+                       **kw)
+
+
+def test_reopen_skips_kmeans(tmp_path, ivf_env, monkeypatch):
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(300, seed=5)
+    store.add_chunks(cs, vecs)
+    res1 = store.search(vecs[42], k=3)
+    assert any(b.get("ivf") is not None for b in store.device_buckets())
+    assert list(Path(store.dir).glob("ivf-*.bin")), \
+        "sealed IVF bucket should persist its layout"
+    store.close()
+
+    import sema_tpu.ops.ivf as ivf_mod
+
+    def boom(*a, **k):
+        raise AssertionError("k-means re-ran on reopen")
+    monkeypatch.setattr(ivf_mod, "kmeans_cluster", boom)
+    store2 = make_store(tmp_path)
+    res2 = store2.search(vecs[42], k=3)
+    assert any(b.get("ivf") is not None for b in store2.device_buckets())
+    assert [(c.id, pytest.approx(s, abs=1e-5)) for c, s in res1] == \
+        [(c.id, s) for c, s in res2]
+    store2.close()
+
+
+def test_compaction_invalidates_layout(tmp_path, ivf_env, monkeypatch):
+    """Rewriting segments under fresh names changes the key: the reopen
+    must re-cluster (fresh sidecar) and the stale one must sweep."""
+    import os
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(300, seed=6)
+    store.add_chunks(cs, vecs)
+    cs2, vecs2 = chunks_and_vecs(40, path="g.txt", seed=7)
+    store.add_chunks(cs2, vecs2)
+    store.search(vecs[0], k=1)
+    old_sidecars = set(Path(store.dir).glob("ivf-*.bin"))
+    assert old_sidecars
+    # kill >25% of rows → load-time compaction rewrites the segments
+    assert store.remove_file_chunks("f.txt") == 300
+    store.close()
+
+    store2 = make_store(tmp_path)
+    assert all(s.name.startswith("seg-") for s in store2.segments)
+    res = store2.search(vecs2[11], k=1)
+    assert res[0][0].id == "g.txt:11"
+    # stale sidecars are age-gated; force them old and re-sweep
+    for p in old_sidecars:
+        if p.exists():
+            os.utime(p, (0, 0))
+    store2._sweep_orphans()
+    for p in old_sidecars:
+        assert not p.exists()
+    store2.close()
+
+
+# ---------------------------------------------------------------------------
+# spilled buckets: the pruned probe over the cluster-major disk blob
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def spill_ivf_env(monkeypatch):
+    """Every sealed bucket spills; layouts are blob-backed; probes admit
+    half the tiles so the pruned path engages on single queries."""
+    monkeypatch.setenv("SEMA_TPU_SCAN_BACKEND", "pallas")
+    monkeypatch.setattr(VectorStore, "SEAL_ROWS", 512)
+    monkeypatch.setattr(VectorStore, "IVF_TILE", 128)
+    monkeypatch.setattr(VectorStore, "IVF_CLUSTER_ROWS", 128)
+    monkeypatch.setattr(VectorStore, "IVF_BUDGET_DIV", 2)
+    monkeypatch.setenv("SEMA_TPU_IVF_NPROBE", "2")
+    monkeypatch.setenv("SEMA_TPU_HBM_BUDGET_MB", "0.000001")
+
+
+def test_spilled_ivf_probe(tmp_path, spill_ivf_env, monkeypatch):
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(1000, seed=8)
+    store.add_chunks(cs, vecs)
+    buckets = store.device_buckets()
+    assert buckets and all(b.get("host_resident") for b in buckets)
+    assert all(b.get("ivf_spill") is not None for b in buckets)
+    assert list(Path(store.dir).glob("ivf-*.bin"))
+
+    streamed = []
+    orig = VectorStore._scan_host_bucket
+    monkeypatch.setattr(
+        VectorStore, "_scan_host_bucket",
+        lambda self, *a, **k: streamed.append(1) or orig(self, *a, **k))
+    for row in (3, 456, 999):
+        res = store.search(vecs[row], k=2)
+        assert res[0][0].id == f"f.txt:{row}"
+        assert res[0][1] == pytest.approx(1.0, abs=1e-2)
+    assert not streamed, "probes must not fall back to the full stream"
+    assert any(k[0] == "ivf" for k in store._topk_fns)
+    store.close()
+
+
+def test_spilled_ivf_overbudget_falls_back_exact(tmp_path, spill_ivf_env,
+                                                 monkeypatch):
+    """A probe whose tile union exceeds the budget streams the whole
+    bucket — and the result is then EXACT (oracle parity)."""
+    monkeypatch.setenv("SEMA_TPU_IVF_NPROBE", "4096")
+    monkeypatch.setattr(VectorStore, "IVF_BUDGET_DIV", 4096)
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(700, seed=9)
+    store.add_chunks(cs, vecs)
+    streamed = []
+    orig = VectorStore._scan_host_bucket
+    monkeypatch.setattr(
+        VectorStore, "_scan_host_bucket",
+        lambda self, *a, **k: streamed.append(1) or orig(self, *a, **k))
+    qs = vecs[100:103]
+    scores, ids = store.search_batch(qs, k=5)
+    assert streamed
+    full = vecs @ qs.T
+    for qi in range(3):
+        oracle = np.argsort(-full[:, qi], kind="stable")[:5]
+        np.testing.assert_array_equal(ids[qi], oracle)
+    store.close()
+
+
+def test_spilled_ivf_tombstones(tmp_path, spill_ivf_env):
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(600, path="a.txt", seed=10)
+    store.add_chunks(cs, vecs)
+    cs2, vecs2 = chunks_and_vecs(600, path="b.txt", seed=11, start=600)
+    store.add_chunks(cs2, vecs2)
+    assert store.remove_file_chunks("a.txt") == 600
+    res = store.search(vecs[5], k=3)
+    assert res and all(c.id.startswith("b.txt") for c, _ in res)
+    store.close()
+
+
+def test_spilled_ivf_reopen_probes_from_disk(tmp_path, spill_ivf_env,
+                                             monkeypatch):
+    """Reopen: the blob sidecar serves the probe with no re-cluster and
+    no full-bucket read."""
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(1000, seed=12)
+    store.add_chunks(cs, vecs)
+    store.search(vecs[0], k=1)
+    store.close()
+
+    import sema_tpu.ops.ivf as ivf_mod
+    monkeypatch.setattr(ivf_mod, "kmeans_cluster",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("re-clustered on reopen")))
+    store2 = make_store(tmp_path)
+    res = store2.search(vecs[777], k=1)
+    assert res[0][0].id == "f.txt:777"
+    assert all(b.get("ivf_spill") is not None
+               for b in store2.device_buckets())
+    store2.close()
+
+
+def test_spilled_ivf_int8_store(tmp_path, spill_ivf_env):
+    """int8 stores probe their bf16 disk originals (dtype_override) and
+    still rescore exactly."""
+    store = VectorStore(tmp_path, dim=128, model="test-ivf", ivf=True,
+                        store_dtype="int8")
+    cs, vecs = chunks_and_vecs(700, seed=13)
+    store.add_chunks(cs, vecs)
+    assert all(b.get("host_resident") for b in store.device_buckets())
+    res = store.search(vecs[321], k=2)
+    assert res[0][0].id == "f.txt:321"
+    assert res[0][1] == pytest.approx(1.0, abs=1e-2)
+    store.close()

@@ -14,14 +14,14 @@ def test_selftest_all_green_on_cpu():
     checks = run_device_selftest(cfg, dim=64)
     assert [n for n, _, _ in checks] == [
         "scan-ids", "scan-ids-pallas", "scan-int8", "scan-mesh",
-        "scan-spill", "scan-ivf", "encoder-parity"]
+        "scan-spill", "scan-ivf", "scan-spill-ivf", "encoder-parity"]
     for name, ok, detail in checks:
         assert ok, f"{name}: {detail}"
 
 
 def test_selftest_scan_only():
     checks = run_device_selftest(None, dim=32, with_encoder=False)
-    assert len(checks) == 6
+    assert len(checks) == 7
     assert all(ok for _, ok, _ in checks)
 
 

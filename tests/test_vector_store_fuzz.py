@@ -18,7 +18,8 @@ from sema_tpu.index.vector_store import VectorStore
 from sema_tpu.types import Chunk
 
 
-@pytest.mark.parametrize("spill", [None, "all", "mixed", "ivf"])
+@pytest.mark.parametrize("spill", [None, "all", "mixed", "ivf",
+                                   "ivf+spill"])
 @pytest.mark.parametrize("seed", [3, 41])
 def test_differential_fuzz(tmp_path, seed, spill, monkeypatch):
     monkeypatch.setattr(VectorStore, "SEAL_ROWS", 96)
@@ -27,9 +28,12 @@ def test_differential_fuzz(tmp_path, seed, spill, monkeypatch):
     # forced host-resident ("all") or split across device + host
     # ("mixed" — ~2 sealed device buckets of 8 KiB fit the 0.02 MB
     # budget); slices are smaller than buckets so multi-slice streaming
-    # with partial tails is exercised too
-    ivf = spill == "ivf"
-    if spill == "all":
+    # with partial tails is exercised too. "ivf+spill" combines both:
+    # host-resident buckets big enough (≥2 IVF tiles) probe through the
+    # cluster-major disk blob (_ivf_spill_dispatch), smaller ones fall
+    # back to the streamed scan — mixed per bucket, same oracle.
+    ivf = spill in ("ivf", "ivf+spill")
+    if spill in ("all", "ivf+spill"):
         monkeypatch.setenv("SEMA_TPU_HBM_BUDGET_MB", "0.000001")
         monkeypatch.setattr(VectorStore, "SPILL_SLICE_ROWS", 64)
     elif spill == "mixed":
@@ -49,8 +53,11 @@ def test_differential_fuzz(tmp_path, seed, spill, monkeypatch):
         # real pruning is covered by test_ivf + tools/ivf_bench.py.
         monkeypatch.setenv("SEMA_TPU_SCAN_BACKEND", "pallas")
         monkeypatch.setenv("SEMA_TPU_IVF_NPROBE", "99999")
-        monkeypatch.setattr(VectorStore, "IVF_TILE", 128)
-        monkeypatch.setattr(VectorStore, "IVF_CLUSTER_ROWS", 128)
+        # ivf+spill: buckets split at SEAL_ROWS stay under ~250 rows, so
+        # the blob probe's ≥2-tile gate needs the smaller tile to engage
+        tile = 64 if spill == "ivf+spill" else 128
+        monkeypatch.setattr(VectorStore, "IVF_TILE", tile)
+        monkeypatch.setattr(VectorStore, "IVF_CLUSTER_ROWS", tile)
         monkeypatch.setattr(VectorStore, "IVF_BUDGET_DIV", 1)
     rng = np.random.default_rng(seed)
     pyrng = random.Random(seed)
@@ -139,7 +146,7 @@ def test_differential_fuzz(tmp_path, seed, spill, monkeypatch):
         assert store.live_rows == sum(1 for r in rows if r[2]), (
             seed, step)
     check(10)
-    if ivf:
+    if spill == "ivf":
         # non-vacuity: at least one sealed device bucket must have
         # clustered (incl. ones sealed in place by arena extension),
         # and the final check must have gone through the PRUNED
@@ -151,5 +158,13 @@ def test_differential_fuzz(tmp_path, seed, spill, monkeypatch):
         # with the pruned-executable check as the real non-vacuity gate
         if sealed and any(r[2] for r in rows):
             assert any(b.get("ivf") is not None for b in sealed)
+            assert any(key[0] == "ivf" for key in store._topk_fns)
+    elif spill == "ivf+spill":
+        # non-vacuity: a ≥2-tile spilled bucket must carry the blob
+        # layout and the pruned executable must have been exercised
+        host = [b for b in store.device_buckets()
+                if b.get("host_resident")]
+        if any(b["rows"] >= 2 * VectorStore.IVF_TILE for b in host):
+            assert any(b.get("ivf_spill") is not None for b in host)
             assert any(key[0] == "ivf" for key in store._topk_fns)
     store.close()
