@@ -1571,13 +1571,13 @@ class VectorStore:
                             k_scan: int, window: list):
         """Pruned probe over a SPILLED bucket: gather only the probed
         tiles from the cluster-major disk blob (contiguous 512-row
-        reads), upload that fixed-shape staging buffer, and scan it with
-        the pruned kernel (identity tile ids; pad steps repeat the last
-        live tile so Mosaic elides their DMA). This is what makes an
-        over-HBM store SERVABLE for interactive queries: the exact
-        streamed scan moves the whole bucket host→device per batch, the
-        probe moves ~1/IVF_BUDGET_DIV of it at most and typically a few
-        percent. Returns a pending entry (joined to the shared staging
+        reads), upload a staging buffer sized to the probe in pow2 tile
+        steps, and scan it with the pruned kernel (identity tile ids;
+        pad steps repeat the last live tile so Mosaic elides their DMA).
+        This is what makes an over-HBM store SERVABLE for interactive
+        queries: the exact streamed scan moves the whole bucket
+        host→device per batch, the probe moves ~1/IVF_BUDGET_DIV of it
+        at most and typically a few percent. Returns a pending entry (joined to the shared staging
         ``window`` — same HBM bound as streamed slices), or None →
         caller falls back to the full streamed scan."""
         from sema_tpu.ops.ivf import select_tiles
@@ -1597,7 +1597,17 @@ class VectorStore:
             return None
         tiles, n_live = sel
         live_tiles = tiles[:n_live]
-        staged = np.zeros((budget * t, self.dim), dtype=self.np_dtype)
+        # size the staging buffer to THIS probe in power-of-two tile
+        # steps, not the worst-case budget: host→device bytes scale with
+        # the probed tiles (typically a few % of the bucket) while the
+        # compiled-kernel variants stay bounded at log2(budget) per
+        # (k, dtype) — a worst-case-shaped buffer would re-upload
+        # 1/IVF_BUDGET_DIV of the bucket on every dispatch
+        b_eff = 2
+        while b_eff < n_live:
+            b_eff *= 2
+        b_eff = min(b_eff, budget)
+        staged = np.zeros((b_eff * t, self.dim), dtype=self.np_dtype)
         for j, tid in enumerate(live_tiles):
             staged[j * t:(j + 1) * t] = iv["vectors"][tid * t:(tid + 1) * t]
         # staged position -> original bucket row (for the merge), and
@@ -1605,21 +1615,21 @@ class VectorStore:
         # into a probed tile's 512-span) + tombstones
         pos = (live_tiles[:, None].astype(np.int64) * t
                + np.arange(t)).ravel()
-        rowmap = np.zeros((budget * t,), dtype=np.int32)
+        rowmap = np.zeros((b_eff * t,), dtype=np.int32)
         rowmap[:n_live * t] = iv["perm"][pos]
         rows = b["rows"]
         v = rowmap[:n_live * t] < rows
         dead = self._dead_bitmap(b["seg_range"], rows)
         if dead is not None:
             v &= ~dead[np.minimum(rowmap[:n_live * t], rows - 1)]
-        valid = np.zeros((budget * t,), dtype=bool)
+        valid = np.zeros((b_eff * t,), dtype=bool)
         valid[:n_live * t] = v
         # identity tile ids over the staging buffer; pad steps repeat the
         # last live tile (DMA elided), their scores are masked by n_live
-        tiles_ident = np.minimum(np.arange(budget, dtype=np.int32),
+        tiles_ident = np.minimum(np.arange(b_eff, dtype=np.int32),
                                  n_live - 1)
         override = "bfloat16" if self.store_dtype == "int8" else None
-        fn = self._ivf_scan_fn(budget * t, k_scan, budget,
+        fn = self._ivf_scan_fn(b_eff * t, k_scan, b_eff,
                                dtype_override=override)
         packed = fn(jnp.asarray(staged), q, jnp.asarray(valid),
                     jnp.asarray(tiles_ident),

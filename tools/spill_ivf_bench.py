@@ -1,0 +1,202 @@
+"""Spilled-IVF hardware benchmark: probe vs streamed exact over an
+over-HBM (host-resident) store.
+
+Builds a REAL on-disk VectorStore whose one sealed bucket is forced
+host-resident (SEMA_TPU_HBM_BUDGET_MB), with IVF on — so the build
+persists the cluster-major blob sidecar (index/ivf_cache.py) — and
+measures END-TO-END ``search_batch`` wall time for:
+
+  1. the pruned probe (gather probed tiles from the blob, upload a
+     probe-sized staging buffer, pruned kernel), and
+  2. the streamed exact scan (same store reopened with SEMA_TPU_IVF=0:
+     every byte of the bucket staged host→device per batch),
+
+plus recall@k of (1) against (2)'s oracle ids and the staged upload
+bytes of each. Wall time is the honest metric here: the spill path is
+host-dominated (disk gather + H2D), not kernel-dominated.
+
+On the tunneled dev box H2D is ~0.03-0.05 GB/s, so the ratio mostly
+measures upload-byte savings; on local-PCIe hardware (8-32 GB/s) the
+same byte ratio holds but absolute times shrink ~1000x. The corpus is
+synthetic-but-clustered like tools/ivf_bench.py (see its docstring for
+why iid-random corpora say nothing about IVF recall).
+
+Prints ONE JSON line. Usage:
+    python tools/spill_ivf_bench.py [--rows 262144] [--dim 384] [--q 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _make_corpus(rows: int, dim: int, centers: int, noise: float,
+                 qnoise: float, qn: int):
+    """Clustered corpus + perturbed-row queries, on host (the store
+    build writes disk segments from host arrays anyway)."""
+    rng = np.random.default_rng(0)
+    cent = rng.standard_normal((centers, dim), dtype=np.float32)
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    g = rng.integers(0, centers, size=rows)
+    x = cent[g] + (noise / np.sqrt(dim)) * rng.standard_normal(
+        (rows, dim), dtype=np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    qrows = rng.integers(0, rows, size=qn)
+    q = x[qrows] + (qnoise / np.sqrt(dim)) * rng.standard_normal(
+        (qn, dim), dtype=np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return x, q
+
+
+def _chunks(rows: int):
+    from sema_tpu.types import Chunk
+    return [Chunk(id=f"corpus.txt:{i}", file_path=Path("corpus.txt"),
+                  start_line=i, end_line=i, content=f"row {i}")
+            for i in range(rows)]
+
+
+def _measure(store, queries: np.ndarray, k: int, repeats: int):
+    """Median end-to-end search_batch wall seconds (after one warm-up
+    dispatch that pays compiles)."""
+    store.search_batch(queries, k)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        scores, ids = store.search_batch(queries, k)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), ids
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=262144)
+    ap.add_argument("--dim", type=int, default=384)
+    ap.add_argument("--q", type=int, default=1,
+                    help="query batch (interactive default 1: a large "
+                         "batch's tile union exceeds the probe budget "
+                         "by design and streams instead)")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--centers", type=int, default=2048)
+    ap.add_argument("--noise", type=float, default=1.5)
+    ap.add_argument("--qnoise", type=float, default=1.0)
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--recall-queries", type=int, default=16,
+                    help="extra single-query probes scored against one "
+                         "streamed exact batch for the recall estimate")
+    ap.add_argument("--keep", type=str, default=None,
+                    help="reuse/keep the store at this dir (skips the "
+                         "build when the manifest already exists)")
+    ap.add_argument("--seal-rows", type=int, default=None,
+                    help="override SEAL_ROWS/IVF geometry for small "
+                         "CPU smoke runs")
+    args = ap.parse_args()
+
+    # force the sealed bucket host-resident BEFORE the store is built
+    os.environ.setdefault("SEMA_TPU_HBM_BUDGET_MB", "16")
+    from sema_tpu.utils.jaxcache import enable as enable_comp_cache
+    enable_comp_cache()
+    import jax
+    from sema_tpu.index.vector_store import VectorStore
+
+    if args.seal_rows:
+        VectorStore.SEAL_ROWS = args.seal_rows
+        VectorStore.IVF_TILE = max(128, args.seal_rows // 8)
+        VectorStore.IVF_CLUSTER_ROWS = VectorStore.IVF_TILE
+
+    rows = args.rows - args.rows % VectorStore.IVF_TILE
+    work = Path(args.keep) if args.keep else Path(
+        tempfile.mkdtemp(prefix="spill-ivf-"))
+    work.mkdir(parents=True, exist_ok=True)
+    dev = jax.devices()[0]
+    print(f"# device {dev}  rows {rows}x{args.dim}  dir {work}",
+          file=sys.stderr, flush=True)
+
+    rq = max(args.q, args.recall_queries)
+    x, q_all = _make_corpus(rows, args.dim, args.centers, args.noise,
+                            args.qnoise, rq)
+    q = q_all[:args.q]
+
+    os.environ["SEMA_TPU_IVF"] = "1"
+    store = VectorStore(work, args.dim, "bench", ivf=True)
+    built = store.total_rows
+    if built == 0:
+        t0 = time.perf_counter()
+        store.add_chunks(_chunks(rows), x)
+        build_s = time.perf_counter() - t0
+        print(f"# built in {build_s:.1f}s", file=sys.stderr, flush=True)
+    else:
+        assert built == rows, f"kept store has {built} rows, want {rows}"
+    buckets = store.device_buckets()
+    spilled = [b for b in buckets if b.get("host_resident")]
+    assert spilled and spilled[0].get("ivf_spill") is not None, \
+        "store did not spill with an IVF blob (bench is vacuous)"
+    n_tiles = spilled[0]["ivf_spill"]["n_pad"] // VectorStore.IVF_TILE
+
+    probe_s, _ = _measure(store, q, args.k, args.repeats)
+    # recall sample: one probe per query (the interactive shape)
+    probe_ids = np.stack([store.search_batch(q_all[i:i + 1], args.k)[1][0]
+                          for i in range(rq)])
+    # staged bytes of the LAST dispatch path: recompute the probe size
+    from sema_tpu.ops.ivf import select_tiles
+    iv = spilled[0]["ivf_spill"]
+    budget = max(2, n_tiles // VectorStore.IVF_BUDGET_DIV)
+    sel = select_tiles(iv["centroids"], iv["starts"],
+                       q.astype(np.float32), store.ivf_nprobe,
+                       VectorStore.IVF_TILE, budget)
+    n_live = int(sel[1]) if sel is not None else -1
+    b_eff = 2
+    while b_eff < n_live:
+        b_eff *= 2
+    b_eff = min(b_eff, budget)
+    itemsize = np.dtype(np.float16).itemsize  # bf16 width
+    probe_bytes = b_eff * VectorStore.IVF_TILE * args.dim * itemsize
+    store.close()
+
+    os.environ["SEMA_TPU_IVF"] = "0"
+    store2 = VectorStore(work, args.dim, "bench", ivf=False)
+    exact_s, _ = _measure(store2, q, args.k, args.repeats)
+    exact_bytes = rows * args.dim * itemsize
+    # the streamed scan has no probe budget: ONE exact batch scores the
+    # whole recall sample in a single store pass
+    _, oracle_ids = store2.search_batch(q_all, args.k)
+    store2.close()
+
+    hits = sum(len(set(probe_ids[i].tolist())
+                   & set(oracle_ids[i].tolist()))
+               for i in range(rq))
+    recall = hits / (rq * args.k)
+
+    out = {
+        "metric": "spill_ivf_probe_speedup",
+        "value": round(exact_s / probe_s, 2),
+        "unit": "x vs streamed exact (end-to-end batch wall)",
+        "rows": rows, "dim": args.dim, "q_batch": args.q,
+        "recall_at_k": round(recall, 4), "k": args.k,
+        "recall_queries": rq,
+        "probe_batch_s": round(probe_s, 4),
+        "streamed_batch_s": round(exact_s, 4),
+        "probe_upload_mb": round(probe_bytes / 1e6, 1),
+        "streamed_upload_mb": round(exact_bytes / 1e6, 1),
+        "probed_tiles": n_live, "staged_tiles_pow2": b_eff,
+        "total_tiles": n_tiles, "nprobe": store.ivf_nprobe,
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(out), flush=True)
+    if not args.keep:
+        shutil.rmtree(work, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
