@@ -511,6 +511,35 @@ def run(config_name: str = "minilm-1m") -> int:
                     "timeout" if isinstance(e, subprocess.TimeoutExpired)
                     else proc.stderr[-500:])
 
+            # spilled-IVF rung: probe vs streamed exact over a REAL
+            # on-disk fully HBM-spilled store (docs/PERF.md "Spilled-IVF
+            # probes") — the capability that makes over-HBM corpora
+            # interactively servable. Subprocess: the tool forces a tiny
+            # HBM budget via env before its store exists.
+            print("# stage: spilled-ivf probe (262k on-disk, forced "
+                  "spill)", file=sys.stderr, flush=True)
+            try:
+                proc = subprocess.run(
+                    [sys.executable,
+                     os.path.join(os.path.dirname(
+                         os.path.abspath(__file__)),
+                         "tools", "spill_ivf_bench.py"),
+                     "--rows", "262144", "--dim", "384",
+                     "--repeats", "3", "--recall-queries", "8"],
+                    capture_output=True, text=True, timeout=1800)
+                sp = json.loads(proc.stdout.strip().splitlines()[-1])
+                ladder["spill_ivf_speedup_vs_streamed"] = sp["value"]
+                ladder["spill_ivf_recall_at_10"] = sp["recall_at_k"]
+                ladder["spill_ivf_probe_batch_s"] = sp["probe_batch_s"]
+                ladder["spill_ivf_streamed_batch_s"] = \
+                    sp["streamed_batch_s"]
+                ladder["spill_ivf_upload_mb"] = sp["probe_upload_mb"]
+            except (json.JSONDecodeError, IndexError, KeyError,
+                    subprocess.TimeoutExpired) as e:
+                ladder["spill_ivf_error"] = (
+                    "timeout" if isinstance(e, subprocess.TimeoutExpired)
+                    else proc.stderr[-500:])
+
     target_p50_ms = 10.0  # BASELINE.json north-star serving target
     # a single query can never cost more than a full batch; when the
     # chained single-query measurement degraded to the noisy
