@@ -54,8 +54,15 @@ def test_differential_fuzz(tmp_path, seed, spill, monkeypatch):
         monkeypatch.setenv("SEMA_TPU_SCAN_BACKEND", "pallas")
         monkeypatch.setenv("SEMA_TPU_IVF_NPROBE", "99999")
         # ivf+spill: buckets split at SEAL_ROWS stay under ~250 rows, so
-        # the blob probe's ≥2-tile gate needs the smaller tile to engage
-        tile = 64 if spill == "ivf+spill" else 128
+        # the blob probe's ≥2-tile gate needs the smaller tile to engage.
+        # On REAL TPU hardware (sweeps — CI runs CPU interpret) Mosaic
+        # requires 128-lane blocks: keep tile=128 and raise SEAL_ROWS so
+        # buckets reach the 2-tile gate instead.
+        import jax
+        on_tpu_hw = jax.default_backend() == "tpu"
+        tile = (128 if on_tpu_hw else 64) if spill == "ivf+spill" else 128
+        if spill == "ivf+spill" and on_tpu_hw:
+            monkeypatch.setattr(VectorStore, "SEAL_ROWS", 256)
         monkeypatch.setattr(VectorStore, "IVF_TILE", tile)
         monkeypatch.setattr(VectorStore, "IVF_CLUSTER_ROWS", tile)
         monkeypatch.setattr(VectorStore, "IVF_BUDGET_DIV", 1)
