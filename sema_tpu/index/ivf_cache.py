@@ -48,18 +48,27 @@ import numpy as np
 from sema_tpu.utils.fsio import fsync_dir, fsync_file
 
 _MAGIC = b"SEMAIVF1"
-_VERSION = 1
+# v2: spilled-bucket blobs are TILE-ALIGNED (every real cluster starts on
+# an IVF_SPILL_TILE boundary; the zero-pad overflow cluster is dropped),
+# so a probed tile never carries a neighbor cluster's rows. v1 sidecars
+# fail the header check, are never read, and the load-time sweep unlinks
+# them like any other unreadable sidecar.
+_VERSION = 2
 
 
 def layout_key(segments: Sequence[Tuple[str, int]], n_pad: int, dim: int,
                dtype: str, shards: int, tile: int,
-               cluster_rows: int) -> str:
+               cluster_rows: int, spill: bool = False) -> str:
     """Content key of one bucket's layout: the segment composition plus
-    every parameter the clustering depends on. 16 hex chars."""
+    every parameter the clustering depends on. ``spill`` marks the
+    tile-aligned blob-backed layout of a host-resident bucket — a
+    DIFFERENT artifact from the device layout (aligned perm with
+    sentinel gaps vs a true permutation), so the two must never share a
+    key even at identical geometry. 16 hex chars."""
     blob = json.dumps({
         "v": _VERSION, "segments": [[n, r] for n, r in segments],
         "n_pad": n_pad, "dim": dim, "dtype": dtype, "shards": shards,
-        "tile": tile, "cluster_rows": cluster_rows,
+        "tile": tile, "cluster_rows": cluster_rows, "spill": spill,
     }, sort_keys=True).encode()
     return hashlib.sha1(blob).hexdigest()[:16]
 

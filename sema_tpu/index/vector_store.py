@@ -112,6 +112,23 @@ def _quantize_rows_device(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 
+def _stage_tiles(n_live: int, budget: int) -> int:
+    """Staging-buffer size (in tiles) for a spilled-IVF probe of
+    ``n_live`` tiles: pow2 steps below 64 (tiny probes stay tiny), then
+    64-tile steps (≤25% over-stage where upload bytes actually matter —
+    measured: pure pow2 staged 256 tiles for a 150-tile probe, a 1.7×
+    upload tax on the dominant cost of a spilled probe). Bounded variant
+    count per (k, dtype): 6 pow2 sizes + budget/64 step sizes, and a
+    workload typically recurs on 1-3 of them."""
+    if n_live >= 64:
+        b_eff = (n_live + 63) // 64 * 64
+    else:
+        b_eff = 2
+        while b_eff < n_live:
+            b_eff *= 2
+    return min(b_eff, budget)
+
+
 class _Segment:
     """One immutable on-disk segment, accessed lazily.
 
@@ -666,6 +683,14 @@ class VectorStore:
     IVF_TILE = 512
     IVF_CLUSTER_ROWS = 512
     IVF_BUDGET_DIV = 4
+    # Spilled-bucket probes stage their tiles host→device per dispatch, so
+    # boundary over-read is paid in UPLOAD bytes, not scan time. Two levers
+    # cut it (docs/PERF.md "Spilled-IVF probes"): the blob is laid out with
+    # every cluster starting on a tile boundary (a probed tile holds ONLY
+    # probed-cluster rows), and the tile is finer than the device path's —
+    # 128 rows is Mosaic's lane floor. min() with IVF_TILE so test
+    # geometries that shrink IVF_TILE shrink the spill tile with it.
+    IVF_SPILL_TILE = 128
 
     def _invalidate_device(self, tail_only: bool = False) -> None:
         if tail_only and self._buckets:
@@ -763,30 +788,40 @@ class VectorStore:
 
     # -- persisted IVF layouts (index/ivf_cache.py) ---------------------------
 
-    def _ivf_key(self, seg_range, n_pad: int):
+    def _ivf_key(self, seg_range, n_pad: int, spill: bool = False):
+        """Sidecar content key. ``spill`` layouts key on the SPILL tile
+        (their blob geometry — tile-aligned cluster starts — depends on
+        it), which also firewalls them from the device path: a device
+        bucket whose padded rows happen to equal a spill layout's must
+        not load the aligned blob perm (different length + sentinel
+        entries) — the ``spill`` flag is key material. The sidecar
+        version bump (ivf_cache._VERSION=2) retires every pre-alignment
+        file either way."""
         from sema_tpu.index import ivf_cache
         segs = [(s.name, s.rows)
                 for s in self.segments[seg_range[0]:seg_range[1]]]
+        tile = self._spill_tile() if spill else self.IVF_TILE
         return ivf_cache.layout_key(
             segs, n_pad, self.dim, self.store_dtype, self._shards(),
-            self.IVF_TILE, self.IVF_CLUSTER_ROWS), segs
+            tile, self.IVF_CLUSTER_ROWS, spill=spill), segs
 
     def _ivf_layout_load(self, seg_range, n_pad: int,
-                         need_vectors: bool = False):
+                         need_vectors: bool = False,
+                         spill: bool = False):
         from sema_tpu.index import ivf_cache
-        key, _ = self._ivf_key(seg_range, n_pad)
+        key, _ = self._ivf_key(seg_range, n_pad, spill=spill)
         return ivf_cache.load_layout(self.dir, key,
                                      need_vectors=need_vectors)
 
     def _ivf_layout_save(self, seg_range, n_pad: int, meta: dict,
-                         vectors=None) -> None:
+                         vectors=None, spill: bool = False) -> None:
         """Persist one bucket's layout; best-effort (a cache write must
         never fail a build) and owner-only (a read-only second process
         must not race the owner's sweep with fresh files)."""
         if not self._owner:
             return
         from sema_tpu.index import ivf_cache
-        key, segs = self._ivf_key(seg_range, n_pad)
+        key, segs = self._ivf_key(seg_range, n_pad, spill=spill)
         try:
             ivf_cache.save_layout(self.dir, key, segs, meta["perm"],
                                   meta["centroids"], meta["starts"],
@@ -817,6 +852,9 @@ class VectorStore:
             b["ivf_spill"] = self._ivf_spill_layout(seg_range, rows)
         return b
 
+    def _spill_tile(self) -> int:
+        return min(self.IVF_SPILL_TILE, self.IVF_TILE)
+
     def _ivf_spill_layout(self, seg_range, rows: int):
         """Layout + cluster-major on-disk blob for one spilled bucket.
 
@@ -826,9 +864,22 @@ class VectorStore:
         just skips IVF for this bucket, the streamed exact scan still
         works), and persists layout + permuted rows so every future open
         probes straight from disk. Returns None when IVF can't be set up
-        — callers fall back to the full streamed scan."""
+        — callers fall back to the full streamed scan.
+
+        The blob is TILE-ALIGNED: every real cluster starts on a
+        _spill_tile boundary (gaps carry the sentinel row id ``rows`` —
+        dead by the existing ``rowmap < rows`` validity — and zero
+        vectors), and the k-means overflow cluster (zero padding rows,
+        id ``c``) is dropped entirely. A probed tile therefore never
+        stages a neighbor cluster's rows: staged bytes per probe are
+        ~sum(ceil(size/tile)) tiles instead of each cluster dragging up
+        to a whole extra boundary tile at each end. Disk cost: ~half a
+        tile of padding per cluster (~12% at the default 512-row
+        clusters / 128-row tiles)."""
+        t = self._spill_tile()
         lp = ((rows + self.IVF_TILE - 1) // self.IVF_TILE) * self.IVF_TILE
-        cached = self._ivf_layout_load(seg_range, lp, need_vectors=True)
+        cached = self._ivf_layout_load(seg_range, lp, need_vectors=True,
+                                       spill=True)
         if cached is None:
             if not self._owner:
                 return None
@@ -850,16 +901,32 @@ class VectorStore:
                     raise
                 return None
             perm, starts = cluster_layout(assign, c + 1)
-            meta = {"perm": perm, "centroids": cent, "starts": starts}
-            self._ivf_layout_save(seg_range, lp, meta,
-                                  vectors=host[perm])
+            sizes = (starts[1:c + 1] - starts[:c]).astype(np.int64)
+            asizes = (sizes + t - 1) // t * t
+            astarts = np.zeros(c + 2, dtype=np.int64)
+            np.cumsum(asizes, out=astarts[1:c + 1])
+            astarts[c + 1] = astarts[c]      # overflow cluster: empty
+            total = int(astarts[c])
+            perm_a = np.full(total, rows, dtype=np.int32)  # sentinel
+            blob = np.zeros((total, self.dim), dtype=self.np_dtype)
+            for i in range(c):
+                sz = int(sizes[i])
+                if not sz:
+                    continue
+                src = perm[starts[i]:starts[i] + sz]
+                dst = int(astarts[i])
+                perm_a[dst:dst + sz] = src
+                blob[dst:dst + sz] = host[src]
+            meta = {"perm": perm_a, "centroids": cent, "starts": astarts}
+            self._ivf_layout_save(seg_range, lp, meta, vectors=blob,
+                                  spill=True)
             cached = self._ivf_layout_load(seg_range, lp,
-                                           need_vectors=True)
+                                           need_vectors=True, spill=True)
             if cached is None:   # write failed (disk full etc.)
                 return None
         return {"perm": cached["perm"], "centroids": cached["centroids"],
                 "starts": cached["starts"], "vectors": cached["vectors"],
-                "n_pad": lp}
+                "n_pad": int(cached["perm"].shape[0])}
 
     def _bucket_valid_host(self, seg_range, n_pad: int) -> np.ndarray:
         valid = np.zeros((n_pad,), dtype=bool)
@@ -1435,22 +1502,24 @@ class VectorStore:
         return fn
 
     def _ivf_scan_fn(self, n_pad: int, k_eff: int, t: int,
-                     dtype_override: Optional[str] = None):
+                     dtype_override: Optional[str] = None,
+                     tile_n: Optional[int] = None):
         """Compiled pruned scan (store, queries, valid, tile_ids, n_live)
-        → packed (Q, 2k) i32, cached per (rows, k, dtype, budget). Same
-        single-fetch packing contract as _scan_fn. On a mesh the pruned
-        kernel runs per shard under the shard_map all-gather merge
+        → packed (Q, 2k) i32, cached per (rows, k, dtype, budget, tile).
+        Same single-fetch packing contract as _scan_fn. On a mesh the
+        pruned kernel runs per shard under the shard_map all-gather merge
         (tiles/n_live arrive as per-shard tables sharded with the
         store); single-device calls the kernel directly.
         ``dtype_override`` mirrors _scan_fn's: the spilled-IVF path
-        stages an int8 store's bf16 DISK originals."""
+        stages an int8 store's bf16 DISK originals. ``tile_n`` overrides
+        the kernel tile (the spilled path's finer _spill_tile)."""
         sdt = dtype_override or self.store_dtype
-        key = ("ivf", n_pad, k_eff, sdt, t)
+        tile = tile_n or self.IVF_TILE
+        key = ("ivf", n_pad, k_eff, sdt, t, tile)
         fn = self._topk_fns.get(key)
         if fn is not None:
             return fn
         on_tpu = jax.default_backend() == "tpu"
-        tile = self.IVF_TILE
         if sdt == "int8":
             from sema_tpu.ops.pallas_topk import pallas_topk_int8_pruned
 
@@ -1570,10 +1639,11 @@ class VectorStore:
     def _ivf_spill_dispatch(self, b: dict, q, q_live_host: np.ndarray,
                             k_scan: int, window: list):
         """Pruned probe over a SPILLED bucket: gather only the probed
-        tiles from the cluster-major disk blob (contiguous 512-row
-        reads), upload a staging buffer sized to the probe in pow2 tile
-        steps, and scan it with the pruned kernel (identity tile ids;
-        pad steps repeat the last live tile so Mosaic elides their DMA).
+        tiles from the tile-aligned cluster-major disk blob (one
+        coalesced read per probed cluster), upload a staging buffer
+        sized to the probe in pow2 tile steps, and scan it with the
+        pruned kernel (identity tile ids; pad steps repeat the last
+        live tile so Mosaic elides their DMA).
         This is what makes an over-HBM store SERVABLE for interactive
         queries: the exact streamed scan moves the whole bucket
         host→device per batch, the probe moves ~1/IVF_BUDGET_DIV of it
@@ -1588,7 +1658,7 @@ class VectorStore:
                 or os.environ.get("SEMA_TPU_SCAN_BACKEND") == "pallas"):
             return None
         iv = b["ivf_spill"]
-        t = self.IVF_TILE
+        t = self._spill_tile()
         n_tiles = iv["n_pad"] // t
         budget = max(2, n_tiles // self.IVF_BUDGET_DIV)
         sel = select_tiles(iv["centroids"], iv["starts"], q_live_host,
@@ -1597,19 +1667,17 @@ class VectorStore:
             return None
         tiles, n_live = sel
         live_tiles = tiles[:n_live]
-        # size the staging buffer to THIS probe in power-of-two tile
-        # steps, not the worst-case budget: host→device bytes scale with
-        # the probed tiles (typically a few % of the bucket) while the
-        # compiled-kernel variants stay bounded at log2(budget) per
-        # (k, dtype) — a worst-case-shaped buffer would re-upload
-        # 1/IVF_BUDGET_DIV of the bucket on every dispatch
-        b_eff = 2
-        while b_eff < n_live:
-            b_eff *= 2
-        b_eff = min(b_eff, budget)
+        b_eff = _stage_tiles(n_live, budget)
         staged = np.zeros((b_eff * t, self.dim), dtype=self.np_dtype)
-        for j, tid in enumerate(live_tiles):
-            staged[j * t:(j + 1) * t] = iv["vectors"][tid * t:(tid + 1) * t]
+        # tile ids are sorted-unique and clusters are contiguous tile
+        # runs in the aligned blob, so coalesce consecutive ids into one
+        # memmap read per probed cluster instead of one per tile
+        cut = np.flatnonzero(np.diff(live_tiles) != 1) + 1
+        j = 0
+        for run in np.split(live_tiles, cut):
+            a, n = int(run[0]), len(run)
+            staged[j * t:(j + n) * t] = iv["vectors"][a * t:(a + n) * t]
+            j += n
         # staged position -> original bucket row (for the merge), and
         # validity: blob pad rows (cluster-major overflow block can bleed
         # into a probed tile's 512-span) + tombstones
@@ -1630,7 +1698,7 @@ class VectorStore:
                                  n_live - 1)
         override = "bfloat16" if self.store_dtype == "int8" else None
         fn = self._ivf_scan_fn(b_eff * t, k_scan, b_eff,
-                               dtype_override=override)
+                               dtype_override=override, tile_n=t)
         packed = fn(jnp.asarray(staged), q, jnp.asarray(valid),
                     jnp.asarray(tiles_ident),
                     jnp.asarray([n_live], dtype=jnp.int32))

@@ -319,3 +319,34 @@ def test_spilled_ivf_int8_store(tmp_path, spill_ivf_env):
     assert res[0][0].id == "f.txt:321"
     assert res[0][1] == pytest.approx(1.0, abs=1e-2)
     store.close()
+
+
+def test_spilled_ivf_blob_tile_aligned(tmp_path, spill_ivf_env):
+    """v2 blob invariants (ivf_cache._VERSION=2): every real cluster
+    starts on a _spill_tile boundary, the k-means overflow cluster is
+    dropped, gap slots carry the ``rows`` sentinel + zero vectors, and
+    the live perm entries are exactly a permutation of the bucket's
+    rows — so a probed tile never stages a neighbor cluster's rows."""
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(1000, seed=21)
+    store.add_chunks(cs, vecs)
+    b = store.device_buckets()[0]
+    iv = b["ivf_spill"]
+    assert iv is not None
+    t = store._spill_tile()
+    c = iv["centroids"].shape[0]
+    starts = iv["starts"]
+    assert all(int(s) % t == 0 for s in starts[:c + 1])
+    # overflow cluster (id c, zero-pad rows) dropped: empty trailing range
+    assert int(starts[c]) == int(starts[c + 1]) == iv["n_pad"]
+    assert iv["n_pad"] % t == 0
+    assert iv["vectors"].shape[0] == iv["n_pad"]
+    rows = b["rows"]
+    perm = np.asarray(iv["perm"])
+    pad = perm == rows
+    assert sorted(perm[~pad].tolist()) == list(range(rows))
+    assert not np.asarray(iv["vectors"])[pad].any()
+    # probes still exact on the aligned blob
+    res = store.search(vecs[123], k=1)
+    assert res[0][0].id == "f.txt:123"
+    store.close()

@@ -141,7 +141,8 @@ def main() -> int:
     spilled = [b for b in buckets if b.get("host_resident")]
     assert spilled and spilled[0].get("ivf_spill") is not None, \
         "store did not spill with an IVF blob (bench is vacuous)"
-    n_tiles = spilled[0]["ivf_spill"]["n_pad"] // VectorStore.IVF_TILE
+    tile = store._spill_tile()    # the blob/probe tile, not IVF_TILE
+    n_tiles = spilled[0]["ivf_spill"]["n_pad"] // tile
 
     probe_s, _ = _measure(store, q, args.k, args.repeats)
     # recall sample: one probe per query (the interactive shape)
@@ -153,14 +154,12 @@ def main() -> int:
     budget = max(2, n_tiles // VectorStore.IVF_BUDGET_DIV)
     sel = select_tiles(iv["centroids"], iv["starts"],
                        q.astype(np.float32), store.ivf_nprobe,
-                       VectorStore.IVF_TILE, budget)
+                       tile, budget)
     n_live = int(sel[1]) if sel is not None else -1
-    b_eff = 2
-    while b_eff < n_live:
-        b_eff *= 2
-    b_eff = min(b_eff, budget)
+    from sema_tpu.index.vector_store import _stage_tiles
+    b_eff = _stage_tiles(max(n_live, 0), budget)
     itemsize = np.dtype(np.float16).itemsize  # bf16 width
-    probe_bytes = b_eff * VectorStore.IVF_TILE * args.dim * itemsize
+    probe_bytes = b_eff * tile * args.dim * itemsize
     store.close()
 
     os.environ["SEMA_TPU_IVF"] = "0"
@@ -188,7 +187,7 @@ def main() -> int:
         "streamed_batch_s": round(exact_s, 4),
         "probe_upload_mb": round(probe_bytes / 1e6, 1),
         "streamed_upload_mb": round(exact_bytes / 1e6, 1),
-        "probed_tiles": n_live, "staged_tiles_pow2": b_eff,
+        "probed_tiles": n_live, "staged_tiles": b_eff,
         "total_tiles": n_tiles, "nprobe": store.ivf_nprobe,
         "backend": jax.default_backend(),
     }
