@@ -1640,10 +1640,10 @@ class VectorStore:
                             k_scan: int, window: list):
         """Pruned probe over a SPILLED bucket: gather only the probed
         tiles from the tile-aligned cluster-major disk blob (one
-        coalesced read per probed cluster), upload a staging buffer
-        sized to the probe in pow2 tile steps, and scan it with the
-        pruned kernel (identity tile ids; pad steps repeat the last
-        live tile so Mosaic elides their DMA).
+        coalesced read per probed cluster), upload a probe-sized staging
+        buffer (``_stage_tiles`` rounding), and scan it with the pruned
+        kernel (identity tile ids; pad steps repeat the last live tile
+        so Mosaic elides their DMA).
         This is what makes an over-HBM store SERVABLE for interactive
         queries: the exact streamed scan moves the whole bucket
         host→device per batch, the probe moves ~1/IVF_BUDGET_DIV of it
@@ -1679,8 +1679,8 @@ class VectorStore:
             staged[j * t:(j + n) * t] = iv["vectors"][a * t:(a + n) * t]
             j += n
         # staged position -> original bucket row (for the merge), and
-        # validity: blob pad rows (cluster-major overflow block can bleed
-        # into a probed tile's 512-span) + tombstones
+        # validity: alignment-gap slots (sentinel perm entries >= rows)
+        # + tombstones
         pos = (live_tiles[:, None].astype(np.int64) * t
                + np.arange(t)).ravel()
         rowmap = np.zeros((b_eff * t,), dtype=np.int32)
