@@ -52,7 +52,12 @@ _MAGIC = b"SEMAIVF1"
 # an IVF_SPILL_TILE boundary; the zero-pad overflow cluster is dropped),
 # so a probed tile never carries a neighbor cluster's rows. v1 sidecars
 # fail the header check, are never read, and the load-time sweep unlinks
-# them like any other unreadable sidecar.
+# them like any other unreadable sidecar. The version is deliberately
+# shared with DEVICE-layout sidecars even though their format is
+# unchanged: the one-time cost of the bump is a re-cluster per device
+# bucket on first open (~0.2 s each) and up to an hour of doubled blob
+# disk for freshly-written v1 spill sidecars (the sweep is age-gated),
+# which buys never having to reason about per-artifact version skew.
 _VERSION = 2
 
 

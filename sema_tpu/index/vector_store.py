@@ -115,11 +115,12 @@ def _quantize_rows_device(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 def _stage_tiles(n_live: int, budget: int) -> int:
     """Staging-buffer size (in tiles) for a spilled-IVF probe of
     ``n_live`` tiles: pow2 steps below 64 (tiny probes stay tiny), then
-    64-tile steps (≤25% over-stage where upload bytes actually matter —
-    measured: pure pow2 staged 256 tiles for a 150-tile probe, a 1.7×
-    upload tax on the dominant cost of a spilled probe). Bounded variant
-    count per (k, dtype): 6 pow2 sizes + budget/64 step sizes, and a
-    workload typically recurs on 1-3 of them."""
+    64-tile steps — never worse than pow2 sizing, identical to it in
+    the 64-255 range (waste is a flat ≤63 tiles, so ≤25% only past
+    ~256 live tiles; measured: pure pow2 staged 256 tiles for a
+    150-tile probe, a 1.7× upload tax, 192 under this rule). Bounded
+    variant count per (k, dtype): 6 pow2 sizes + budget/64 step sizes,
+    and a workload typically recurs on 1-3 of them."""
     if n_live >= 64:
         b_eff = (n_live + 63) // 64 * 64
     else:

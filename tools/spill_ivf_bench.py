@@ -142,24 +142,37 @@ def main() -> int:
     assert spilled and spilled[0].get("ivf_spill") is not None, \
         "store did not spill with an IVF blob (bench is vacuous)"
     tile = store._spill_tile()    # the blob/probe tile, not IVF_TILE
-    n_tiles = spilled[0]["ivf_spill"]["n_pad"] // tile
+    n_tiles = sum(b["ivf_spill"]["n_pad"] // tile for b in spilled
+                  if b.get("ivf_spill"))
 
     probe_s, _ = _measure(store, q, args.k, args.repeats)
     # recall sample: one probe per query (the interactive shape)
     probe_ids = np.stack([store.search_batch(q_all[i:i + 1], args.k)[1][0]
                           for i in range(rq)])
-    # staged bytes of the LAST dispatch path: recompute the probe size
+    # staged bytes of one dispatch: EVERY spilled bucket stages its own
+    # probe (search_batch walks them all), so sum across buckets —
+    # reporting only bucket 0 understated a 4-bucket store's upload 4x
     from sema_tpu.ops.ivf import select_tiles
-    iv = spilled[0]["ivf_spill"]
-    budget = max(2, n_tiles // VectorStore.IVF_BUDGET_DIV)
-    sel = select_tiles(iv["centroids"], iv["starts"],
-                       q.astype(np.float32), store.ivf_nprobe,
-                       tile, budget)
-    n_live = int(sel[1]) if sel is not None else -1
     from sema_tpu.index.vector_store import _stage_tiles
-    b_eff = _stage_tiles(max(n_live, 0), budget)
     itemsize = np.dtype(np.float16).itemsize  # bf16 width
-    probe_bytes = b_eff * tile * args.dim * itemsize
+    probe_bytes, n_live, staged_tiles = 0, 0, 0
+    for b in spilled:
+        iv = b.get("ivf_spill")
+        if iv is None:    # too small for the blob gate: streams whole
+            probe_bytes += b["rows"] * args.dim * itemsize
+            continue
+        bt = iv["n_pad"] // tile
+        budget = max(2, bt // VectorStore.IVF_BUDGET_DIV)
+        sel = select_tiles(iv["centroids"], iv["starts"],
+                           q.astype(np.float32), store.ivf_nprobe,
+                           tile, budget)
+        if sel is None:   # over-budget bucket streams whole
+            probe_bytes += iv["n_pad"] * args.dim * itemsize
+            continue
+        b_eff = _stage_tiles(int(sel[1]), budget)
+        n_live += int(sel[1])
+        staged_tiles += b_eff
+        probe_bytes += b_eff * tile * args.dim * itemsize
     store.close()
 
     os.environ["SEMA_TPU_IVF"] = "0"
@@ -187,7 +200,8 @@ def main() -> int:
         "streamed_batch_s": round(exact_s, 4),
         "probe_upload_mb": round(probe_bytes / 1e6, 1),
         "streamed_upload_mb": round(exact_bytes / 1e6, 1),
-        "probed_tiles": n_live, "staged_tiles": b_eff,
+        "probed_tiles": n_live, "staged_tiles": staged_tiles,
+        "spilled_buckets": len(spilled),
         "total_tiles": n_tiles, "nprobe": store.ivf_nprobe,
         "backend": jax.default_backend(),
     }
