@@ -1687,10 +1687,15 @@ class VectorStore:
         rowmap = np.zeros((b_eff * t,), dtype=np.int32)
         rowmap[:n_live * t] = iv["perm"][pos]
         rows = b["rows"]
-        v = rowmap[:n_live * t] < rows
+        # also reject NEGATIVE ids: the sidecar is unchecksummed (a torn
+        # write is caught by atomic rename + size check, but bit rot
+        # isn't) and a corrupt negative perm entry would pass `< rows`,
+        # survive the scan, and fetch a wrong chunk downstream
+        rm = rowmap[:n_live * t]
+        v = (rm >= 0) & (rm < rows)
         dead = self._dead_bitmap(b["seg_range"], rows)
         if dead is not None:
-            v &= ~dead[np.minimum(rowmap[:n_live * t], rows - 1)]
+            v &= ~dead[np.clip(rm, 0, rows - 1)]
         valid = np.zeros((b_eff * t,), dtype=bool)
         valid[:n_live * t] = v
         # identity tile ids over the staging buffer; pad steps repeat the
