@@ -172,7 +172,22 @@ def make_index_manager(config: Config, metrics=None):
         metrics = Metrics(log_stream=open(
             os.environ["SEMA_TPU_LOG"], "a", buffering=1))
 
-    if config.mesh.shape:
+    model_axis = config.mesh.model_axis or None
+    if model_axis:
+        # tensor parallelism: a third mesh axis for the encoder's weight
+        # shards. The store still shards rows over index_axis (its
+        # arrays are replicated across the model axis by their
+        # PartitionSpecs), so one mesh serves both programs.
+        from sema_tpu.parallel.mesh import make_mesh
+        if len(config.mesh.shape) != 3:
+            raise SystemExit(
+                "[mesh] model_axis requires an explicit 3-entry shape "
+                "(data x model x index), e.g. shape = [1, 2, 4] on 8 "
+                "chips")
+        mesh = make_mesh(shape=config.mesh.shape,
+                         axis_names=(config.mesh.data_axis, model_axis,
+                                     config.mesh.index_axis))
+    elif config.mesh.shape:
         from sema_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(shape=config.mesh.shape,
                          axis_names=(config.mesh.data_axis,
@@ -180,7 +195,8 @@ def make_index_manager(config: Config, metrics=None):
     else:
         mesh = default_mesh()
     encoder = Encoder.from_config(config.model, mesh=mesh,
-                                  data_axis="index")
+                                  data_axis="index",
+                                  model_axis=model_axis)
     if encoder.weights_source == "random":
         print("Warning: no weights for model "
               f"{config.model.name!r} (auto-fetch from the HF hub failed "

@@ -100,6 +100,13 @@ class MeshConfig:
     data_axis: str = "data"          # DP axis for the encoder batch
     index_axis: str = "index"        # axis the N×d store is sharded over
     shape: List[int] = field(default_factory=list)  # [] => all local devices on index axis
+    # Megatron tensor parallelism for large encoders (models/tp.py):
+    # name the TP axis (e.g. "model") and give a matching 3-entry shape
+    # — cli.py then builds a (data, model, index) mesh, the encoder
+    # shards qkv/ffn over it (fused kernels + int8 compose), and the
+    # store keeps sharding over index (replicated across model). Empty
+    # = off (the default: every in-tree model fits one chip).
+    model_axis: str = ""
 
 
 @dataclass

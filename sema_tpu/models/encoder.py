@@ -92,6 +92,7 @@ class Encoder:
                 # parallelism over the data axis
                 from jax import shard_map
                 from sema_tpu.models.tp import (permute_qkv_heads,
+                                                shard_params_tp,
                                                 tp_spec_tree)
                 tp = mesh.shape[model_axis]
                 if spec.num_heads % tp:
@@ -115,12 +116,10 @@ class Encoder:
                     out_specs=P(data_axis, None),
                     check_vma=False)
                 self._embed = jax.jit(mapped)
-                self.params = {
-                    group: {
-                        name: jax.device_put(
-                            arr, NamedSharding(mesh, pspecs[group][name]))
-                        for name, arr in self.params[group].items()}
-                    for group in ("embeddings", "layers")}
+                # placement lives in models/tp.py (one copy of the
+                # device_put loop); permutation already applied above
+                self.params = shard_params_tp(self.params, mesh,
+                                              model_axis, permute=False)
             else:
                 # pure data parallelism: explicit per-chip SPMD via
                 # shard_map (replicated params, batch-sharded inputs); no
@@ -145,8 +144,11 @@ class Encoder:
 
     @classmethod
     def from_config(cls, model_cfg, mesh: Optional[Mesh] = None,
-                    data_axis: str = "data") -> "Encoder":
-        """Build from a :class:`sema_tpu.config.ModelConfig`."""
+                    data_axis: str = "data",
+                    model_axis: Optional[str] = None) -> "Encoder":
+        """Build from a :class:`sema_tpu.config.ModelConfig`.
+        ``model_axis`` (from ``[mesh] model_axis``) turns on Megatron
+        tensor parallelism over that axis of ``mesh``."""
         spec = get_spec(model_cfg.name)
         dtype = _DTYPES[model_cfg.dtype]
         params, wsource = load_params(spec, model_cfg.weights_path)
@@ -155,7 +157,7 @@ class Encoder:
             path=model_cfg.weights_path)
         enc = cls(spec, params, tok, max_length=model_cfg.max_length,
                   batch_size=model_cfg.batch_size, compute_dtype=dtype,
-                  mesh=mesh, data_axis=data_axis,
+                  mesh=mesh, data_axis=data_axis, model_axis=model_axis,
                   quant=getattr(model_cfg, "quant", "none"))
         enc.weights_source = wsource
         enc.tokenizer_source = tsource

@@ -1,14 +1,20 @@
 """Tensor parallelism for the larger encoders (SURVEY.md §2: "optional
 head-sharding for larger encoders (gte-large)").
 
-Megatron-style weight layout expressed as GSPMD shardings — no manual
-collectives. Column-parallel projections (QKV, FFN-in) shard their output
-dim over the ``model`` axis; row-parallel projections (attn-out, FFN-out)
-shard their input dim, and XLA's partitioner inserts the reduce
-(``psum``) after them. LayerNorm/bias/embedding leaves are replicated.
+Megatron-style sharding run as EXPLICIT per-chip SPMD: column-parallel
+projections (QKV, FFN-in) shard their output dim over the model axis,
+row-parallel projections (attn-out, FFN-out) shard their input dim, and
+``bert.encoder_layer_tp`` issues a manual ``jax.lax.psum`` after each
+row-parallel projection inside ``shard_map``. (An earlier GSPMD
+formulation let XLA's partitioner insert the reduces, but GSPMD cannot
+partition the opaque Pallas custom calls — shard_map keeps the per-chip
+body ordinary single-device code, so the fused kernels and int8 compose
+with TP.) LayerNorm/bias/embedding leaves are replicated.
 
-Used by :class:`sema_tpu.models.encoder.Encoder` when constructed with a
-mesh that has a ``model`` axis; correctness is asserted against the
+Used by :class:`sema_tpu.models.encoder.Encoder` when constructed with
+``model_axis=`` naming an axis of its mesh — production wiring is
+``[mesh] model_axis`` + a 3-entry ``[mesh] shape`` (cli.py builds the
+(data, model, index) mesh); correctness is asserted against the
 single-device forward on the virtual CPU mesh in tests.
 """
 
@@ -17,6 +23,7 @@ from __future__ import annotations
 from typing import Dict
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -75,8 +82,6 @@ def permute_qkv_heads(params, tp: int):
     qkv_b (and their quantized twins — per-column scales move with their
     columns) permute. Applied BEFORE sharding; a pure host-side layout
     step, numerics unchanged."""
-    import jax.numpy as jnp
-
     layers = dict(params["layers"])
     some_w = layers.get("qkv_w", layers.get("qkv_w_q"))
     h3 = some_w.shape[-1]
@@ -93,10 +98,7 @@ def permute_qkv_heads(params, tp: int):
             start = third * h + c * hl
             perm.extend(range(start, start + hl))
     perm = jnp.asarray(perm)
-    for name in ("qkv_w", "qkv_w_q"):
-        if name in layers:
-            layers[name] = layers[name][..., perm]
-    for name in ("qkv_b", "qkv_w_s"):
+    for name in ("qkv_w", "qkv_w_q", "qkv_b", "qkv_w_s"):
         if name in layers:
             layers[name] = layers[name][..., perm]
     return {**params, "layers": layers}

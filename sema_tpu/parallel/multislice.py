@@ -22,23 +22,11 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from sema_tpu.ops.topk import batched_topk_scores
-
-
-def _merge_axis(scores, idx, k: int, axis: str):
-    """all_gather (Q,k) candidates over ``axis`` and reduce to top-k."""
-    g_scores = jax.lax.all_gather(scores, axis)     # (c, Q, k)
-    g_idx = jax.lax.all_gather(idx, axis)
-    c, q, kk = g_scores.shape
-    cand_s = jnp.transpose(g_scores, (1, 0, 2)).reshape(q, c * kk)
-    cand_i = jnp.transpose(g_idx, (1, 0, 2)).reshape(q, c * kk)
-    top_s, pos = jax.lax.top_k(cand_s, k)
-    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
-    return top_s, top_i
+from sema_tpu.parallel.sharded_topk import merge_axis as _merge_axis
 
 
 def _two_level(store_shard, queries, valid_shard, *, k: int,

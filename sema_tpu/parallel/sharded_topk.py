@@ -25,6 +25,21 @@ from jax import shard_map
 from sema_tpu.ops.topk import batched_topk_scores
 
 
+def merge_axis(scores, idx, k: int, axis: str):
+    """``all_gather`` (Q, k) per-chip candidates over ``axis`` and reduce
+    to the global top-k — the one candidate-merge used by the sharded,
+    sharded-pruned, and multislice paths (tiny (c, Q, k) tensors, rides
+    the interconnect)."""
+    g_scores = jax.lax.all_gather(scores, axis)     # (c, Q, k)
+    g_idx = jax.lax.all_gather(idx, axis)
+    c, q, kk = g_scores.shape
+    cand_s = jnp.transpose(g_scores, (1, 0, 2)).reshape(q, c * kk)
+    cand_i = jnp.transpose(g_idx, (1, 0, 2)).reshape(q, c * kk)
+    top_s, pos = jax.lax.top_k(cand_s, k)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    return top_s, top_i
+
+
 def _local_then_merge(store_shard, queries, valid_shard, *, k: int,
                       axis: str, shard_rows: int, local_fn):
     """Runs per-chip under shard_map."""
@@ -32,19 +47,7 @@ def _local_then_merge(store_shard, queries, valid_shard, *, k: int,
     # globalize row ids
     shard_id = jax.lax.axis_index(axis)
     local_idx = local_idx + shard_id * shard_rows
-
-    # (c, Q, k) candidates on every chip; tiny, rides ICI
-    all_scores = jax.lax.all_gather(local_scores, axis)
-    all_idx = jax.lax.all_gather(local_idx, axis)
-
-    c = all_scores.shape[0]
-    q = all_scores.shape[1]
-    cand_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, c * k)
-    cand_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(q, c * k)
-
-    top_scores, pos = jax.lax.top_k(cand_scores, k)
-    top_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
-    return top_scores, top_idx
+    return merge_axis(local_scores, local_idx, k, axis)
 
 
 def make_sharded_topk(mesh: Mesh, total_rows: int, k: int,
@@ -84,10 +87,23 @@ def make_sharded_topk(mesh: Mesh, total_rows: int, k: int,
     return jax.jit(mapped)
 
 
+_ONESHOT_CACHE: dict = {}
+
+
 def sharded_topk(mesh: Mesh, store, queries, valid, k: int,
                  axis: str = "index"):
-    """One-shot convenience wrapper (compiles per (shape, k))."""
-    fn = make_sharded_topk(mesh, store.shape[0], k, axis=axis)
+    """One-shot convenience wrapper over :func:`make_sharded_topk` for
+    the default bf16/f32 dense store. Compiled functions are cached per
+    (mesh, rows, k, axis) — an uncached rebuild per call would re-trace
+    every query batch. For the int8 (values, scales) pytree store or a
+    custom kernel, call make_sharded_topk directly with ``local_fn`` /
+    ``store_specs``."""
+    rows = store.shape[0]
+    key = (mesh, rows, k, axis)
+    fn = _ONESHOT_CACHE.get(key)
+    if fn is None:
+        fn = _ONESHOT_CACHE[key] = make_sharded_topk(mesh, rows, k,
+                                                     axis=axis)
     return fn(store, queries, valid)
 
 
@@ -105,16 +121,7 @@ def _local_pruned_then_merge(store_shard, queries, valid_shard, tiles,
         store_shard, queries, valid_shard, tiles[0], n_live[0], k)
     shard_id = jax.lax.axis_index(axis)
     local_idx = local_idx + shard_id * shard_rows
-
-    all_scores = jax.lax.all_gather(local_scores, axis)
-    all_idx = jax.lax.all_gather(local_idx, axis)
-    c = all_scores.shape[0]
-    q = all_scores.shape[1]
-    cand_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, c * k)
-    cand_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(q, c * k)
-    top_scores, pos = jax.lax.top_k(cand_scores, k)
-    top_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
-    return top_scores, top_idx
+    return merge_axis(local_scores, local_idx, k, axis)
 
 
 def make_sharded_pruned_topk(mesh: Mesh, total_rows: int, k: int,
@@ -136,6 +143,17 @@ def make_sharded_pruned_topk(mesh: Mesh, total_rows: int, k: int,
     if total_rows % c:
         raise ValueError(f"rows {total_rows} not divisible by {c} shards")
     shard_rows = total_rows // c
+    if local_fn is None:
+        # default per-chip scan: the pruned Pallas kernel (interpret off
+        # TPU). In-tree callers pass their own wrapper; without one the
+        # previous default was a trace-time TypeError.
+        from sema_tpu.ops.pallas_topk import pallas_topk_pruned
+
+        def local_fn(store_shard, queries, valid_shard, tile_ids,
+                     n_live, kk):
+            return pallas_topk_pruned(
+                store_shard, queries, valid_shard, tile_ids, n_live, kk,
+                interpret=jax.default_backend() != "tpu")
     if store_specs is None:
         store_specs = P(axis, None)
 

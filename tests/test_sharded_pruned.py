@@ -121,3 +121,24 @@ class TestShardedPrunedTopk:
         with pytest.raises(ValueError, match="not divisible"):
             make_sharded_pruned_topk(mesh, 100, 3, axis="index",
                                      local_fn=_local)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_default_local_fn_full_coverage():
+    """make_sharded_pruned_topk without local_fn works (review: the
+    documented default was a trace-time TypeError) and, at full probe
+    coverage, equals the oracle. Default tile is the kernel's 512."""
+    mesh = make_mesh(shape=[8], axis_names=("index",))
+    n, k, t = 8 * 2 * 512, 5, 512
+    store, queries = _data(n)
+    valid = np.ones(n, dtype=bool)
+    per = (n // 8) // t
+    tiles = np.tile(np.arange(per, dtype=np.int32), (8, 1))
+    n_live = np.full((8, 1), per, dtype=np.int32)
+    fn = make_sharded_pruned_topk(mesh, n, k, axis="index")
+    s, i = fn(jnp.asarray(store), jnp.asarray(queries),
+              jnp.asarray(valid), jnp.asarray(tiles),
+              jnp.asarray(n_live))
+    os_, oi = _oracle(store, queries, valid, k)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+    np.testing.assert_allclose(np.asarray(s), os_, atol=1e-4)
