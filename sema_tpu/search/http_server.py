@@ -51,12 +51,31 @@ class SearchService:
     def search(self, query: str, k: int):
         query = query.strip()
         if query.startswith("'"):
-            stripped = query[1:]
-            if not stripped:
-                return []
-            return self.manager.text_index.search(stripped, k)
-        qvec = self.manager.encoder.encode_query(query)
-        return self.batcher.search(qvec, k)
+            # delegate the keyword branch to the manager's dispatch (one
+            # copy of the prefix semantics + its text_search metrics
+            # timer) — only the semantic branch needs the batcher
+            return self.manager.search(query, k)
+        # minimum-length gate: parity with the TUI/CLI frontends
+        # (engine.py MIN_QUERY_BYTES ≙ app.rs:165) — without it a 1-char
+        # HTTP query burns a device batch slot on meaningless matches
+        from sema_tpu.search.engine import MIN_QUERY_BYTES
+        if len(query.encode("utf-8")) < MIN_QUERY_BYTES:
+            raise ValueError(
+                f"query must be at least {MIN_QUERY_BYTES} bytes")
+        try:
+            qvec = self.manager.encoder.encode_query(query)
+            return self.batcher.search(qvec, k)
+        except (ServerOverloaded, TimeoutError):
+            raise   # shed load; degrading a timed-out query to a host
+            #         substring scan would ADD load under overload
+        except Exception as e:  # noqa: BLE001 — parity with
+            # IndexManager.search: a failed query embedding degrades to
+            # the substring scan (lance_indexer.rs:143-148) instead of a
+            # 500 that the TUI/CLI would not produce for the same state
+            import sys
+            print(f"Warning: semantic query failed ({e}); falling back "
+                  "to substring scan", file=sys.stderr)
+            return self.manager.vector_store.substring_scan(query, k)
 
     def stats(self) -> dict:
         return {
@@ -79,34 +98,35 @@ class SearchService:
 class _Handler(BaseHTTPRequestHandler):
     service: SearchService  # injected via the server class
 
-    def _send(self, code: int, obj) -> None:
+    def _send(self, code: int, obj, headers: Optional[dict] = None) -> None:
         body = json.dumps(obj).encode("utf-8")
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        for name, value in (headers or {}).items():
+            self.send_header(name, value)
         self.end_headers()
         self.wfile.write(body)
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
 
-    def _handle_search(self, query: Optional[str], k: int) -> None:
-        if not query:
+    def _handle_search(self, query, k: int) -> None:
+        if not query or not isinstance(query, str):
             self._send(400, {"error": "missing query parameter 'q'"})
             return
         t0 = time.perf_counter()
         try:
             results = self.service.search(query, k)
-        except ServerOverloaded as e:
+        except (ServerOverloaded, TimeoutError) as e:
             # shed load explicitly: clients should back off and retry
             # rather than pile onto a 60 s timeout
-            self.send_response(503)
-            body = json.dumps({"error": str(e)}).encode()
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.send_header("Retry-After", "1")
-            self.end_headers()
-            self.wfile.write(body)
+            self._send(503, {"error": str(e)},
+                       headers={"Retry-After": "1"})
+            return
+        except ValueError as e:
+            # client-shaped error (short query, bad vector): 400, not 500
+            self._send(400, {"error": str(e)})
             return
         except Exception as e:  # noqa: BLE001
             self._send(500, {"error": str(e)})
@@ -141,9 +161,15 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length) or b"{}")
+            if not isinstance(payload, dict):
+                raise ValueError("body must be a JSON object")
             query = payload.get("q")
-            k = int(payload.get("k", 10))
-        except (ValueError, json.JSONDecodeError):
+            k = int(payload.get("k") if payload.get("k") is not None
+                    else 10)
+        except (ValueError, TypeError, json.JSONDecodeError):
+            # TypeError covers valid-JSON-wrong-shape bodies like
+            # {"k": null} / {"k": [1]} — previously these escaped
+            # do_POST and reset the connection with no HTTP response
             self._send(400, {"error": "invalid JSON body"})
             return
         self._handle_search(query, max(1, min(k, 1000)))
@@ -157,6 +183,10 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
 
 def serve_forever(index_manager, host: str = "127.0.0.1", port: int = 7700):
     service = SearchService(index_manager)
+    # bind FIRST so a taken port fails fast (EADDRINUSE before paying
+    # the multi-second warmup); early connections just sit in the listen
+    # backlog until serve_forever starts accepting
+    server = make_server(service, host, port)
     # warm the query path before accepting traffic: first dispatch in a
     # process pays executable load + param placement (seconds even with the
     # persistent compile cache)
@@ -165,7 +195,6 @@ def serve_forever(index_manager, host: str = "127.0.0.1", port: int = 7700):
             service.search("warmup", 1)
         except Exception:  # noqa: BLE001 — warmup is best-effort
             pass
-    server = make_server(service, host, port)
     print(f"serving on http://{host}:{server.server_address[1]} "
           f"({service.stats()['rows']} vectors)")
     try:

@@ -67,7 +67,16 @@ class QueryBatcher:
         self.store = vector_store
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
-        self.deadline = (deadline_ms / 1e3) if deadline_ms else None
+        # `is not None`, not truthiness: deadline_ms=0 means "expire
+        # anything that waited at all", and max_queue=0 would mean an
+        # UNBOUNDED stdlib queue — silently disabling the documented
+        # load shedding (review finding, r3)
+        self.deadline = (deadline_ms / 1e3) if deadline_ms is not None \
+            else None
+        if max_queue is not None and max_queue <= 0:
+            raise ValueError(
+                "max_queue must be positive (queue.Queue treats 0 as "
+                "unbounded, which disables overload shedding)")
         self._queue: "queue.Queue[_Request]" = queue.Queue(
             maxsize=max_queue if max_queue is not None else 16 * max_batch)
         # depth 2: one batch in flight on device while the next one is
@@ -95,12 +104,20 @@ class QueryBatcher:
             raise ValueError(
                 f"query vector has {query_vec.shape[0]} elements, "
                 f"store dim is {dim}")
+        if self._stop.is_set():
+            raise ServerOverloaded("batcher closed")
         req = _Request(query_vec, k, time.perf_counter())
         try:
             self._queue.put_nowait(req)
         except queue.Full:
             raise ServerOverloaded(
                 f"request queue full ({self._queue.maxsize})") from None
+        # close() may have drained the queue between our put and its
+        # final sweep — a request enqueued into a stopped batcher would
+        # otherwise ride out the full client timeout (review finding, r3)
+        if self._stop.is_set() and not req.event.is_set():
+            req.error = ServerOverloaded("batcher closed")
+            req.event.set()
         if not req.event.wait(timeout):
             raise TimeoutError("query batch timed out")
         if req.error is not None:
@@ -151,6 +168,21 @@ class QueryBatcher:
             if not req.event.is_set():
                 req.error = ServerOverloaded("batcher closed")
                 req.event.set()
+        # ... and batches stranded in _inflight: the completion loop's
+        # exit check (stop set ∧ inflight empty) can interleave with a
+        # concurrent dispatcher put — the put lands just after the
+        # empty() observation and nobody consumes it (review finding,
+        # r3). Both workers are joined (or stuck) by now, so failing
+        # these callers here is safe either way.
+        while True:
+            try:
+                batch = self._inflight.get_nowait()[0]
+            except queue.Empty:
+                break
+            for r in batch:
+                if not r.event.is_set():
+                    r.error = ServerOverloaded("batcher closed")
+                    r.event.set()
 
     # -- dispatch stage ----------------------------------------------------------
 

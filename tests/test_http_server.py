@@ -180,3 +180,106 @@ def test_overload_returns_503_with_retry_after(tmp_path):
         httpd.shutdown()
         service.close()
         mgr.close()
+
+
+def _post(base, body_bytes):
+    req = urllib.request.Request(
+        f"{base}/search", data=body_bytes,
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.mark.parametrize("body", [
+    b'{"q": "x", "k": null}',     # valid JSON, wrong k shape
+    b'{"q": "x", "k": [1]}',
+    b'[1, 2]',                    # valid JSON, not an object
+    b'"hi"',
+])
+def test_post_wrong_shape_is_400(server, body):
+    """Valid-JSON-wrong-shape bodies previously escaped do_POST as
+    TypeError/AttributeError and reset the connection with no HTTP
+    response (review finding, r3)."""
+    status, payload = _post(server, body)
+    assert status == 400
+    assert "error" in payload
+
+
+def test_post_non_string_q_is_400(server):
+    status, payload = _post(server, b'{"q": 123}')
+    assert status == 400
+
+
+def test_short_query_is_400(server):
+    """HTTP inherits the <=2-char query gate the TUI/CLI enforce
+    (engine.py MIN_QUERY_BYTES; review finding: the gate was
+    bypassed by this frontend)."""
+    try:
+        with urllib.request.urlopen(f"{server}/search?q=a", timeout=30) as r:
+            status, payload = r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        status, payload = e.code, json.loads(e.read())
+    assert status == 400
+    assert "3 bytes" in payload["error"]
+
+
+def test_embed_failure_degrades_to_substring(tmp_path):
+    """Parity with IndexManager.search: a failed query embedding
+    degrades to the substring scan instead of a 500 (review finding —
+    serving 500'd where every other frontend degraded)."""
+    spec = get_spec("test-tiny")
+    enc = Encoder(spec, random_params(spec), HashTokenizer(spec.vocab_size),
+                  batch_size=8)
+    mgr = IndexManager(tmp_path / "data", enc)
+    tree = tmp_path / "tree"
+    tree.mkdir()
+    (tree / "doc.txt").write_text("needle in the haystack content\n" * 8)
+    mgr.process_and_index_files(sorted(tree.glob("*")))
+    service = SearchService(mgr, max_batch=4, max_wait_ms=2)
+
+    def boom(_):
+        raise RuntimeError("device gone")
+    mgr.encoder.encode_query = boom
+    results = service.search("needle", 5)
+    assert results and all("needle" in c.content for c, _ in results)
+    service.close()
+    mgr.close()
+
+
+def test_batcher_close_fails_pending_fast():
+    """close() fails queued AND inflight requests promptly instead of
+    stranding their callers for the 60 s client timeout; a search()
+    racing close() gets ServerOverloaded, not a hang (review findings,
+    r3)."""
+    import numpy as np
+    from sema_tpu.search.server import QueryBatcher, ServerOverloaded
+
+    class SlowStore:
+        dim = 8
+
+        def search_batch_async(self, q, k, live=None):
+            return (q, k)
+
+        def search_batch_finish(self, handle, q):
+            import time
+            time.sleep(0.2)
+            qq, k = handle
+            return (np.full((qq.shape[0], k), -np.inf, np.float32),
+                    np.zeros((qq.shape[0], k), np.int32))
+
+    b = QueryBatcher(SlowStore(), max_batch=2, max_wait_ms=1.0)
+    b.close()
+    with pytest.raises(ServerOverloaded):
+        b.search(np.zeros(8, np.float32), 1, timeout=5)
+
+
+def test_batcher_rejects_unbounded_queue():
+    from sema_tpu.search.server import QueryBatcher
+
+    class S:
+        dim = 4
+    with pytest.raises(ValueError):
+        QueryBatcher(S(), max_queue=0)
