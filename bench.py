@@ -82,7 +82,11 @@ def _measure_device(fn_one, xs, n_calls: int = 64, repeats: int = 2):
     return best
 
 
-def run(config_name: str = "minilm-1m") -> int:
+class _IvfFallback(Exception):
+    """ivf_bench reported its documented probe-budget fallback rung."""
+
+
+def run() -> int:
     import jax
     import jax.numpy as jnp
 
@@ -166,6 +170,10 @@ def run(config_name: str = "minilm-1m") -> int:
     got_idx = np.asarray(got_idx)
     recall = np.mean([
         len(set(got_idx[i]) & set(plant_ids[i])) / k for i in range(n_probe)])
+    # fail FAST on a scan regression: the extras ladder below burns tens
+    # of device-minutes, and the old end-of-run assert discarded every
+    # measured number with it (review finding, r3)
+    assert recall == 1.0, f"exact scan must have recall 1.0, got {recall}"
 
     # --- batched QPS: sustained device time per batch (pipelined dispatch)
     npool = 4
@@ -425,7 +433,8 @@ def run(config_name: str = "minilm-1m") -> int:
             capture_output=True, text=True, timeout=3600)
         try:
             serve = json.loads(proc.stdout.strip().splitlines()[-1])
-        except (json.JSONDecodeError, IndexError):
+            serve["capacity_qps"]   # key drift → the stderr-carrying path
+        except (json.JSONDecodeError, IndexError, KeyError):
             raise RuntimeError(
                 f"serving load test failed: {proc.stderr[-2000:]}")
         ladder["serve_capacity_qps"] = serve["capacity_qps"]
@@ -452,7 +461,10 @@ def run(config_name: str = "minilm-1m") -> int:
         _words = ("alpha beta gamma delta epsilon zeta eta theta iota "
                   "kappa lambda mu nu xi omicron pi rho sigma tau "
                   "upsilon").split()
-        t0 = time.perf_counter()
+        # corpus construction OUTSIDE the timed region: 131k Chunk/Path
+        # constructions are interpreter work, not index-engine work, and
+        # on a 1-core host they materially deflated the reported rate
+        batches = []
         for b0 in range(0, tdocs, 8192):
             batch = []
             for i in range(b0, b0 + 8192):
@@ -462,6 +474,9 @@ def run(config_name: str = "minilm-1m") -> int:
                     id=f"{p}:{i % 64}", file_path=_Path(p),
                     start_line=i % 64, end_line=i % 64 + 1,
                     content=f"chunk {i} body {w} tag{i % 977}"))
+            batches.append(batch)
+        t0 = time.perf_counter()
+        for batch in batches:
             tix.index_chunks(batch)
         ladder["text_build_docs_per_sec"] = round(
             tdocs / (time.perf_counter() - t0), 1)
@@ -496,6 +511,11 @@ def run(config_name: str = "minilm-1m") -> int:
                     capture_output=True, text=True, timeout=3600)
                 ivf = json.loads(proc.stdout.strip().splitlines()[-1])
                 rung = ivf["rungs"]["nprobe32"]
+                if rung.get("fallback"):
+                    # documented over-budget outcome, not an error: the
+                    # probe's tile union exceeded the budget and the
+                    # tool measured nothing for this rung
+                    raise _IvfFallback()
                 ladder["ivf_recall_at_10"] = rung["recall_at_k"]
                 ladder["ivf_single_query_ms_device"] = \
                     rung["single_query_ms_device"]
@@ -503,6 +523,8 @@ def run(config_name: str = "minilm-1m") -> int:
                 ladder["ivf_tiles_scanned_frac"] = \
                     rung["tiles_scanned_frac"]
                 ladder["ivf_kmeans_build_s"] = ivf["kmeans_build_s"]
+            except _IvfFallback:
+                ladder["ivf_fallback"] = True
             except (json.JSONDecodeError, IndexError, KeyError,
                     subprocess.TimeoutExpired) as e:
                 # ANN is an extra over the reference (exact is the
@@ -561,7 +583,6 @@ def run(config_name: str = "minilm-1m") -> int:
             **ladder,
         },
     }
-    assert recall == 1.0, f"exact scan must have recall 1.0, got {recall}"
     print(json.dumps(result))
     return 0
 
