@@ -270,6 +270,10 @@ static bool glob_match(const std::string& pat, size_t pi,
                 if (glob_match(pat, pi + 1, str, s)) return true;
             }
             return false;
+        } else if (c == '\\' && pi + 1 < pat.size()) {
+            // backslash escapes the next char ('\#', '\!', '\ ')
+            if (si >= str.size() || str[si] != pat[pi + 1]) return false;
+            pi += 2; si++;
         } else if (c == '?') {
             if (si >= str.size() || str[si] == '/') return false;
             pi++; si++;
@@ -309,6 +313,10 @@ struct GitignoreRule {
 struct GitignoreFile {
     std::string dir_rel;  // "" for crawl root
     std::vector<GitignoreRule> rules;
+    // non-empty for .gitignore files in ANCESTORS of the crawl root
+    // (the ignore crate's parents(true) default): the crawl root's path
+    // relative to the file's directory, prepended before matching
+    std::string prefix;
 };
 
 static std::vector<GitignoreRule> parse_gitignore(const std::string& text) {
@@ -357,7 +365,8 @@ static bool stack_ignored(const std::vector<GitignoreFile>& stack,
     bool verdict = false;
     for (const auto& gi : stack) {
         std::string sub;
-        if (gi.dir_rel.empty()) sub = rel;
+        if (!gi.prefix.empty()) sub = gi.prefix + "/" + rel;
+        else if (gi.dir_rel.empty()) sub = rel;
         else if (rel.size() > gi.dir_rel.size() &&
                  rel.compare(0, gi.dir_rel.size(), gi.dir_rel) == 0 &&
                  rel[gi.dir_rel.size()] == '/')
@@ -403,12 +412,19 @@ static void crawl_dir(const fs::path& dir, const std::string& dir_rel,
                       std::vector<GitignoreFile>& stack,
                       std::set<std::pair<dev_t, ino_t>>& visited,
                       std::vector<std::string>& out) {
+    // ancestor-chain cycle breaking, not global dedup: the key is
+    // removed on exit, so a directory reachable via two distinct
+    // non-cyclic paths (sibling symlinks) is indexed under both, like
+    // the reference's walker (crawler/mod.rs:46)
+    std::pair<dev_t, ino_t> key{0, 0};
+    bool tracked = false;
     if (cfg.follow_symlinks) {
         struct stat st;
         if (stat(dir.c_str(), &st) != 0) return;
-        auto key = std::make_pair(st.st_dev, st.st_ino);
+        key = std::make_pair(st.st_dev, st.st_ino);
         if (visited.count(key)) return;
         visited.insert(key);
+        tracked = true;
     }
     size_t stack_base = stack.size();
     if (cfg.ignore_gitignore) {
@@ -468,6 +484,35 @@ static void crawl_dir(const fs::path& dir, const std::string& dir_rel,
         }
     }
     stack.resize(stack_base);
+    if (tracked) visited.erase(key);
+}
+
+// .gitignore files from the crawl root's ancestors, outermost first,
+// stopping at the repository boundary (the first ancestor containing
+// .git, itself included)
+static void ancestor_gitignores(const fs::path& root,
+                                std::vector<GitignoreFile>& stack) {
+    std::vector<GitignoreFile> chain;
+    fs::path cur = fs::path(root);
+    std::string prefix;
+    while (true) {
+        std::error_code ec;
+        if (fs::exists(cur / ".git", ec))
+            break;  // repository boundary: nothing above applies
+        fs::path parent = cur.parent_path();
+        if (parent == cur || cur.filename().empty()) break;
+        prefix = prefix.empty() ? cur.filename().string()
+                                : cur.filename().string() + "/" + prefix;
+        cur = parent;
+        std::ifstream gi(cur / ".gitignore", std::ios::binary);
+        if (gi) {
+            std::string text((std::istreambuf_iterator<char>(gi)),
+                             std::istreambuf_iterator<char>());
+            GitignoreFile f{"", parse_gitignore(text), prefix};
+            chain.insert(chain.begin(), std::move(f));
+        }
+    }
+    for (auto& f : chain) stack.push_back(std::move(f));
 }
 
 // input strings are '\n'-joined lists
@@ -508,6 +553,7 @@ extern "C" uint8_t* sema_crawl(const char* root, uint64_t max_file_size,
     struct stat st;
     if (stat(root, &st) == 0) {
         std::vector<GitignoreFile> stack;
+        if (cfg.ignore_gitignore) ancestor_gitignores(fs::path(root), stack);
         std::set<std::pair<dev_t, ino_t>> visited;
         crawl_dir(fs::path(root), "", cfg, st.st_dev, stack, visited, out);
     }

@@ -236,7 +236,8 @@ def cmd_index(args) -> int:
             if done == total:
                 print(file=sys.stderr)
 
-    n = mgr.process_and_index_files(files, progress=progress)
+    n = mgr.process_and_index_files(files, progress=progress,
+                                    purge_missing_under=directory)
     mgr.close()
     dt = time.perf_counter() - t0
     print(f"indexed {n} chunks in {dt:.1f}s "
@@ -396,7 +397,8 @@ def cmd_serve(args) -> int:
                 try:
                     files = FileCrawler(
                         crawler_config(config)).crawl_directory(directory)
-                    n = mgr.process_and_index_files(files)
+                    n = mgr.process_and_index_files(
+                        files, purge_missing_under=directory)
                     if n:
                         print(f"re-indexed {n} chunks "
                               f"({mgr.vector_store.live_rows} live)",

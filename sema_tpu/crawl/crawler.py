@@ -32,7 +32,6 @@ parallel directory listing; used automatically when built.
 
 from __future__ import annotations
 
-import fnmatch
 import os
 from pathlib import Path
 from typing import List, Optional, Set, Tuple
@@ -60,6 +59,7 @@ class FileCrawler:
         self.config = config
         self._extensions = _normalize_extensions(config.file_extensions)
         self._exclude = list(config.exclude_patterns)
+        self._exclude_rx: dict = {}
 
     def crawl_directory(self, root_path: Path | str,
                         use_native: Optional[bool] = None) -> List[Path]:
@@ -77,15 +77,66 @@ class FileCrawler:
 
     # -- pure-Python walk ---------------------------------------------------
 
+    def _pattern_regex(self, pattern: str):
+        """Exclude patterns use the same glob dialect as .gitignore rules
+        ('*' does NOT cross '/') — matching the C++ backend's glob_match.
+        fnmatch's '.*'-style '*' silently excluded whole subtrees for
+        path-shaped patterns like 'docs/*.md' (review finding, r3)."""
+        rx = self._exclude_rx.get(pattern)
+        if rx is None:
+            import re
+            from sema_tpu.crawl.gitignore import _glob_to_regex
+            try:
+                rx = re.compile(_glob_to_regex(pattern, anchored=True)
+                                + r"\Z")
+            except re.error:
+                rx = re.compile(r"(?!)")   # malformed: match nothing
+            self._exclude_rx[pattern] = rx
+        return rx
+
     def _excluded(self, rel_path: str, name: str) -> bool:
         for pattern in self._exclude:
-            if fnmatch.fnmatch(name, pattern) or fnmatch.fnmatch(rel_path, pattern):
+            rx = self._pattern_regex(pattern)
+            if rx.match(name) or rx.match(rel_path):
                 return True
             if "/" not in pattern:
                 for part in rel_path.split("/"):
-                    if fnmatch.fnmatch(part, pattern):
+                    if rx.match(part):
                         return True
         return False
+
+    @staticmethod
+    def _ancestor_gitignores(root: Path, stack: GitignoreStack) -> None:
+        """Collect .gitignore files from the crawl root's ANCESTORS
+        (outermost pushed first — nearer files win by stack order),
+        stopping at the repository boundary (the first ancestor that
+        contains ``.git``, itself included). ≙ the ignore crate's
+        parents(true) default: indexing ``repo/src`` must still honor
+        ``repo/.gitignore`` (review finding, r3)."""
+        chain = []
+        cur = root
+        prefix_parts: List[str] = []
+        while True:
+            try:
+                if (cur / ".git").exists():
+                    break   # repository boundary: nothing above applies
+            except OSError:
+                break
+            parent = cur.parent
+            if parent == cur:
+                break
+            prefix_parts.insert(0, cur.name)
+            cur = parent
+            gi = cur / ".gitignore"
+            try:
+                if gi.is_file():
+                    chain.insert(0, ("/".join(prefix_parts),
+                                     gi.read_text(errors="replace")
+                                     .splitlines()))
+            except OSError:
+                pass
+        for prefix, lines in chain:
+            stack.push_ancestor(prefix, GitignoreMatcher(lines))
 
     def _crawl_python(self, root: Path) -> List[Path]:
         cfg = self.config
@@ -96,18 +147,33 @@ class FileCrawler:
             return files
 
         stack = GitignoreStack()
-        visited_dirs: Set[Tuple[int, int]] = set()
-
-        def walk(dir_path: Path, dir_rel: str) -> None:
+        if cfg.ignore_gitignore:
+            self._ancestor_gitignores(root, stack)
+        # (st_dev, st_ino) of the CURRENT ancestor chain only — cycle
+        # breaking, not global dedup: a directory reachable via two
+        # distinct non-cyclic paths (sibling symlinks) is indexed under
+        # both, as the reference's walker does (crawler/mod.rs:46).
+        # The walk is an explicit stack: a pathological ~1000-deep tree
+        # must not hit Python's recursion limit (both review findings,
+        # r3). Work items: ("enter", path, rel) / ("exit", key).
+        ancestors: Set[Tuple[int, int]] = set()
+        work: list = [("enter", root, "")]
+        while work:
+            item = work.pop()
+            if item[0] == "exit":
+                ancestors.discard(item[1])
+                continue
+            _, dir_path, dir_rel = item
             if cfg.follow_symlinks:
                 try:
                     st = dir_path.stat()
                 except OSError:
-                    return
+                    continue
                 key = (st.st_dev, st.st_ino)
-                if key in visited_dirs:
-                    return
-                visited_dirs.add(key)
+                if key in ancestors:
+                    continue   # symlink cycle
+                ancestors.add(key)
+                work.append(("exit", key))
 
             stack.pop_to(dir_rel)
             if cfg.ignore_gitignore:
@@ -122,8 +188,9 @@ class FileCrawler:
             try:
                 entries = sorted(os.scandir(dir_path), key=lambda e: e.name)
             except OSError:
-                return
+                continue
 
+            subdirs = []
             for entry in entries:
                 name = entry.name
                 rel = f"{dir_rel}/{name}" if dir_rel else name
@@ -149,8 +216,7 @@ class FileCrawler:
                             continue  # same_file_system(true)
                     except OSError:
                         continue
-                    walk(Path(entry.path), rel)
-                    stack.pop_to(dir_rel)
+                    subdirs.append(("enter", Path(entry.path), rel))
                 elif is_file:
                     if cfg.ignore_gitignore and stack.ignored(rel, is_dir=False):
                         continue
@@ -167,6 +233,7 @@ class FileCrawler:
                         if name[dot + 1:].lower() not in self._extensions:
                             continue
                     files.append(Path(entry.path))
+            # LIFO: push reversed so subdirs pop in sorted order
+            work.extend(reversed(subdirs))
 
-        walk(root, "")
         return sorted(files)

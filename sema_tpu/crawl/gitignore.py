@@ -31,6 +31,14 @@ def _glob_to_regex(pattern: str, anchored: bool) -> str:
     n = len(pattern)
     while i < n:
         c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            # backslash escapes the next char ('\#notes', '\!bang',
+            # trailing '\ '): match it literally — without this the
+            # escaped rule compiled to a regex requiring a literal
+            # backslash and could never match anything
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
         if c == "*":
             if pattern.startswith("**", i):
                 # Collapse any run of * beyond the double.
@@ -130,6 +138,15 @@ class GitignoreStack:
 
     def __init__(self):
         self.frames: List[Tuple[str, GitignoreMatcher]] = []
+        # .gitignore files from ANCESTORS of the crawl root (outermost
+        # first): each carries the root's path relative to ITS directory,
+        # prepended before matching — ≙ the ignore crate's parents(true)
+        # default the reference relies on (crawler/mod.rs:44)
+        self.ancestors: List[Tuple[str, GitignoreMatcher]] = []
+
+    def push_ancestor(self, root_prefix: str,
+                      matcher: GitignoreMatcher) -> None:
+        self.ancestors.append((root_prefix, matcher))
 
     def push(self, dir_rel: str, matcher: GitignoreMatcher) -> None:
         self.frames.append((dir_rel, matcher))
@@ -143,6 +160,11 @@ class GitignoreStack:
     def ignored(self, rel_path: str, is_dir: bool) -> bool:
         """Deepest .gitignore wins; within one file the last rule wins."""
         verdict = False
+        for prefix, matcher in self.ancestors:
+            sub = f"{prefix}/{rel_path}" if prefix else rel_path
+            hit = matcher.match(sub, is_dir)
+            if hit is not None:
+                verdict = hit
         for dir_rel, matcher in self.frames:
             if dir_rel == "":
                 sub = rel_path

@@ -56,10 +56,24 @@ class IndexManager:
     def process_and_index_files(
             self, files: Sequence[Path],
             progress: Optional[Callable[[str, int, int], None]] = None,
+            purge_missing_under: Optional[Path] = None,
     ) -> int:
         """Index changed/new files; returns number of chunks indexed
-        (storage/mod.rs:30-70 returns the same count)."""
-        files_to_process: List[Path] = []
+        (storage/mod.rs:30-70 returns the same count).
+
+        ``purge_missing_under``: also remove indexed files under that
+        root which no longer exist on disk — the reference never purges
+        deletions (its global index serves a deleted file's chunks
+        forever), which is a bug, not a behavior to keep. Scoped to the
+        crawl root because the index is shared across every directory
+        the tool has indexed (≙ the reference's config-dir index,
+        tui/app.rs:63-70): files of OTHER roots are absent from this
+        crawl but not deleted."""
+        # (path, check-time hash): the hash recorded after indexing must
+        # be the one whose CONTENT was chunked — re-hashing after a
+        # minutes-long embed phase would record a mid-run editor save's
+        # hash against the old content and mask the staleness forever
+        files_to_process: List[tuple] = []
         with self.metrics.timer("hash_check"):
             for f in files:
                 f = Path(f)
@@ -75,22 +89,38 @@ class IndexManager:
                 if stored is not None:
                     self.vector_store.remove_file_chunks(f)
                     self.text_index.remove_file_chunks(f)
-                files_to_process.append(f)
+                files_to_process.append((f, current))
+
+        purged = False
+        if purge_missing_under is not None:
+            root = str(Path(purge_missing_under))
+            sep = root.rstrip("/") + "/"
+            for path in list(self.vector_store.file_hashes):
+                if not path.startswith(sep):
+                    continue
+                if Path(path).exists():
+                    continue
+                self.vector_store.remove_file_chunks(path)
+                self.text_index.remove_file_chunks(path)
+                self.vector_store.remove_file_hash(path)
+                purged = True
 
         if progress:
             progress("chunking", 0, len(files_to_process))
         with self.metrics.timer("chunk"):
-            chunks = process_files(files_to_process)
+            chunks = process_files([f for f, _ in files_to_process])
         self.metrics.count("chunks", len(chunks))
 
         if chunks:
             self.index_chunks(chunks, progress=progress)
+        if files_to_process or purged:
+            # record hashes for EVERY processed file — including ones
+            # that yielded zero chunks (e.g. truncated below the 50-byte
+            # minimum): gating on the aggregate chunk count made such a
+            # file re-detect as changed on every run forever
             with self.metrics.timer("hash_update"):
-                for f in files_to_process:
-                    try:
-                        self.vector_store.update_file_hash(f, hash_file(f))
-                    except OSError:
-                        pass
+                for f, h in files_to_process:
+                    self.vector_store.update_file_hash(f, h)
                 self.vector_store.save_file_hashes()
         return len(chunks)
 
@@ -112,8 +142,15 @@ class IndexManager:
         affected files next run unchanged: per-file hashes are recorded
         by the caller only after THIS returns (storage/mod.rs:62-66)."""
         import os as _os
-        batch = int(_os.environ.get("SEMA_TPU_INDEX_BATCH",
-                                    self.INDEX_BATCH))
+        try:
+            batch = int(_os.environ.get("SEMA_TPU_INDEX_BATCH",
+                                        self.INDEX_BATCH))
+        except ValueError:
+            batch = self.INDEX_BATCH
+        if batch < 1:
+            # a non-positive slice would make range() empty and silently
+            # index NOTHING while the caller records every hash as done
+            batch = self.INDEX_BATCH
         total = len(chunks)
         # encoder capability probe once, not per slice. Encoder-like
         # objects (quality-gate stubs, tools) may not take out_dtype /

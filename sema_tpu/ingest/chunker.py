@@ -56,6 +56,10 @@ def create_chunks(file_path: Path | str, content: str) -> List[Chunk]:
 
     start = 0
     chunk_id = 0
+    # newlines in data[:start], maintained incrementally: counting from
+    # byte 0 each window made the pure-Python path O(n^2) per file
+    # (~11k windows x up to 10 MB rescans on a max-size file)
+    lines_before = 0
     path_str = str(file_path)
     while start < n:
         end = min(start + CHUNK_SIZE, n)
@@ -72,7 +76,7 @@ def create_chunks(file_path: Path | str, content: str) -> List[Chunk]:
         chunk_bytes = data[start:safe_end]
 
         if len(chunk_bytes) >= MIN_CHUNK_SIZE or chunk_id == 0:
-            start_line = data.count(b"\n", 0, start) + 1
+            start_line = lines_before + 1
             end_line = start_line + chunk_bytes.count(b"\n")
             chunks.append(Chunk(
                 id=f"{path_str}:{chunk_id}",
@@ -91,7 +95,9 @@ def create_chunks(file_path: Path | str, content: str) -> List[Chunk]:
         # identical behavior for ASCII content.
         while next_start > 0 and not _is_char_boundary(data, next_start):
             next_start -= 1
-        start = safe_end if next_start <= start else next_start
+        new_start = safe_end if next_start <= start else next_start
+        lines_before += data.count(b"\n", start, new_start)
+        start = new_start
         if start >= n:
             break
 

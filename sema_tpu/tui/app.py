@@ -154,7 +154,8 @@ class TuiApp:
             self._pump(stdscr)
             mgr = make_index_manager(self.config)
             mgr.process_and_index_files(
-                files, progress=lambda *_: self._pump(stdscr))
+                files, progress=lambda *_: self._pump(stdscr),
+                purge_missing_under=self.directory)
             self.engine.index_manager = mgr
             # warm the query path so the first Enter answers fast (first
             # dispatch pays executable load + param placement)

@@ -134,3 +134,106 @@ def test_deterministic_order(tmp_path):
         (tmp_path / n).write_text("x\n")
     files = crawl(tmp_path, file_extensions=("py",))
     assert files == sorted(files)
+
+
+# -- round-3 review-fix regressions (both backends where applicable) --------
+
+BACKENDS = [False]
+try:
+    import sema_tpu.native  # noqa: F401
+    BACKENDS.append(True)
+except ImportError:
+    pass
+
+
+def crawl2(root, native, **kw):
+    cfg = CrawlerConfig(**kw)
+    return FileCrawler(cfg).crawl_directory(root, use_native=native)
+
+
+@pytest.mark.parametrize("native", BACKENDS)
+def test_ancestor_gitignore_honored(tmp_path, native):
+    """Indexing repo/src still honors repo/.gitignore (the ignore
+    crate's parents(true) default)."""
+    (tmp_path / ".git").mkdir()
+    (tmp_path / ".gitignore").write_text("*.log\nbuild/\n")
+    src = tmp_path / "src"
+    (src / "build").mkdir(parents=True)
+    (src / "keep.py").write_text("x = 1\n" * 10)
+    (src / "debug.log").write_text("log line\n" * 10)
+    (src / "build" / "gen.py").write_text("y = 2\n" * 10)
+    got = names(crawl2(src, native), src)
+    assert got == ["keep.py"]
+
+
+@pytest.mark.parametrize("native", BACKENDS)
+def test_ancestor_gitignore_stops_at_repo_boundary(tmp_path, native):
+    """A .gitignore ABOVE the repository boundary (.git) is not
+    consulted."""
+    (tmp_path / ".gitignore").write_text("*.py\n")   # outside the repo
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / ".git").mkdir()
+    (repo / "keep.py").write_text("x = 1\n" * 10)
+    got = names(crawl2(repo, native), repo)
+    assert got == ["keep.py"]
+
+
+@pytest.mark.parametrize("native", BACKENDS)
+def test_gitignore_backslash_escapes(tmp_path, native):
+    r"""'\#notes.txt' ignores the literal file '#notes.txt' (git
+    escape semantics); previously the rule could never match."""
+    (tmp_path / ".gitignore").write_text("\\#notes.txt\n\\!bang.py\n")
+    (tmp_path / "#notes.txt").write_text("note " * 20)
+    (tmp_path / "!bang.py").write_text("x = 1\n" * 10)
+    (tmp_path / "keep.txt").write_text("keep " * 20)
+    got = names(crawl2(tmp_path, native), tmp_path)
+    assert got == ["keep.txt"]
+
+
+@pytest.mark.parametrize("native", BACKENDS)
+def test_sibling_symlinks_both_indexed(tmp_path, native):
+    """Two non-cyclic paths to one directory index it under BOTH paths
+    (ancestor-chain cycle breaking, not global inode dedup)."""
+    target = tmp_path / "target"
+    target.mkdir()
+    (target / "f.py").write_text("x = 1\n" * 10)
+    os.symlink(target, tmp_path / "s1")
+    os.symlink(target, tmp_path / "s2")
+    got = names(crawl2(tmp_path, native, follow_symlinks=True), tmp_path)
+    assert got == ["s1/f.py", "s2/f.py", "target/f.py"]
+
+
+@pytest.mark.parametrize("native", BACKENDS)
+def test_symlink_cycle_still_broken(tmp_path, native):
+    d = tmp_path / "d"
+    d.mkdir()
+    (d / "f.py").write_text("x = 1\n" * 10)
+    os.symlink(tmp_path, d / "loop")
+    got = names(crawl2(tmp_path, native, follow_symlinks=True), tmp_path)
+    assert got == ["d/f.py"]
+
+
+@pytest.mark.parametrize("native", BACKENDS)
+def test_exclude_glob_does_not_cross_slash(tmp_path, native):
+    """'docs/*.md' excludes only one level deep — fnmatch's '*'
+    crossed '/' and silently dropped whole subtrees."""
+    docs = tmp_path / "docs"
+    (docs / "api").mkdir(parents=True)
+    (docs / "top.md").write_text("top " * 20)
+    (docs / "api" / "deep.md").write_text("deep " * 20)
+    got = names(crawl2(tmp_path, native, exclude_patterns=("docs/*.md",)),
+                tmp_path)
+    assert got == ["docs/api/deep.md"]
+
+
+def test_deep_tree_no_recursion_error(tmp_path):
+    """~1200-deep tree: the pure-Python walk must not hit Python's
+    recursion limit (the reference's walker is iterative)."""
+    d = tmp_path
+    for i in range(1200):
+        d = d / "n"
+        d.mkdir()
+    (d / "leaf.py").write_text("x = 1\n" * 10)
+    got = crawl(tmp_path)
+    assert len(got) == 1 and got[0].name == "leaf.py"

@@ -161,3 +161,90 @@ def test_index_chunks_sliced_batches(tmp_path, encoder, monkeypatch):
     # incremental skip still holds across the sliced path
     assert mgr.process_and_index_files(sorted(root.glob("*.txt"))) == 0
     mgr.close()
+
+
+# -- round-3 review-fix regressions -----------------------------------------
+
+def test_deleted_file_purged_with_root(tmp_path, tree, encoder):
+    """A file deleted from disk is purged from BOTH indexes on the next
+    run when the crawl root is passed (the reference never purges —
+    its global index serves deleted files' chunks forever)."""
+    mgr = make_mgr(tmp_path, encoder)
+    files = sorted(tree.glob("*"))
+    mgr.process_and_index_files(files, purge_missing_under=tree)
+    res = mgr.search("networking sockets guide", 5)
+    assert any("beta.md" in str(c.file_path) for c, _ in res)
+
+    (tree / "beta.md").unlink()
+    mgr.process_and_index_files(sorted(tree.glob("*")),
+                                purge_missing_under=tree)
+    res = mgr.search("networking sockets guide", 5)
+    assert not any("beta.md" in str(c.file_path) for c, _ in res)
+    res = mgr.search("'networking", 5)
+    assert not any("beta.md" in str(c.file_path) for c, _ in res)
+    assert mgr.vector_store.get_file_hash(tree / "beta.md") is None
+    mgr.close()
+
+
+def test_purge_scoped_to_root(tmp_path, encoder):
+    """Purging is scoped to the crawl root: files of OTHER indexed
+    roots are absent from this crawl but must survive."""
+    mgr = make_mgr(tmp_path, encoder)
+    r1 = tmp_path / "r1"; r1.mkdir()
+    r2 = tmp_path / "r2"; r2.mkdir()
+    (r1 / "one.py").write_text("def one():\n    return 1\n" * 5)
+    (r2 / "two.py").write_text("def two():\n    return 2\n" * 5)
+    mgr.process_and_index_files(sorted(r1.glob("*")), purge_missing_under=r1)
+    mgr.process_and_index_files(sorted(r2.glob("*")), purge_missing_under=r2)
+    # re-index r1 only: r2's file is missing from THIS crawl but exists
+    mgr.process_and_index_files(sorted(r1.glob("*")), purge_missing_under=r1)
+    assert mgr.vector_store.get_file_hash(r2 / "two.py") is not None
+    mgr.close()
+
+
+def test_zero_chunk_file_converges(tmp_path, tree, encoder):
+    """A changed file that now yields ZERO chunks (truncated below the
+    50-byte minimum) records its hash and is skipped next run —
+    previously it re-detected as changed forever."""
+    mgr = make_mgr(tmp_path, encoder)
+    files = sorted(tree.glob("*"))
+    mgr.process_and_index_files(files)
+    (tree / "alpha.py").write_text("tiny\n")   # < MIN_CHUNK_SIZE
+    mgr.process_and_index_files(sorted(tree.glob("*")))
+    from sema_tpu.ingest.hashing import hash_file
+    assert (mgr.vector_store.get_file_hash(tree / "alpha.py")
+            == hash_file(tree / "alpha.py"))
+    # third run: nothing to do
+    removed = []
+    orig = mgr.vector_store.remove_file_chunks
+    mgr.vector_store.remove_file_chunks = \
+        lambda f: removed.append(f) or orig(f)
+    n = mgr.process_and_index_files(sorted(tree.glob("*")))
+    assert n == 0 and not removed
+    mgr.close()
+
+
+def test_recorded_hash_is_checktime_hash(tmp_path, tree, encoder, monkeypatch):
+    """The hash recorded after indexing is the CHECK-time hash (whose
+    content was chunked), not a re-hash — a mid-run editor save must
+    re-index next run instead of being masked forever."""
+    mgr = make_mgr(tmp_path, encoder)
+    f = tree / "alpha.py"
+    files = sorted(tree.glob("*"))
+
+    import sema_tpu.index.manager as mgr_mod
+    real_process = mgr_mod.process_files
+
+    def mutate_then_process(paths):
+        chunks = real_process(paths)
+        f.write_text("def changed_mid_run():\n    return 42\n" * 4)
+        return chunks
+    monkeypatch.setattr(mgr_mod, "process_files", mutate_then_process)
+    mgr.process_and_index_files(files)
+    monkeypatch.setattr(mgr_mod, "process_files", real_process)
+
+    from sema_tpu.ingest.hashing import hash_file
+    assert (mgr.vector_store.get_file_hash(f) != hash_file(f))
+    n = mgr.process_and_index_files(sorted(tree.glob("*")))
+    assert n > 0   # the mid-run save re-indexes
+    mgr.close()
