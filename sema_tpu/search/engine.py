@@ -92,7 +92,6 @@ class Engine:
         if len(query.encode("utf-8")) < MIN_QUERY_BYTES:
             return
         self.search_error = None
-        self.current_search_query = query
         if self.index_manager is None:
             self.search_error = "Failed to initialize search"
             return
@@ -101,6 +100,10 @@ class Engine:
         except Exception as e:  # noqa: BLE001 — parity: capture, don't raise
             self.search_error = f"Search failed: {e}"
             return
+        # recorded only on SUCCESS: a failed search keeps the previous
+        # results on screen, and recording the failed query first made
+        # the stale preview highlight the failed query's terms
+        self.current_search_query = query
         results = [SearchResult(chunk=c, score=s) for c, s in raw]
         self.search_results = group_results_by_file(results)
         self.selected_search_result = 0

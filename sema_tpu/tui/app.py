@@ -36,8 +36,14 @@ _STYLE_ATTRS = {}
 
 
 def _init_styles():
-    curses.start_color()
-    curses.use_default_colors()
+    try:
+        curses.start_color()
+        curses.use_default_colors()
+    except curses.error:
+        # no color capability (TERM=vt100 etc.): degrade to monochrome
+        # instead of crashing at startup — init_pair below fails into
+        # attr 0 the same way
+        pass
     pairs = {
         "blue": (curses.COLOR_BLUE, -1),
         "red": (curses.COLOR_RED, -1),
@@ -96,6 +102,34 @@ def _translate_key(code: int):
     return None
 
 
+def _read_key(stdscr):
+    """One input event via ``get_wch()``: a _KEYMAP name, a printable
+    character, ``"mouse"``/``"resize"``, ``"ignore"`` (recognized but
+    unmapped — e.g. F-keys), or None (no input within the timeout).
+
+    get_wch (vs getch) delivers multibyte input as WHOLE characters —
+    getch returned UTF-8 bytes one at a time, turning the CJK queries
+    the byte-length gate explicitly supports into mojibake — and
+    unmapped special keycodes are dropped instead of inserted as junk
+    ``chr()`` text (review finding, r3)."""
+    try:
+        wch = stdscr.get_wch()
+    except curses.error:
+        return None          # timeout / no pending input
+    except KeyboardInterrupt:
+        return ev.KEY_CTRL_C
+    if isinstance(wch, int):
+        if wch == curses.KEY_MOUSE:
+            return "mouse"
+        if wch == curses.KEY_RESIZE:
+            return "resize"
+        return _KEYMAP.get(wch, "ignore")
+    code = ord(wch)
+    if code in _KEYMAP:
+        return _KEYMAP[code]
+    return wch if wch.isprintable() else "ignore"
+
+
 class TuiApp:
     def __init__(self, directory: Path, config):
         self.directory = directory
@@ -128,11 +162,10 @@ class TuiApp:
         stdscr.nodelay(True)
         try:
             while True:
-                code = stdscr.getch()
-                if code == -1:
-                    break
-                key = _translate_key(code)
+                key = _read_key(stdscr)
                 if key is None:
+                    break
+                if key in ("mouse", "resize", "ignore"):
                     continue
                 if ev.handle_key_non_ready(key, self.input) is \
                         ev.EventResult.QUIT:
@@ -181,6 +214,11 @@ class TuiApp:
             return
         self.engine.execute_search(
             query, limit=self.config.index.result_limit)
+        if self.engine.search_error is not None:
+            # failed search keeps the PREVIOUS results + selection on
+            # screen (engine semantics); re-previewing stale result 0
+            # here desynced the preview from the highlighted selection
+            return
         first = self.engine.search_results[0] if self.engine.search_results else None
         if first is not None:
             self.engine.update_current_file_content(first.chunk.file_path)
@@ -308,9 +346,13 @@ class TuiApp:
             sel = self.engine.selected_result()
             if sel is not None:
                 title = f" {rd.display_path(sel.chunk.file_path, self.directory)} "
-                content = (self.engine.current_file_content
-                           if self.engine.current_file_path == sel.chunk.file_path
-                           else "Loading file...") or "Loading file..."
+                loaded = (self.engine.current_file_content
+                          if self.engine.current_file_path
+                          == sel.chunk.file_path else None)
+                # `is not None`, not truthiness: a legitimately EMPTY
+                # file ('') must render the "(empty file)" preview, not
+                # a permanent "Loading file..."
+                content = loaded if loaded is not None else "Loading file..."
                 self._box(win, 0, left_w, body_h, right_w, title,
                           self.engine.ui_mode is UIMode.FILE_PREVIEW)
                 lines = rd.preview_lines(
@@ -362,14 +404,11 @@ class TuiApp:
         while not self.engine.should_quit:
             self.engine.spinner_frame = (self.engine.spinner_frame + 1) % 8
             self.draw(stdscr)
-            try:
-                code = stdscr.getch()
-            except KeyboardInterrupt:
-                break
-            if code == -1:
+            key = _read_key(stdscr)
+            if key is None:
                 self._incremental_tick()
                 continue
-            if code == curses.KEY_MOUSE:           # app.rs:150-158 + select
+            if key == "mouse":                     # app.rs:150-158 + select
                 try:
                     _, mx, my, _, bstate = curses.getmouse()
                 except curses.error:
@@ -381,10 +420,7 @@ class TuiApp:
                             split_in_input=self.incremental is not None):
                         self.sync_file_preview()
                 continue
-            if code == curses.KEY_RESIZE:
-                continue
-            key = _translate_key(code)
-            if key is None:
+            if key in ("resize", "ignore"):
                 continue
 
             self.engine.search_error = None        # app.rs:113

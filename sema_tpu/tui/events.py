@@ -2,8 +2,9 @@
 
 Parity notes:
 
-- results_per_page = max((terminal_height - 2) / 3, 1) — 3-line result rows
-  (events.rs:26);
+- results_per_page = max((terminal_height - 5) / 3, 1) — 3-line result rows
+  sized to THIS layout's rendered window (≙ events.rs:26's intent; see
+  results_per_page docstring);
 - Enter: SearchInput → ExecuteSearch (non-empty input); Results/Preview →
   OpenFile (events.rs:30-45);
 - Esc walks back Preview → Results → Input; in Input it clears the query
@@ -78,7 +79,13 @@ KEY_BACKSPACE, KEY_DELETE, KEY_CTRL_C = "backspace", "delete", "ctrl_c"
 
 
 def results_per_page(terminal_height: int) -> int:
-    return max((max(terminal_height - 2, 0)) // 3, 1)
+    """Visible 3-line result rows: must match the RENDERER's geometry
+    (body = h - 3 for the search box, minus 2 border rows — app.py
+    draw / render.result_rows), not the reference's (h-2)/3
+    (events.rs:26, a different frame layout): with the larger keyboard
+    page the selection scrolled one row past the visible window and
+    navigation went blind (review finding, r3)."""
+    return max((max(terminal_height - 5, 0)) // 3, 1)
 
 
 def update_scroll_offset(selected: int, scroll_offset: int,
@@ -291,9 +298,12 @@ class IncrementalSearch:
 
 def handle_key_non_ready(key: str, inp: InputState) -> EventResult:
     """Key routing while indexing (events.rs:176-200)."""
-    if key in (KEY_CTRL_C, "q"):
-        # the reference quits on bare q here too (events.rs:178); while
-        # indexing there is nothing to type a query for yet, keep parity
+    if key == KEY_CTRL_C:
+        # the reference also quits on bare q here (events.rs:178) — but
+        # OUR status screen invites type-ahead ("type your search query
+        # now"), and a query containing the letter q aborted indexing
+        # mid-batch (review finding, r3). Same deviation as ready-mode
+        # SearchInput: q types, Ctrl-C quits.
         return EventResult.QUIT
     if key == KEY_BACKSPACE:
         inp.backspace()

@@ -123,17 +123,25 @@ def merge_term_matches(text: str, terms: Sequence[str]
     """Find all case-insensitive term occurrences and merge overlaps
     (ui.rs:524-570)."""
     low = text.lower()
+    if len(low) != len(text):
+        # rare scripts where lowercasing changes string LENGTH (e.g.
+        # 'İ'.lower() is two chars) would shift every offset found in
+        # `low` relative to `text` — fall back to casefold-free matching
+        # rather than painting highlights off by a column
+        low = text
     matches: List[Tuple[int, int]] = []
     for term in terms:
         t = term.lower()
         if not t:
             continue
+        if len(t) != len(term):
+            t = term
         pos = 0
         while True:
             idx = low.find(t, pos)
             if idx == -1:
                 break
-            matches.append((idx, idx + len(term)))
+            matches.append((idx, idx + len(t)))
             pos = idx + 1
     matches.sort()
     merged: List[Tuple[int, int]] = []
@@ -168,7 +176,10 @@ _LEXER_CACHE: Dict[str, object] = {}
 
 
 def _lexer_for(file_path: Path, content: str):
-    key = file_path.suffix.lower()
+    # suffix-less files (Makefile, Dockerfile) resolve by NAME — caching
+    # them under the shared '' suffix key highlighted every such file
+    # with whichever lexer was resolved first
+    key = file_path.suffix.lower() or file_path.name
     if key not in _LEXER_CACHE:
         try:
             from pygments.lexers import get_lexer_for_filename
@@ -176,6 +187,13 @@ def _lexer_for(file_path: Path, content: str):
         except Exception:  # noqa: BLE001 — unknown types fall back to plain
             _LEXER_CACHE[key] = None
     return _LEXER_CACHE[key]
+
+
+# one-entry memo of the last tokenized preview: draw runs every 100 ms
+# idle tick, and re-running pygments over a large file each frame pinned
+# the CPU and lagged the event loop behind keystrokes. Keyed by content
+# identity + path; the TUI previews one file at a time.
+_SYNTAX_MEMO: Dict[str, object] = {}
 
 
 def _style_for_token(tok) -> str:
@@ -284,9 +302,17 @@ def preview_lines(content: str, file_path: Path, scroll_offset: int,
         lines = lines[:-1] or [""]
     total = len(lines)
     safe_scroll = min(scroll_offset, max(total - 1, 0))
-    num_width = max(len(str(total + safe_scroll)), 3)
+    # gutter width from the file's LAST line number: total+scroll grew
+    # the gutter a column mid-scroll and shifted every visible line
+    num_width = max(len(str(total)), 3)
 
-    highlighted = _syntax_lines("\n".join(lines), file_path)
+    memo_key = (str(file_path), id(content), len(content), content[:256])
+    if _SYNTAX_MEMO.get("key") == memo_key:
+        highlighted = _SYNTAX_MEMO["lines"]
+    else:
+        highlighted = _syntax_lines("\n".join(lines), file_path)
+        _SYNTAX_MEMO["key"] = memo_key
+        _SYNTAX_MEMO["lines"] = highlighted
     out: List[List[Span]] = []
     for i in range(safe_scroll, min(safe_scroll + visible_lines, total)):
         prefix = f"{i + 1:>{num_width}} │ "

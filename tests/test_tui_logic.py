@@ -45,7 +45,10 @@ def test_input_state_editing():
 # -- key routing -----------------------------------------------------------------
 
 def test_results_per_page():
-    assert ev.results_per_page(32) == 10   # (32-2)/3
+    # (h-5)/3: matches the renderer's visible rows (body h-3, borders 2)
+    # — the reference's (h-2)/3 frame math scrolled the selection out of
+    # the rendered window in THIS layout (review finding, r3)
+    assert ev.results_per_page(32) == 9
     assert ev.results_per_page(2) == 1     # min 1 (events.rs:26)
 
 
@@ -104,18 +107,18 @@ def test_tab_cycles_only_with_results():
 
 def test_navigation_and_scroll_clamping():
     eng = ready_engine(20)
-    # page = (8-2)/3 = 2 rows visible
+    # page = (11-5)/3 = 2 rows visible (renderer geometry)
     for _ in range(5):
-        ev.handle_key_ready(ev.KEY_DOWN, eng, ev.InputState(), 8)
+        ev.handle_key_ready(ev.KEY_DOWN, eng, ev.InputState(), 11)
     assert eng.selected_search_result == 5
     assert eng.search_results_scroll_offset == 4  # sel - visible + 1
-    ev.handle_key_ready(ev.KEY_PGUP, eng, ev.InputState(), 8)
+    ev.handle_key_ready(ev.KEY_PGUP, eng, ev.InputState(), 11)
     assert eng.selected_search_result == 3
-    ev.handle_key_ready(ev.KEY_PGDN, eng, ev.InputState(), 8)
+    ev.handle_key_ready(ev.KEY_PGDN, eng, ev.InputState(), 11)
     assert eng.selected_search_result == 5
     # up beyond 0 clamps
     eng.selected_search_result = 0
-    ev.handle_key_ready(ev.KEY_UP, eng, ev.InputState(), 8)
+    ev.handle_key_ready(ev.KEY_UP, eng, ev.InputState(), 11)
     assert eng.selected_search_result == 0
 
 
