@@ -25,8 +25,10 @@ short-S regime this framework operates in (SURVEY.md §5: the long axis is
 the index, not the sequence).
 
 Numerics match the XLA path exactly: f32 score accumulation
-(preferred_element_type), f32 bias add and softmax, compute-dtype probs,
-f32 context accumulation — the torch-parity suite runs both paths.
+(preferred_element_type), f32 bias add, softmax in the COMPUTE dtype
+(the XLA path's bf16-mode softmax is bf16 too — measured cosine
+1.000000 vs f32-softmax, docs/PERF.md), compute-dtype probs, f32
+context accumulation — the torch-parity suite runs both paths.
 
 Layout notes (pallas_guide.md):
 - q/k/v blocks are (TB, S, 1, 1, hd) windows of the (B, S, 3, n, hd)

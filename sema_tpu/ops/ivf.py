@@ -56,6 +56,8 @@ def kmeans_cluster(x: jax.Array, c: int, iters: int = 8
     all-zero and are skipped by the host probe (empty ranges).
     """
     n, d = x.shape
+    if n == 0:
+        raise ValueError("kmeans_cluster: empty input")
     block = min(8192, n)
     pad = (-n) % block
     if pad:
@@ -68,10 +70,25 @@ def kmeans_cluster(x: jax.Array, c: int, iters: int = 8
     xb = x.astype(jnp.float32).reshape(nb, block, d)
     w = (jnp.sum(xb * xb, axis=2) > 0).astype(jnp.float32)  # (nb, block)
 
+    # seed from REAL rows: the caller clusters the whole padded bucket
+    # (up to ~50% zero rows at pow2 padding), and a zero-seeded centroid
+    # normalizes to zero, is dead-penalized, never attracts a row, and
+    # stays dead forever — the padding fraction of the init diversity
+    # was silently lost (review finding, r3). Zero rows sort AFTER real
+    # rows under a stable sort on weight, so the strided sample runs
+    # over a real-rows-first view; any zero seed left (n_real < c)
+    # is replaced by cycling the real prefix.
+    w_full = jnp.sum(x.astype(jnp.float32) ** 2, axis=1) > 0
+    order = jnp.argsort(~w_full, stable=True)      # real rows first
+    xs = x.astype(jnp.float32)[order]
     stride = max(1, n // c)
-    cent = _l2(x.astype(jnp.float32)[::stride][:c])
+    cent = _l2(xs[::stride][:c])
     if cent.shape[0] < c:  # n < c: degenerate tiny bucket
         cent = jnp.pad(cent, ((0, c - cent.shape[0]), (0, 0)))
+    n_real = jnp.maximum(jnp.sum(w_full.astype(jnp.int32)), 1)
+    repl = _l2(xs[jnp.arange(c) % n_real])
+    dead0 = (jnp.sum(cent * cent, axis=1) == 0)[:, None]
+    cent = jnp.where(dead0, repl, cent)
 
     def scores(xbl, cent):
         # dead (all-zero) centroids score 0 against everything, which
@@ -140,6 +157,14 @@ def select_tiles(centroids: np.ndarray, starts: np.ndarray,
     if len(queries) == 0:
         return None
     cs = np.asarray(queries, dtype=np.float32) @ centroids.T  # (Q, C)
+    # dead (all-zero) centroids score exactly 0 — which outranks every
+    # real cluster a query is anti-aligned with, silently eating probe
+    # slots (the `keep` filter below drops them AFTER selection, so the
+    # effective nprobe shrank with no signal; review finding, r3)
+    dead = np.sum(np.asarray(centroids, dtype=np.float32) ** 2,
+                  axis=1) == 0
+    if dead.any():
+        cs[:, dead] = -np.inf
     nprobe = min(nprobe, cs.shape[1])
     if nprobe < cs.shape[1]:
         idx = np.argpartition(-cs, nprobe - 1, axis=1)[:, :nprobe]

@@ -186,3 +186,35 @@ def test_select_tiles_recall_planted():
     valid = np.ones(2048, bool)
     ps, pi = _run_pruned(permuted, q, valid, tiles, n_live, 1, 128)
     assert perm[int(np.asarray(pi)[0, 0])] == 123
+
+
+def test_padded_bucket_seeds_no_dead_centroids():
+    """A heavily zero-padded bucket (pow2 store padding) must not seed
+    dead centroids — the strided init sampled the zero tail, losing the
+    padding fraction of the init diversity (review finding, r3)."""
+    real, _ = _data(600, d=32, seed=11)
+    x = np.zeros((1024, 32), np.float32)
+    x[:600] = real
+    assign, cent = kmeans_cluster(jnp.asarray(x), 8, iters=4)
+    cent = np.asarray(cent)
+    norms = np.linalg.norm(cent, axis=1)
+    assert (norms > 0).all(), f"dead centroids seeded: {norms}"
+    # padding rows still take the overflow id
+    assert (np.asarray(assign)[600:] == 8).all()
+
+
+def test_select_tiles_ignores_dead_centroids():
+    """Dead (zero) centroids score 0 against every query and used to
+    outrank real anti-aligned clusters, eating probe slots with no
+    signal (review finding, r3)."""
+    cent = np.zeros((8, 16), np.float32)
+    for i in range(5):
+        cent[i, i] = 1.0          # 5 real orthogonal clusters
+    starts = np.arange(0, 9 * 128, 128, dtype=np.int64)
+    starts = np.concatenate([starts[:9]])
+    q = -np.ones((1, 16), np.float32) / 4.0   # anti-aligned with all
+    out = select_tiles(cent, starts, q, nprobe=2, tile_n=128, budget=8)
+    assert out is not None
+    tiles, n_live = out
+    # both probe slots went to REAL clusters (ids < 5 → tiles < 5)
+    assert n_live == 2 and (tiles[:n_live] < 5).all()
