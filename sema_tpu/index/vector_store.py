@@ -423,6 +423,16 @@ class VectorStore:
                     p.unlink(missing_ok=True)
             except OSError:
                 pass
+        # crash leftovers of unique-named atomic JSON writes
+        # (fsio.atomic_write_json mkstemp temps) — age-gated like the
+        # segments: a fresh one may be a concurrent owner's in-flight
+        # commit
+        for p in self.dir.glob("*.tmp"):
+            try:
+                if p.stat().st_mtime < cutoff:
+                    p.unlink(missing_ok=True)
+            except OSError:
+                pass
         # IVF layout sidecars whose covered segments were compacted away
         # (or the mode was turned off — their vector blobs are a full
         # extra copy of the bucket) leak disk the same way

@@ -126,16 +126,7 @@ def random_params(spec: EncoderSpec, seed: int = 0,
     return {"embeddings": emb, "layers": layers}
 
 
-def _hf_cache_snapshot(repo: str) -> Optional[Path]:
-    """Locate a cached HF snapshot dir for ``repo`` without network access."""
-    cache = Path(os.environ.get(
-        "HF_HOME", Path.home() / ".cache" / "huggingface")) / "hub"
-    repo_dir = cache / ("models--" + repo.replace("/", "--"))
-    snaps = repo_dir / "snapshots"
-    if not snaps.is_dir():
-        return None
-    candidates = sorted(snaps.iterdir(), key=lambda p: p.stat().st_mtime)
-    return candidates[-1] if candidates else None
+from sema_tpu.utils.hfcache import hf_cache_snapshot as _hf_cache_snapshot
 
 
 def _load_tensor_file(path: Path) -> Dict[str, np.ndarray]:

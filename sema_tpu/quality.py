@@ -139,6 +139,16 @@ def check_fixture_vectors(encoder, report: QualityReport) -> None:
         return
     fx = np.load(path, allow_pickle=False)
     names = [str(n) for n in fx["doc_names"]]
+    missing = [n for n in names if n not in CORPUS]
+    if missing:
+        # fixture generated against an older canned corpus: report a
+        # failing cosine instead of crashing doctor with a KeyError
+        report.fixture_checked = len(names)
+        report.fixture_min_cosine = -1.0
+        report.failures.append(
+            ("<fixture>", "regenerate tests/fixtures (stale doc names: "
+             + ", ".join(missing[:3]) + ")", "corpus changed"))
+        return
     texts = [CORPUS[n] for n in names] + [str(q) for q in fx["query_texts"]]
     ref = np.concatenate([fx["doc_vectors"], fx["query_vectors"]], axis=0)
     ours = encoder.encode_texts(texts)
@@ -148,14 +158,16 @@ def check_fixture_vectors(encoder, report: QualityReport) -> None:
     report.fixture_min_cosine = float(cos.min())
 
 
-def run_quality_gate(encoder, data_dir: Optional[Path] = None,
+def run_quality_gate(encoder,
                      require_real_weights: bool = True) -> QualityReport:
     """Index the canned corpus end-to-end and assert rank-1 retrieval.
 
     ``encoder`` is a :class:`sema_tpu.models.Encoder` (or anything with the
     same ``spec``/``encode_texts``/``encode_query`` surface). Skips (does
-    not fail) when the encoder runs on random-init weights — rankings are
-    meaningless there by construction.
+    not fail) when the encoder runs on random-init weights OR a
+    hash-fallback tokenizer — rankings are meaningless in both cases by
+    construction, and a FAIL would point at the model when the problem
+    is the missing tokenizer files.
     """
     from sema_tpu.index.manager import IndexManager
 
@@ -165,6 +177,14 @@ def run_quality_gate(encoder, data_dir: Optional[Path] = None,
             ran=False,
             reason="encoder has random-init weights; fetch real weights "
                    "with tools/fetch_weights.py to run the quality gate")
+    if require_real_weights and \
+            getattr(encoder, "tokenizer_source", None) == "hash":
+        return QualityReport(
+            ran=False,
+            reason="tokenizer fell back to hash buckets (no "
+                   "tokenizer.json/vocab.txt found); real weights with a "
+                   "hash tokenizer rank meaninglessly — fetch the "
+                   "tokenizer files (tools/fetch_weights.py)")
 
     report = QualityReport(ran=True, total=len(QUERIES))
     with tempfile.TemporaryDirectory() as td:

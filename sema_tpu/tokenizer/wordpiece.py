@@ -301,18 +301,16 @@ def _wrap_vocab(vocab: Dict[str, int], lowercase: bool = True):
         return WordPieceTokenizer(vocab, lowercase=lowercase)
     try:
         return HFTokenizerBackend(vocab, lowercase=lowercase)
-    except ImportError:
+    except Exception:  # noqa: BLE001 — an installed-but-incompatible
+        # `tokenizers` (constructor signature drift → TypeError, vocab
+        # rejection → ValueError) must fall back exactly like a missing
+        # one: the pure-Python backend is a drop-in (review finding, r3)
         return WordPieceTokenizer(vocab, lowercase=lowercase)
 
 
-def _hf_cache_snapshot(repo: str) -> Optional[Path]:
-    cache = Path(os.environ.get(
-        "HF_HOME", Path.home() / ".cache" / "huggingface")) / "hub"
-    snaps = cache / ("models--" + repo.replace("/", "--")) / "snapshots"
-    if not snaps.is_dir():
-        return None
-    candidates = sorted(snaps.iterdir(), key=lambda p: p.stat().st_mtime)
-    return candidates[-1] if candidates else None
+# single copy of the HF-cache snapshot resolution (was duplicated here
+# and in models/loader.py; review finding, r3)
+from sema_tpu.utils.hfcache import hf_cache_snapshot as _hf_cache_snapshot  # noqa: E402,E501
 
 
 def load_tokenizer(vocab_size: int, hf_repo: str = "",
@@ -320,6 +318,10 @@ def load_tokenizer(vocab_size: int, hf_repo: str = "",
     """Resolve a tokenizer: explicit path → HF cache → hash fallback.
 
     Returns (tokenizer, source) with source ∈ {"local", "hf-cache", "hash"}.
+    A ``path`` that carries only WEIGHTS (dir without tokenizer files,
+    or the safetensors file itself — both valid for models/loader.py)
+    falls through to the cache/hash chain instead of crashing on a
+    binary 'vocab' parse (review finding, r3).
     """
     if path:
         p = Path(path)
@@ -331,10 +333,12 @@ def load_tokenizer(vocab_size: int, hf_repo: str = "",
         if p.name == "tokenizer.json":
             ref = WordPieceTokenizer.from_tokenizer_json(p)
             return _wrap_vocab(ref.vocab, ref.lowercase), "local"
-        if p.exists():
+        if p.is_file() and p.suffix not in (".safetensors", ".bin", ".pt",
+                                            ".onnx"):
             ref = WordPieceTokenizer.from_vocab_file(p)
             return _wrap_vocab(ref.vocab, ref.lowercase), "local"
-        raise FileNotFoundError(f"tokenizer not found: {path}")
+        # a weights-only path: resolve the tokenizer from the cache/hash
+        # chain below rather than failing the whole Encoder construction
 
     if hf_repo:
         snap = _hf_cache_snapshot(hf_repo)

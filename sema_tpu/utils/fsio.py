@@ -45,12 +45,27 @@ def atomic_write_json(path: Path, obj) -> None:
     (and crash recovery) only ever see the old or the new version, never
     a partial write. The temp file is fsynced BEFORE the rename and the
     directory after it, so the commit also survives power loss. Used for
-    every manifest/sidecar commit in ``sema_tpu.index``."""
-    tmp = path.with_suffix(".tmp")
-    with open(tmp, "w") as f:
-        f.write(json.dumps(obj))
-        if _fsync_enabled():
-            f.flush()
-            os.fsync(f.fileno())
-    os.replace(tmp, path)
+    every manifest/sidecar commit in ``sema_tpu.index``.
+
+    The temp name is UNIQUE per writer (mkstemp): with a fixed '.tmp'
+    name, two concurrent writers (owner index + serve-time re-index in
+    another process) could interleave truncate/write/replace and commit
+    a partial file — exactly the torn state this helper exists to
+    prevent (review finding, r3)."""
+    import tempfile
+    fd, tmp = tempfile.mkstemp(dir=str(path.parent),
+                               prefix=path.name + ".", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(obj))
+            if _fsync_enabled():
+                f.flush()
+                os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     fsync_dir(path.parent)

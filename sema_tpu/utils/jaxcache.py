@@ -16,17 +16,22 @@ _enabled = False
 
 def enable(cache_dir: str | None = None) -> None:
     global _enabled
-    if _enabled or os.environ.get("SEMA_TPU_NO_COMP_CACHE"):
+    # "0"/"" mean unset, matching SEMA_TPU_NO_AUTOFETCH's convention —
+    # a truthy-string check silently disabled the cache for =0
+    if _enabled or os.environ.get("SEMA_TPU_NO_COMP_CACHE",
+                                  "0") not in ("", "0"):
         return
     import jax
 
     path = Path(cache_dir or os.environ.get(
         "SEMA_TPU_COMP_CACHE",
         Path.home() / ".cache" / "sema_tpu" / "xla_cache"))
-    path.mkdir(parents=True, exist_ok=True)
     try:
+        # mkdir inside the guard: an unwritable HOME must degrade to
+        # no-cache, not crash every entry point over an optional cache
+        path.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(path))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         _enabled = True
-    except Exception:  # noqa: BLE001 — older jax: silently skip
+    except Exception:  # noqa: BLE001 — older jax / RO filesystem: skip
         pass

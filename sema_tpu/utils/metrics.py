@@ -13,11 +13,11 @@ import json
 import os
 import sys
 import time
-from collections import defaultdict
+from collections import defaultdict, deque
 from typing import Dict, Iterator, List
 
 
-def _percentile(samples: List[float], p: float) -> float:
+def _percentile(samples, p: float) -> float:
     if not samples:
         return 0.0
     s = sorted(samples)
@@ -25,10 +25,17 @@ def _percentile(samples: List[float], p: float) -> float:
     return s[idx]
 
 
+# percentile window per stage: unbounded sample lists leaked memory in
+# the serve daemon (every query appends 3+ floats to the process-global
+# null_metrics(); review finding, r3). Totals/counters stay exact.
+SAMPLE_WINDOW = 8192
+
+
 class Metrics:
     def __init__(self, log_stream=None):
         self.stage_time: Dict[str, float] = defaultdict(float)
-        self.stage_samples: Dict[str, List[float]] = defaultdict(list)
+        self.stage_samples: Dict[str, deque] = defaultdict(
+            lambda: deque(maxlen=SAMPLE_WINDOW))
         self.counters: Dict[str, int] = defaultdict(int)
         self._log = log_stream
 
