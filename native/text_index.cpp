@@ -32,6 +32,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <map>
+#include <mutex>
 #include <string>
 #include <string_view>
 #include <thread>
@@ -387,6 +388,12 @@ struct SegView {
     uint32_t version = 0;
     uint64_t base = 0;                 // global doc-id offset
     const uint8_t* del_bits = nullptr; // packed bitmap or null
+    // lazily-built tokenized path per file run (immutable after build):
+    // path_clause_rows re-tokenized EVERY path in the segment once per
+    // clause per query without it (review finding, r3)
+    mutable std::vector<std::vector<std::string>> path_toks;
+    mutable std::mutex path_mu;
+    mutable bool path_cached = false;
 
     bool has_positions() const { return version >= 3; }
 
@@ -510,11 +517,21 @@ std::vector<uint32_t> path_clause_rows(const SegView& sv,
                                        bool is_phrase) {
     std::vector<uint32_t> rows;
     const auto* runs = sv.files();
-    std::string id, path;
-    uint32_t s_, e_;
+    {
+        std::lock_guard<std::mutex> lk(sv.path_mu);
+        if (!sv.path_cached) {
+            sv.path_toks.resize(sv.n_files);
+            std::string id_, path_;
+            uint32_t a_, b_;
+            for (uint64_t j = 0; j < sv.n_files; j++) {
+                sv.meta(runs[j].start, id_, path_, a_, b_);
+                sv.path_toks[j] = tokenize(path_);
+            }
+            sv.path_cached = true;
+        }
+    }
     for (uint64_t j = 0; j < sv.n_files; j++) {
-        sv.meta(runs[j].start, id, path, s_, e_);
-        auto ptoks = tokenize(path);
+        const auto& ptoks = sv.path_toks[j];
         bool ok;
         if (is_phrase) {
             ok = false;
@@ -705,8 +722,12 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
             while (t < s.size() && isdigit((unsigned char)s[t])) t++;
         }
         // parse EXACTLY the matched span (strtod from p+1 would also
-        // eat exponents the grammar does not allow)
-        boost = std::stod(s.substr(p + 1, t - p - 1));
+        // eat exponents the grammar does not allow). NOT std::stod: it
+        // throws out_of_range on ~310+ digits, which would escape the
+        // extern "C" boundary and SIGABRT the serving daemon on one
+        // malformed query. strtod saturates to HUGE_VAL — matching the
+        // Python engine's float() -> inf.
+        boost = strtod(s.substr(p + 1, t - p - 1).c_str(), nullptr);
         return t;
     };
     std::string bare;
@@ -717,9 +738,17 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
         size_t close = query.find('"', open + 1);
         if (close == std::string::npos) { bare += query.substr(pos); break; }
         std::string pre = query.substr(pos, open - pos);
-        // field prefix binds tighter than the occur char: +path:"a b"
+        // field prefix binds tighter than the occur char: +path:"a b".
+        // Must start at a token boundary: `filepath:"..."` is NOT a
+        // path clause. Boundary rule (byte-identical with the Python
+        // parser): preceded by start or an ASCII non-word byte; any
+        // non-ASCII byte blocks too.
+        unsigned char pb = pre.size() > 5
+            ? (unsigned char)pre[pre.size() - 6] : 0;
         bool is_path = pre.size() >= 5
-            && pre.compare(pre.size() - 5, 5, "path:") == 0;
+            && pre.compare(pre.size() - 5, 5, "path:") == 0
+            && (pre.size() == 5
+                || !(isalnum(pb) || pb == '_' || pb >= 0x80));
         if (is_path) pre.resize(pre.size() - 5);
         char occ = 0;
         if (!pre.empty() && (pre.back() == '+' || pre.back() == '-')) {
@@ -993,7 +1022,11 @@ uint8_t* sema_tseg_search(const uint8_t* blob, uint64_t blob_len,
     } else {
         std::unordered_map<uint64_t, double> scores;
         score_into([&](uint64_t gid, double c) { scores[gid] += c; });
-        ranked.assign(scores.begin(), scores.end());
+        ranked.reserve(scores.size());
+        // drop zero-total docs (term^0) like the dense path — the
+        // dense/sparse switch must not be observable
+        for (auto& [gid, sc] : scores)
+            if (sc > 0.0) ranked.emplace_back(gid, sc);
         std::sort(ranked.begin(), ranked.end(), cmp);
     }
 

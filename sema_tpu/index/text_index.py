@@ -83,15 +83,29 @@ _SPLIT_RE = re.compile(r"[^\W_]+", re.UNICODE)
 # after a closing quote (longest digits(.digits) run); _SBOOST_RE is
 # the end-anchored bare-clause suffix form. The C++ parser mirrors both
 # character for character.
-_QBOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)")
-_SBOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
+# [0-9], not \d: \d matches Unicode digits ('٢') that float() parses
+# but the C++ engine's ASCII isdigit rejects — the engines would parse
+# the same query differently (review finding, r3)
+_QBOOST_RE = re.compile(r"\^([0-9]+(?:\.[0-9]+)?)")
+_SBOOST_RE = re.compile(r"\^([0-9]+(?:\.[0-9]+)?)$")
 
 
 def tokenize(text: str) -> List[str]:
-    """tantivy default analyzer: alphanumeric runs, lowercased, ≤40 chars."""
+    """tantivy default analyzer: alphanumeric runs, lowercased, ≤40 chars.
+
+    Lowercasing is SIMPLE (per-codepoint): the ~100 characters whose
+    full lowercase EXPANDS ('İ' → 'i̇') keep their original codepoint —
+    the C++ engine's single-cp table cannot express expansions, and a
+    full-mapping Python engine diverged from it on both the emitted
+    term and the 40-char length check (review finding, r3; cross-engine
+    segment opens require identical analysis)."""
     out = []
     for m in _SPLIT_RE.finditer(text):
-        tok = m.group(0).lower()
+        raw = m.group(0)
+        tok = raw.lower()
+        if len(tok) != len(raw):
+            tok = "".join(c if len(cl := c.lower()) != 1 else cl
+                          for c in raw)
         if len(tok) <= MAX_TOKEN_LEN:
             out.append(tok)
     return out
@@ -209,8 +223,18 @@ def _parse_query(query: str) -> _Query:
             bare += query[pos:]
             break
         pre = query[pos:open_]
-        # field prefix binds tighter than the occur char: +path:"a b"
-        is_path = pre.endswith("path:")
+        # field prefix binds tighter than the occur char: +path:"a b".
+        # The prefix must start at a token boundary: `filepath:"a b"`
+        # is NOT a path clause (the docstring grammar says only `path:`
+        # is a field) — a bare endswith() silently turned such queries
+        # into impossible path filters (review finding, r3)
+        # boundary rule (byte-identical in both engines): preceded by
+        # the start or an ASCII non-word char; any non-ASCII char also
+        # blocks (C++ sees it as an opaque UTF-8 byte)
+        is_path = (pre.endswith("path:")
+                   and (len(pre) == 5
+                        or not (pre[-6].isalnum() or pre[-6] == "_"
+                                or ord(pre[-6]) >= 0x80)))
         if is_path:
             pre = pre[:-5]
         occ = ""
@@ -593,6 +617,15 @@ class DiskTextIndex:
         (text_indexer.rs:76-78); a pure-negative query matches nothing
         (tantivy BooleanQuery with only must_not clauses)."""
         query = query.strip()
+        if not query or limit <= 0:
+            # limit<=0: the emit loops appended one hit before their
+            # bound check and diverged from the C++ engine's zero hits
+            return []
+        # '\x00' is in-band for the C ABI's NUL-terminated query string
+        # (the C++ engine would silently truncate there while this
+        # engine tokenized past it) — it is a token separator in both
+        # grammars, so normalize it to one here
+        query = query.replace("\x00", " ").strip()
         if not query:
             return []
         q = _parse_query(query)
@@ -705,6 +738,11 @@ class DiskTextIndex:
             # term-major loop
             uniq, inv = np.unique(g, return_inverse=True)
             scores = np.bincount(inv, weights=c)
+            # drop zero-total docs (reachable via term^0) — the dense
+            # path and the C++ dense path already do, and the switch
+            # between paths must not be observable (review finding, r3)
+            nz = scores > 0
+            uniq, scores = uniq[nz], scores[nz]
             # stable sort on -score: ties break by ascending global doc
             # id (uniq is sorted), matching the C++ comparator
             order = np.argsort(-scores, kind="stable")
@@ -849,9 +887,7 @@ class DiskTextIndex:
         descs = []
         base = 0
         for seg in self.segments:
-            bits = seg.del_bits
-            descs.append((seg._nat_handle, base,
-                          bits.tobytes() if bits is not None else b""))
+            descs.append((seg._nat_handle, base, seg.del_bytes()))
             base += seg.n_docs
         hits = tseg_search(descs, query, limit, avg, n_live)
         return [(Chunk(id=i, file_path=Path(p), start_line=s, end_line=e,

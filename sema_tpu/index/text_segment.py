@@ -247,6 +247,7 @@ class Segment:
         self.dead = 0
         self.dead_len = 0
         self._del_bits: Optional[np.ndarray] = None   # uint8 packed bitmap
+        self._del_bytes: Optional[bytes] = None       # native-blob cache
         self._read_del()
 
     # -- raw views ------------------------------------------------------------
@@ -375,6 +376,16 @@ class Segment:
         """Packed tombstone bitmap (uint8), or None when nothing deleted."""
         return self._del_bits if self.dead else None
 
+    def del_bytes(self) -> bytes:
+        """The bitmap serialized for the native engine's request blob,
+        cached until the next tombstone() — re-serializing n_docs/8
+        bytes per segment per QUERY was ~1.25 MB of memcpy per search
+        on a 10M-doc index (review finding, r3)."""
+        if self._del_bytes is None:
+            bits = self.del_bits
+            self._del_bytes = bits.tobytes() if bits is not None else b""
+        return self._del_bytes
+
     def live_mask(self, ids: np.ndarray) -> np.ndarray:
         """Boolean live mask for an array of local doc ids."""
         bits = self.del_bits
@@ -407,6 +418,7 @@ class Segment:
         self.dead += hit
         self.dead_len += dlen
         self._del_bits = bits
+        self._del_bytes = None   # invalidate the native-blob cache
         tmp = Path(str(self.del_path) + ".tmp")
         with open(tmp, "wb") as f:
             f.write(_DEL_HEADER.pack(DEL_MAGIC, self.dead, self.dead_len))

@@ -224,3 +224,97 @@ def test_threaded_build_more_threads_than_docs(tmp_path, monkeypatch):
     p2 = tmp_path / "one.bin"
     bindings.tseg_build(docs, str(p2))
     assert p1.read_bytes() == p2.read_bytes()
+
+
+# -- round-3 review-fix parity regressions -----------------------------------
+
+def _index_both(tmp_path, contents):
+    n, p = both(tmp_path)
+    cs = [chunk(i, c, path=f"f{i}.txt") for i, c in enumerate(contents)]
+    n.index_chunks(cs)
+    p.index_chunks(cs)
+    return n, p
+
+
+def test_emoji_and_nonbmp_tokenization_parity(tmp_path):
+    """Emoji are separators (not word chars) in BOTH engines; non-BMP
+    LETTERS (Deseret, incl. its case mapping) are word chars in both —
+    the C++ table accepted every non-BMP codepoint (review finding, r3)."""
+    deseret_upper = "\U00010400word"        # uppercase Deseret letter
+    contents = ["deploy\U0001F680done rocket",
+                deseret_upper,
+                "\U00010428word lowercase"]  # its lowercase
+    n, p = _index_both(tmp_path, contents)
+    for q in ("done", "deploy", "\U00010428word"):
+        assert_same_results(n, p, q)
+    # emoji split the run: both engines must find the halves
+    assert [r[0].id for r in n.search("done", 5)] == ["f0.txt:0"]
+    # case-folded non-BMP: the upper-case doc matches the lower query
+    ids = {r[0].id for r in n.search("\U00010428word", 5)}
+    assert ids == {"f1.txt:1", "f2.txt:2"}
+
+
+def test_expanding_lowercase_parity(tmp_path):
+    """'İ' (whose full lowercase expands to 2 chars) keeps its
+    codepoint under the SIMPLE per-cp lowercase both engines now
+    implement — a cross-engine open must match terms identically."""
+    n, p = _index_both(tmp_path, ["İstanbul guide", "istanbul plain"])
+    assert_same_results(n, p, "İstanbul")
+    assert_same_results(n, p, "istanbul")
+    # the İ doc is NOT folded into plain istanbul (simple lowercase)
+    assert [r[0].id for r in p.search("istanbul", 5)] == ["f1.txt:1"]
+    assert [r[0].id for r in p.search("İstanbul", 5)] == ["f0.txt:0"]
+
+
+def test_filepath_prefix_is_not_a_path_clause(tmp_path):
+    """`filepath:"..."` must tokenize as plain terms, not become an
+    impossible path filter (review finding, r3)."""
+    n, p = _index_both(tmp_path, ["server api docs", "other content"])
+    for eng in (n, p):
+        res = eng.search('filepath:"server api"', 5)
+        assert [r[0].id for r in res] == ["f0.txt:0"]
+    assert_same_results(n, p, 'filepath:"server api"')
+    # the real field still filters
+    for eng in (n, p):
+        assert eng.search('path:"f0" server', 5)[0][0].id == "f0.txt:0"
+
+
+def test_huge_boost_does_not_abort(tmp_path):
+    """A ~400-digit ^boost overflowed std::stod -> SIGABRT in the
+    native engine (serve DoS); both engines now saturate to inf."""
+    n, p = _index_both(tmp_path, ["term alpha", "other beta"])
+    q = "term^" + "9" * 400
+    ra = n.search(q, 5)
+    rb = p.search(q, 5)
+    assert [r[0].id for r in ra] == [r[0].id for r in rb] == ["f0.txt:0"]
+
+
+def test_zero_boost_consistent(tmp_path):
+    """term^0 zeroes every contribution; both engines drop zero-score
+    docs on BOTH accumulator paths (the dense/sparse switch was
+    observable; review finding, r3)."""
+    n, p = _index_both(tmp_path, ["alpha beta", "beta gamma"])
+    for eng in (n, p):
+        assert eng.search("alpha^0", 5) == []
+    assert_same_results(n, p, "alpha^0 beta")
+
+
+def test_limit_zero_and_nul_query(tmp_path):
+    n, p = _index_both(tmp_path, ["alpha beta", "beta gamma"])
+    for eng in (n, p):
+        assert eng.search("alpha", 0) == []
+        # NUL is a token separator in both engines (C ABI would
+        # truncate otherwise)
+        assert [r[0].id for r in eng.search("alpha\x00beta", 5)] == \
+            [r[0].id for r in eng.search("alpha beta", 5)]
+    assert_same_results(n, p, "alpha\x00gamma")
+
+
+def test_unicode_digit_boost_parity(tmp_path):
+    """`term^٢` (Arabic-Indic digit): \\d parsed it as boost 2.0 in
+    Python while C++ tokenized it as two terms — both engines now treat
+    it as plain terms (review finding, r3)."""
+    n, p = _index_both(tmp_path, ["term alpha", "term ٢ beta"])
+    assert_same_results(n, p, "term^٢")
+    # the Arabic digit is a scoring term, so the doc containing it wins
+    assert p.search("term^٢", 5)[0][0].id == "f1.txt:1"
