@@ -67,8 +67,15 @@ def kmeans_cluster(x: jax.Array, c: int, iters: int = 8
         x = jnp.concatenate(
             [x, jnp.zeros((pad, d), dtype=x.dtype)], axis=0)
     nb = (n + pad) // block
-    xb = x.astype(jnp.float32).reshape(nb, block, d)
-    w = (jnp.sum(xb * xb, axis=2) > 0).astype(jnp.float32)  # (nb, block)
+    # memory diet: the rows stay in their INPUT dtype in HBM (bf16 for
+    # the store's buckets — a full-array f32 copy here doubled the
+    # clustering footprint and capped spilled-bucket size at half of
+    # HBM); each Lloyd block casts its (block, d) slice to f32 on the
+    # fly, so the arithmetic is unchanged — assignments and centroids
+    # are bit-identical to the old full-f32 path
+    xb = x.reshape(nb, block, d)
+    w_full2 = jnp.sum(x.astype(jnp.float32) ** 2, axis=1)  # (n+pad,)
+    w = (w_full2.reshape(nb, block) > 0).astype(jnp.float32)
 
     # seed from REAL rows: the caller clusters the whole padded bucket
     # (up to ~50% zero rows at pow2 padding), and a zero-seeded centroid
@@ -78,15 +85,17 @@ def kmeans_cluster(x: jax.Array, c: int, iters: int = 8
     # rows under a stable sort on weight, so the strided sample runs
     # over a real-rows-first view; any zero seed left (n_real < c)
     # is replaced by cycling the real prefix.
-    w_full = jnp.sum(x.astype(jnp.float32) ** 2, axis=1) > 0
+    w_full = w_full2 > 0
     order = jnp.argsort(~w_full, stable=True)      # real rows first
-    xs = x.astype(jnp.float32)[order]
     stride = max(1, n // c)
-    cent = _l2(xs[::stride][:c])
+    # gather the O(c) seed rows FIRST, cast after — materializing the
+    # whole reordered array in f32 (the old path) was the other
+    # full-size transient the diet removes
+    cent = _l2(x[order[::stride][:c]].astype(jnp.float32))
     if cent.shape[0] < c:  # n < c: degenerate tiny bucket
         cent = jnp.pad(cent, ((0, c - cent.shape[0]), (0, 0)))
     n_real = jnp.maximum(jnp.sum(w_full.astype(jnp.int32)), 1)
-    repl = _l2(xs[jnp.arange(c) % n_real])
+    repl = _l2(x[order[jnp.arange(c) % n_real]].astype(jnp.float32))
     dead0 = (jnp.sum(cent * cent, axis=1) == 0)[:, None]
     cent = jnp.where(dead0, repl, cent)
 
@@ -100,6 +109,7 @@ def kmeans_cluster(x: jax.Array, c: int, iters: int = 8
         def blk(carry, inp):
             sums, counts = carry
             xbl, wbl = inp
+            xbl = xbl.astype(jnp.float32)   # per-block cast (diet)
             a = jnp.argmax(scores(xbl, cent), axis=1)
             oh = jax.nn.one_hot(a, c, dtype=jnp.float32) * wbl[:, None]
             return (sums + oh.T @ xbl, counts + jnp.sum(oh, axis=0)), None
@@ -113,7 +123,8 @@ def kmeans_cluster(x: jax.Array, c: int, iters: int = 8
 
     def blk_assign(_, inp):
         xbl, wbl = inp
-        a = jnp.argmax(scores(xbl, cent), axis=1).astype(jnp.int32)
+        a = jnp.argmax(scores(xbl.astype(jnp.float32), cent),
+                       axis=1).astype(jnp.int32)
         # zero (padding) rows get the dedicated overflow id ``c``: they
         # are invalid anyway, and parking them past every real cluster
         # keeps the cluster-major ranges tight — a heavily padded bucket
