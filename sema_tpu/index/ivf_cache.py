@@ -19,9 +19,12 @@ load-time sweep (same age-gate as segment orphans). Layout::
     perm       (n_pad,)  i32   cluster-major position -> original row
     centroids  (C, d) or (shards, C, d)  f32
     starts     (C+2,) or (shards, C+2)   i64  cumulative cluster offsets
-    vectors    (n_pad, d) store dtype    OPTIONAL (spilled buckets only):
+    vectors    (n_pad, d) blob dtype     OPTIONAL (spilled buckets only):
                the bucket's rows in cluster-major order, memmapped at
                probe time so a dispatch reads only the probed tiles
+    scales     (n_pad,) f32              OPTIONAL (int8 blobs only):
+               per-row symmetric quantization scales, gathered alongside
+               the probed tiles for the int8 pruned kernel
 
 Device buckets persist only the small arrays (the device copy is rebuilt
 from the ordinary segments, permuted on host pre-upload); host-resident
@@ -50,15 +53,18 @@ from sema_tpu.utils.fsio import fsync_dir, fsync_file
 _MAGIC = b"SEMAIVF1"
 # v2: spilled-bucket blobs are TILE-ALIGNED (every real cluster starts on
 # an IVF_SPILL_TILE boundary; the zero-pad overflow cluster is dropped),
-# so a probed tile never carries a neighbor cluster's rows. v1 sidecars
-# fail the header check, are never read, and the load-time sweep unlinks
-# them like any other unreadable sidecar. The version is deliberately
-# shared with DEVICE-layout sidecars even though their format is
-# unchanged: the one-time cost of the bump is a re-cluster per device
-# bucket on first open (~0.2 s each) and up to an hour of doubled blob
-# disk for freshly-written v1 spill sidecars (the sweep is age-gated),
-# which buys never having to reason about per-artifact version skew.
-_VERSION = 2
+# so a probed tile never carries a neighbor cluster's rows. v3: int8
+# stores persist QUANTIZED blobs (int8 rows + per-row f32 scales) —
+# half the disk and half the staged upload of the bf16 originals the
+# probe previously streamed. Old-version sidecars fail the header check,
+# are never read, and the load-time sweep unlinks them like any other
+# unreadable sidecar. The version is deliberately shared with
+# DEVICE-layout sidecars even though their format is unchanged: the
+# one-time cost of the bump is a re-cluster per device bucket on first
+# open (~0.2 s each) and up to an hour of doubled blob disk for
+# freshly-written old spill sidecars (the sweep is age-gated), which
+# buys never having to reason about per-artifact version skew.
+_VERSION = 3
 
 
 def layout_key(segments: Sequence[Tuple[str, int]], n_pad: int, dim: int,
@@ -86,8 +92,12 @@ def save_layout(dir: Path, key: str,
                 segments: Sequence[Tuple[str, int]],
                 perm: np.ndarray, centroids: np.ndarray,
                 starts: np.ndarray,
-                vectors: Optional[np.ndarray] = None) -> None:
-    """Atomically persist one bucket's layout (vectors optional)."""
+                vectors: Optional[np.ndarray] = None,
+                scales: Optional[np.ndarray] = None) -> None:
+    """Atomically persist one bucket's layout (vectors/scales optional;
+    scales require vectors — they describe the blob's rows)."""
+    if scales is not None and vectors is None:
+        raise ValueError("scales without a vectors blob")
     path = sidecar_path(dir, key)
     header = json.dumps({
         "version": _VERSION, "key": key,
@@ -99,6 +109,7 @@ def save_layout(dir: Path, key: str,
                           if vectors is not None else None),
         "vectors_dim": (int(vectors.shape[1])
                         if vectors is not None else None),
+        "scales": scales is not None,
     }).encode()
     tmp = path.with_suffix(".tmp")
     with open(tmp, "wb") as f:
@@ -111,6 +122,8 @@ def save_layout(dir: Path, key: str,
         f.write(np.ascontiguousarray(starts, dtype=np.int64).tobytes())
         if vectors is not None:
             np.ascontiguousarray(vectors).tofile(f)
+        if scales is not None:
+            np.ascontiguousarray(scales, dtype=np.float32).tofile(f)
     fsync_file(tmp)
     os.replace(tmp, path)
     fsync_dir(Path(dir))
@@ -138,7 +151,8 @@ def load_layout(dir: Path, key: str, need_vectors: bool = False
 
     Returns ``{"perm", "centroids", "starts"}`` plus, when the sidecar
     carries the blob and ``need_vectors``, ``"vectors"`` as a read-only
-    (n_pad, d) memmap."""
+    (n_pad, d) memmap — and ``"scales"`` as an (n_pad,) f32 memmap when
+    the blob is quantized (int8 stores)."""
     path = sidecar_path(dir, key)
     got = _read_header(path)
     if got is None:
@@ -151,6 +165,7 @@ def load_layout(dir: Path, key: str, need_vectors: bool = False
     s_shape = tuple(header["starts_shape"])
     if need_vectors and header.get("vectors_dtype") is None:
         return None   # layout-only sidecar; the spill path needs the blob
+    has_scales = bool(header.get("scales"))
     try:
         sizes = [n_pad * 4,
                  int(np.prod(c_shape)) * 4,
@@ -159,6 +174,8 @@ def load_layout(dir: Path, key: str, need_vectors: bool = False
         if header.get("vectors_dtype") is not None:
             vdt = np.dtype(_np_dtype(header["vectors_dtype"]))
             need += n_pad * header["vectors_dim"] * vdt.itemsize
+            if has_scales:
+                need += n_pad * 4
         if path.stat().st_size < need:
             return None   # truncated (e.g. partial copy) — recompute
         with open(path, "rb") as f:
@@ -173,9 +190,16 @@ def load_layout(dir: Path, key: str, need_vectors: bool = False
             vec_off = f.tell()
         out = {"perm": perm, "centroids": centroids, "starts": starts}
         if need_vectors:
+            vdt = np.dtype(_np_dtype(header["vectors_dtype"]))
             out["vectors"] = np.memmap(
-                path, dtype=_np_dtype(header["vectors_dtype"]), mode="r",
+                path, dtype=vdt, mode="r",
                 offset=vec_off, shape=(n_pad, header["vectors_dim"]))
+            if has_scales:
+                out["scales"] = np.memmap(
+                    path, dtype=np.float32, mode="r",
+                    offset=vec_off
+                    + n_pad * header["vectors_dim"] * vdt.itemsize,
+                    shape=(n_pad,))
         return out
     except (OSError, ValueError):
         return None

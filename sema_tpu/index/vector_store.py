@@ -825,7 +825,8 @@ class VectorStore:
                                      need_vectors=need_vectors)
 
     def _ivf_layout_save(self, seg_range, n_pad: int, meta: dict,
-                         vectors=None, spill: bool = False) -> None:
+                         vectors=None, scales=None,
+                         spill: bool = False) -> None:
         """Persist one bucket's layout; best-effort (a cache write must
         never fail a build) and owner-only (a read-only second process
         must not race the owner's sweep with fresh files)."""
@@ -836,7 +837,7 @@ class VectorStore:
         try:
             ivf_cache.save_layout(self.dir, key, segs, meta["perm"],
                                   meta["centroids"], meta["starts"],
-                                  vectors=vectors)
+                                  vectors=vectors, scales=scales)
         except OSError as e:
             import sys
             print(f"Warning: IVF sidecar write failed ({e}); layout will "
@@ -886,11 +887,25 @@ class VectorStore:
         ~sum(ceil(size/tile)) tiles instead of each cluster dragging up
         to a whole extra boundary tile at each end. Disk cost: ~half a
         tile of padding per cluster (~12% at the default 512-row
-        clusters / 128-row tiles)."""
+        clusters / 128-row tiles).
+
+        int8 stores persist a QUANTIZED blob (int8 rows + per-row f32
+        scales, symmetric like the device buckets): half the disk and
+        half the staged probe upload of the bf16 originals, with the
+        existing full-precision rescore (rescore_k candidates re-ranked
+        from the segment memmaps) keeping final scores exact — the same
+        precision contract as the store's own device buckets. Clustering
+        still runs on the bf16 originals (the layout deserves full
+        precision); quantization happens on the finished blob."""
         t = self._spill_tile()
         lp = ((rows + self.IVF_TILE - 1) // self.IVF_TILE) * self.IVF_TILE
+        int8_blob = self.store_dtype == "int8"
         cached = self._ivf_layout_load(seg_range, lp, need_vectors=True,
                                        spill=True)
+        if cached is not None and int8_blob and "scales" not in cached:
+            cached = None   # pre-int8-blob sidecar (never written by
+            # this version — the _VERSION bump retires them — but a
+            # mixed-version dir must rebuild, not stage bf16 as int8)
         if cached is None:
             if not self._owner:
                 return None
@@ -929,14 +944,21 @@ class VectorStore:
                 perm_a[dst:dst + sz] = src
                 blob[dst:dst + sz] = host[src]
             meta = {"perm": perm_a, "centroids": cent, "starts": astarts}
+            scales = None
+            if int8_blob:
+                from sema_tpu.ops.quant import quantize_rows
+                blob, scales = quantize_rows(blob)
             self._ivf_layout_save(seg_range, lp, meta, vectors=blob,
-                                  spill=True)
+                                  scales=scales, spill=True)
             cached = self._ivf_layout_load(seg_range, lp,
                                            need_vectors=True, spill=True)
             if cached is None:   # write failed (disk full etc.)
                 return None
+            if int8_blob and "scales" not in cached:
+                return None
         return {"perm": cached["perm"], "centroids": cached["centroids"],
                 "starts": cached["starts"], "vectors": cached["vectors"],
+                "scales": cached.get("scales"),
                 "n_pad": int(cached["perm"].shape[0])}
 
     def _bucket_valid_host(self, seg_range, n_pad: int) -> np.ndarray:
@@ -1679,7 +1701,16 @@ class VectorStore:
         tiles, n_live = sel
         live_tiles = tiles[:n_live]
         b_eff = _stage_tiles(n_live, budget)
-        staged = np.zeros((b_eff * t, self.dim), dtype=self.np_dtype)
+        # int8 stores carry a QUANTIZED blob (int8 rows + per-row f32
+        # scales): half the staged upload, selection on the int8 pruned
+        # kernel, and the ordinary rescore_k full-precision re-rank
+        # downstream — same contract as the store's device buckets
+        scales_mm = iv.get("scales")
+        staged = np.zeros((b_eff * t, self.dim),
+                          dtype=np.int8 if scales_mm is not None
+                          else self.np_dtype)
+        staged_scales = (np.zeros((b_eff * t,), dtype=np.float32)
+                         if scales_mm is not None else None)
         # tile ids are sorted-unique and clusters are contiguous tile
         # runs in the aligned blob, so coalesce consecutive ids into one
         # memmap read per probed cluster instead of one per tile
@@ -1688,6 +1719,9 @@ class VectorStore:
         for run in np.split(live_tiles, cut):
             a, n = int(run[0]), len(run)
             staged[j * t:(j + n) * t] = iv["vectors"][a * t:(a + n) * t]
+            if staged_scales is not None:
+                staged_scales[j * t:(j + n) * t] = \
+                    scales_mm[a * t:(a + n) * t]
             j += n
         # staged position -> original bucket row (for the merge), and
         # validity: alignment-gap slots (sentinel perm entries >= rows)
@@ -1712,10 +1746,17 @@ class VectorStore:
         # last live tile (DMA elided), their scores are masked by n_live
         tiles_ident = np.minimum(np.arange(b_eff, dtype=np.int32),
                                  n_live - 1)
-        override = "bfloat16" if self.store_dtype == "int8" else None
-        fn = self._ivf_scan_fn(b_eff * t, k_scan, b_eff,
-                               dtype_override=override, tile_n=t)
-        packed = fn(jnp.asarray(staged), q, jnp.asarray(valid),
+        if staged_scales is not None:
+            fn = self._ivf_scan_fn(b_eff * t, k_scan, b_eff, tile_n=t)
+            store_op = (jnp.asarray(staged), jnp.asarray(staged_scales))
+        else:
+            # bf16/f32 stores (and a legacy unquantized blob of an int8
+            # store) stage the disk originals at full selection precision
+            override = "bfloat16" if self.store_dtype == "int8" else None
+            fn = self._ivf_scan_fn(b_eff * t, k_scan, b_eff,
+                                   dtype_override=override, tile_n=t)
+            store_op = jnp.asarray(staged)
+        packed = fn(store_op, q, jnp.asarray(valid),
                     jnp.asarray(tiles_ident),
                     jnp.asarray([n_live], dtype=jnp.int32))
         entry = [b["row_offset"], packed, k_scan, rowmap]

@@ -72,6 +72,33 @@ class TestSidecarFormat:
         # the blob comes back as a read-only memmap, not a resident copy
         assert isinstance(got["vectors"], np.memmap)
 
+    def test_roundtrip_with_scales(self, tmp_path):
+        """int8 blob + per-row scales (v3): both come back as memmaps;
+        scales without vectors is a caller bug; a file truncated inside
+        the scales region is rejected whole."""
+        perm, cents, starts, _ = _layout()
+        rng = np.random.default_rng(3)
+        vecs = rng.integers(-127, 128, (256, 16)).astype(np.int8)
+        scales = rng.random(256).astype(np.float32)
+        key = ivf_cache.layout_key(self.SEGS, 256, 16, "int8", 1,
+                                   128, 128, spill=True)
+        with pytest.raises(ValueError):
+            ivf_cache.save_layout(tmp_path, key, self.SEGS, perm, cents,
+                                  starts, scales=scales)
+        ivf_cache.save_layout(tmp_path, key, self.SEGS, perm, cents,
+                              starts, vectors=vecs, scales=scales)
+        got = ivf_cache.load_layout(tmp_path, key, need_vectors=True)
+        np.testing.assert_array_equal(np.asarray(got["vectors"]), vecs)
+        np.testing.assert_array_equal(np.asarray(got["scales"]), scales)
+        assert got["vectors"].dtype == np.int8
+        # layout-only read skips the blob AND the scales
+        assert "scales" not in ivf_cache.load_layout(tmp_path, key)
+        p = ivf_cache.sidecar_path(tmp_path, key)
+        whole = p.read_bytes()
+        p.write_bytes(whole[:-128])   # cut into the scales region
+        assert ivf_cache.load_layout(tmp_path, key,
+                                     need_vectors=True) is None
+
     def test_mesh_shaped_tables(self, tmp_path):
         """(shards, C, d) centroids / (shards, C+2) starts roundtrip."""
         rng = np.random.default_rng(1)
@@ -308,16 +335,54 @@ def test_spilled_ivf_reopen_probes_from_disk(tmp_path, spill_ivf_env,
 
 
 def test_spilled_ivf_int8_store(tmp_path, spill_ivf_env):
-    """int8 stores probe their bf16 disk originals (dtype_override) and
-    still rescore exactly."""
+    """int8 stores persist a QUANTIZED blob (int8 rows + f32 scales —
+    half the staged probe upload), select on the int8 pruned kernel,
+    and the rescore_k full-precision re-rank still returns exact
+    scores."""
     store = VectorStore(tmp_path, dim=128, model="test-ivf", ivf=True,
                         store_dtype="int8")
     cs, vecs = chunks_and_vecs(700, seed=13)
     store.add_chunks(cs, vecs)
-    assert all(b.get("host_resident") for b in store.device_buckets())
+    buckets = store.device_buckets()
+    assert all(b.get("host_resident") for b in buckets)
+    for b in buckets:
+        iv = b.get("ivf_spill")
+        assert iv is not None
+        assert np.asarray(iv["vectors"]).dtype == np.int8
+        assert iv.get("scales") is not None
+        assert iv["scales"].shape == (iv["n_pad"],)
     res = store.search(vecs[321], k=2)
     assert res[0][0].id == "f.txt:321"
+    # the rescore re-ranks from the bf16 disk originals: the top score
+    # is the exact cosine, not an int8 approximation
     assert res[0][1] == pytest.approx(1.0, abs=1e-2)
+    store.close()
+
+
+def test_spilled_ivf_int8_blob_quantization_matches_oracle(
+        tmp_path, spill_ivf_env):
+    """Blob rows/scales must equal quantize_rows of the cluster-major
+    bf16 originals (gap slots stay zero with scale 0)."""
+    from sema_tpu.ops.quant import quantize_rows
+    store = VectorStore(tmp_path, dim=128, model="test-ivf", ivf=True,
+                        store_dtype="int8")
+    cs, vecs = chunks_and_vecs(600, seed=14)
+    store.add_chunks(cs, vecs)
+    b = store.device_buckets()[0]
+    iv = b["ivf_spill"]
+    rows = b["rows"]
+    perm = iv["perm"]
+    blob = np.asarray(iv["vectors"])
+    scales = np.asarray(iv["scales"])
+    # reconstruct the expected blob from the store's own disk originals
+    orig = store.rows_at(np.arange(rows))
+    live = perm < rows
+    expect_rows = np.zeros((len(perm), 128), dtype=np.float32)
+    expect_rows[live] = orig[perm[live]].astype(np.float32)
+    eq, es = quantize_rows(expect_rows)
+    np.testing.assert_array_equal(blob, eq)
+    np.testing.assert_allclose(scales, es, rtol=1e-6)
+    assert (scales[~live] == 0).all()
     store.close()
 
 

@@ -23,6 +23,14 @@ why iid-random corpora say nothing about IVF recall).
 
 Prints ONE JSON line. Usage:
     python tools/spill_ivf_bench.py [--rows 262144] [--dim 384] [--q 4]
+
+100M-class runs (BASELINE config 5's corpus scale on ONE chip) build in
+slices, use int8 quantized blobs (half the staged upload; exact scores
+via the store's full-precision rescore), and time the streamed-exact leg
+as a single oracle pass:
+    python tools/spill_ivf_bench.py --rows 67108864 --slice-rows 4194304 \
+        --store-dtype int8 --centers 131072 --exact-oracle-only \
+        --keep /path/with/100G/free
 """
 
 from __future__ import annotations
@@ -41,29 +49,44 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def _make_corpus(rows: int, dim: int, centers: int, noise: float,
-                 qnoise: float, qn: int):
-    """Clustered corpus + perturbed-row queries, on host (the store
-    build writes disk segments from host arrays anyway)."""
+def _centers(centers: int, dim: int) -> np.ndarray:
     rng = np.random.default_rng(0)
     cent = rng.standard_normal((centers, dim), dtype=np.float32)
     cent /= np.linalg.norm(cent, axis=1, keepdims=True)
-    g = rng.integers(0, centers, size=rows)
+    return cent
+
+
+def _slice_corpus(cent: np.ndarray, n: int, dim: int, noise: float,
+                  slice_idx: int) -> np.ndarray:
+    """One slice of the clustered corpus — deterministic per
+    (slice_idx), so 100M-class builds never materialize the whole
+    corpus and the query prep can regenerate slice 0 alone."""
+    rng = np.random.default_rng([1234, slice_idx])
+    g = rng.integers(0, len(cent), size=n)
     x = cent[g] + (noise / np.sqrt(dim)) * rng.standard_normal(
-        (rows, dim), dtype=np.float32)
+        (n, dim), dtype=np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
-    qrows = rng.integers(0, rows, size=qn)
-    q = x[qrows] + (qnoise / np.sqrt(dim)) * rng.standard_normal(
+    return x
+
+
+def _queries(x0: np.ndarray, dim: int, qnoise: float,
+             qn: int) -> tuple:
+    """Perturbed-row queries drawn from slice 0 (their true nearest
+    neighbors may live in ANY slice — same-center rows are spread
+    uniformly). Returns (queries, source rows)."""
+    rng = np.random.default_rng(99)
+    qrows = rng.integers(0, len(x0), size=qn)
+    q = x0[qrows] + (qnoise / np.sqrt(dim)) * rng.standard_normal(
         (qn, dim), dtype=np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
-    return x, q
+    return q, qrows
 
 
-def _chunks(rows: int):
+def _chunks(lo: int, hi: int, fname: str):
     from sema_tpu.types import Chunk
-    return [Chunk(id=f"corpus.txt:{i}", file_path=Path("corpus.txt"),
+    return [Chunk(id=f"{fname}:{i}", file_path=Path(fname),
                   start_line=i, end_line=i, content=f"row {i}")
-            for i in range(rows)]
+            for i in range(lo, hi)]
 
 
 def _measure(store, queries: np.ndarray, k: int, repeats: int):
@@ -100,10 +123,28 @@ def main() -> int:
     ap.add_argument("--seal-rows", type=int, default=None,
                     help="override SEAL_ROWS/IVF geometry for small "
                          "CPU smoke runs")
+    ap.add_argument("--slice-rows", type=int, default=0,
+                    help="build the store in slices of this many rows "
+                         "(one segment ≈ one spilled bucket each; 0 = "
+                         "one-shot). Required past ~10M rows: the "
+                         "corpus is generated per slice and never "
+                         "materialized whole")
+    ap.add_argument("--store-dtype", type=str, default="bfloat16",
+                    choices=("bfloat16", "int8"),
+                    help="int8: quantized spill blobs — half the "
+                         "staged probe upload; full-precision rescore")
+    ap.add_argument("--nprobe", type=int, default=None,
+                    help="override SEMA_TPU_IVF_NPROBE for this run")
+    ap.add_argument("--exact-oracle-only", action="store_true",
+                    help="time the streamed exact leg as ONE oracle "
+                         "batch instead of warmup+repeats — for stores "
+                         "whose full stream takes tens of minutes")
     args = ap.parse_args()
 
     # force the sealed bucket host-resident BEFORE the store is built
     os.environ.setdefault("SEMA_TPU_HBM_BUDGET_MB", "16")
+    if args.nprobe is not None:
+        os.environ["SEMA_TPU_IVF_NPROBE"] = str(args.nprobe)
     from sema_tpu.utils.jaxcache import enable as enable_comp_cache
     enable_comp_cache()
     import jax
@@ -115,29 +156,47 @@ def main() -> int:
         VectorStore.IVF_CLUSTER_ROWS = VectorStore.IVF_TILE
 
     rows = args.rows - args.rows % VectorStore.IVF_TILE
+    slice_rows = args.slice_rows or rows
+    slice_rows -= slice_rows % VectorStore.IVF_TILE
     work = Path(args.keep) if args.keep else Path(
         tempfile.mkdtemp(prefix="spill-ivf-"))
     work.mkdir(parents=True, exist_ok=True)
     dev = jax.devices()[0]
-    print(f"# device {dev}  rows {rows}x{args.dim}  dir {work}",
+    print(f"# device {dev}  rows {rows}x{args.dim} {args.store_dtype}"
+          f"  slices of {slice_rows}  dir {work}",
           file=sys.stderr, flush=True)
 
     rq = max(args.q, args.recall_queries)
-    x, q_all = _make_corpus(rows, args.dim, args.centers, args.noise,
-                            args.qnoise, rq)
+    cent = _centers(args.centers, args.dim)
+    x0 = _slice_corpus(cent, min(slice_rows, rows), args.dim,
+                       args.noise, 0)
+    q_all, _ = _queries(x0, args.dim, args.qnoise, rq)
     q = q_all[:args.q]
 
     os.environ["SEMA_TPU_IVF"] = "1"
-    store = VectorStore(work, args.dim, "bench", ivf=True)
+    store = VectorStore(work, args.dim, "bench", ivf=True,
+                        store_dtype=args.store_dtype)
     built = store.total_rows
     if built == 0:
         t0 = time.perf_counter()
-        store.add_chunks(_chunks(rows), x)
+        for s, lo in enumerate(range(0, rows, slice_rows)):
+            hi = min(lo + slice_rows, rows)
+            x = x0 if s == 0 else _slice_corpus(
+                cent, hi - lo, args.dim, args.noise, s)
+            store.add_chunks(_chunks(lo, hi, f"corpus-{s}.txt"),
+                             x[:hi - lo])
+            print(f"# slice {s}: rows {lo}..{hi} written "
+                  f"({time.perf_counter() - t0:.0f}s)",
+                  file=sys.stderr, flush=True)
         build_s = time.perf_counter() - t0
         print(f"# built in {build_s:.1f}s", file=sys.stderr, flush=True)
     else:
         assert built == rows, f"kept store has {built} rows, want {rows}"
-    buckets = store.device_buckets()
+    del x0
+    t0 = time.perf_counter()
+    buckets = store.device_buckets()   # spilled-IVF layouts build here
+    print(f"# bucket/IVF layout build: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
     spilled = [b for b in buckets if b.get("host_resident")]
     assert spilled and spilled[0].get("ivf_spill") is not None, \
         "store did not spill with an IVF blob (bench is vacuous)"
@@ -154,34 +213,46 @@ def main() -> int:
     # reporting only bucket 0 understated a 4-bucket store's upload 4x
     from sema_tpu.ops.ivf import select_tiles
     from sema_tpu.index.vector_store import _stage_tiles
-    itemsize = np.dtype(np.float16).itemsize  # bf16 width
+    itemsize = np.dtype(np.float16).itemsize  # bf16 width (streamed path)
     probe_bytes, n_live, staged_tiles = 0, 0, 0
     for b in spilled:
         iv = b.get("ivf_spill")
         if iv is None:    # too small for the blob gate: streams whole
             probe_bytes += b["rows"] * args.dim * itemsize
             continue
+        # int8 blobs stage 1 byte/elem + a 4-byte per-row scale
+        row_bytes = (args.dim + 4 if iv.get("scales") is not None
+                     else args.dim * itemsize)
         bt = iv["n_pad"] // tile
         budget = max(2, bt // VectorStore.IVF_BUDGET_DIV)
         sel = select_tiles(iv["centroids"], iv["starts"],
                            q.astype(np.float32), store.ivf_nprobe,
                            tile, budget)
-        if sel is None:   # over-budget bucket streams whole
+        if sel is None:   # over-budget bucket streams whole (bf16)
             probe_bytes += iv["n_pad"] * args.dim * itemsize
             continue
         b_eff = _stage_tiles(int(sel[1]), budget)
         n_live += int(sel[1])
         staged_tiles += b_eff
-        probe_bytes += b_eff * tile * args.dim * itemsize
+        probe_bytes += b_eff * tile * row_bytes
     store.close()
 
     os.environ["SEMA_TPU_IVF"] = "0"
-    store2 = VectorStore(work, args.dim, "bench", ivf=False)
-    exact_s, _ = _measure(store2, q, args.k, args.repeats)
+    store2 = VectorStore(work, args.dim, "bench", ivf=False,
+                         store_dtype=args.store_dtype)
     exact_bytes = rows * args.dim * itemsize
-    # the streamed scan has no probe budget: ONE exact batch scores the
-    # whole recall sample in a single store pass
-    _, oracle_ids = store2.search_batch(q_all, args.k)
+    if args.exact_oracle_only:
+        # 100M-class stores: one full stream is tens of minutes — time
+        # the oracle batch itself (the streamed scan's wall is
+        # upload-bound and independent of the query-batch size)
+        t0 = time.perf_counter()
+        _, oracle_ids = store2.search_batch(q_all, args.k)
+        exact_s = time.perf_counter() - t0
+    else:
+        exact_s, _ = _measure(store2, q, args.k, args.repeats)
+        # the streamed scan has no probe budget: ONE exact batch scores
+        # the whole recall sample in a single store pass
+        _, oracle_ids = store2.search_batch(q_all, args.k)
     store2.close()
 
     hits = sum(len(set(probe_ids[i].tolist())
@@ -203,6 +274,8 @@ def main() -> int:
         "probed_tiles": n_live, "staged_tiles": staged_tiles,
         "spilled_buckets": len(spilled),
         "total_tiles": n_tiles, "nprobe": store.ivf_nprobe,
+        "store_dtype": args.store_dtype,
+        "exact_oracle_only": bool(args.exact_oracle_only),
         "backend": jax.default_backend(),
     }
     print(json.dumps(out), flush=True)
