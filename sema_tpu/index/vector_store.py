@@ -1669,6 +1669,11 @@ class VectorStore:
             off += seg.rows
         return dead
 
+    # probes of at least this many live tiles stage in TWO halves so
+    # the second half's disk gather overlaps the first half's async
+    # host→device upload (see _ivf_spill_dispatch)
+    IVF_SPLIT_MIN_TILES = 16
+
     def _ivf_spill_dispatch(self, b: dict, q, q_live_host: np.ndarray,
                             k_scan: int, window: list):
         """Pruned probe over a SPILLED bucket: gather only the probed
@@ -1680,9 +1685,23 @@ class VectorStore:
         This is what makes an over-HBM store SERVABLE for interactive
         queries: the exact streamed scan moves the whole bucket
         host→device per batch, the probe moves ~1/IVF_BUDGET_DIV of it
-        at most and typically a few percent. Returns a pending entry (joined to the shared staging
-        ``window`` — same HBM bound as streamed slices), or None →
-        caller falls back to the full streamed scan."""
+        at most and typically a few percent.
+
+        Probes of ≥ IVF_SPLIT_MIN_TILES live tiles stage in two halves
+        dispatched back-to-back: PJRT uploads are async, so the second
+        half's memmap gather runs while the first half streams
+        host→device — the only overlap available inside ONE bucket
+        (across buckets the loop in search_batch_async already overlaps
+        implicitly, but big stores consolidate to a single spilled
+        bucket). The halves split the SAME ``_stage_tiles(n_live)``
+        buffer (b_eff//2 + remainder), so total staged bytes — and the
+        accounting in tools/spill_ivf_bench.py — are identical to an
+        unsplit probe. Each half is its own pending entry; the merge
+        path treats them like any other bucket candidates.
+
+        Returns a non-empty list of pending entries (joined to the
+        shared staging ``window`` — same HBM bound as streamed slices),
+        or None → caller falls back to the full streamed scan."""
         from sema_tpu.ops.ivf import select_tiles
         if k_scan > 128:           # K_PAD ceiling of the fused kernels
             return None
@@ -1701,6 +1720,26 @@ class VectorStore:
         tiles, n_live = sel
         live_tiles = tiles[:n_live]
         b_eff = _stage_tiles(n_live, budget)
+        if (n_live >= self.IVF_SPLIT_MIN_TILES and b_eff >= 4
+                and os.environ.get("SEMA_TPU_IVF_SPLIT", "1") != "0"):
+            # n1 ≤ b_eff//2 and n_live-n1 ≤ b_eff-b_eff//2 both follow
+            # from b_eff ≥ n_live, so each half fits its buffer
+            n1, b1 = n_live // 2, b_eff // 2
+            specs = ((live_tiles[:n1], b1),
+                     (live_tiles[n1:], b_eff - b1))
+        else:
+            specs = ((live_tiles, b_eff),)
+        return [self._ivf_spill_stage(b, iv, lt, be, q, k_scan, window)
+                for lt, be in specs]
+
+    def _ivf_spill_stage(self, b: dict, iv: dict,
+                         live_tiles: np.ndarray, b_eff: int, q,
+                         k_scan: int, window: list):
+        """Gather one probe tile-subset from the spill blob, upload the
+        staging buffer, dispatch the pruned kernel (async), and return
+        the pending entry (see _ivf_spill_dispatch)."""
+        t = self._spill_tile()
+        n_live = len(live_tiles)
         # int8 stores carry a QUANTIZED blob (int8 rows + per-row f32
         # scales): half the staged upload, selection on the int8 pruned
         # kernel, and the ordinary rescore_k full-precision re-rank
@@ -1914,15 +1953,15 @@ class VectorStore:
                 # through the scan now. Both block for the staged
                 # portion (bounded staging HBM beats async purity for an
                 # over-capacity store).
-                entry = None
+                entries = None
                 if b.get("ivf_spill") is not None:
                     if q_live_host is None:
                         q_live_host = np.asarray(query_vecs[:live],
                                                  np.float32)
-                    entry = self._ivf_spill_dispatch(
+                    entries = self._ivf_spill_dispatch(
                         b, q, q_live_host, k_class, spill_window)
-                if entry is not None:
-                    pending.append(entry)
+                if entries is not None:
+                    pending.extend(entries)
                 else:
                     pending.extend(self._scan_host_bucket(b, q, k_class,
                                                           spill_window))

@@ -415,3 +415,47 @@ def test_spilled_ivf_blob_tile_aligned(tmp_path, spill_ivf_env):
     res = store.search(vecs[123], k=1)
     assert res[0][0].id == "f.txt:123"
     store.close()
+
+
+def test_spilled_ivf_probe_split_halves(tmp_path, spill_ivf_env,
+                                        monkeypatch):
+    """Probes of >= IVF_SPLIT_MIN_TILES live tiles stage in TWO halves
+    (the second half's memmap gather overlaps the first half's async
+    host->device upload): the halves split the SAME _stage_tiles buffer
+    — total staged tiles identical to an unsplit probe — and their
+    merged candidates stay oracle-exact."""
+    monkeypatch.setattr(VectorStore, "SEAL_ROWS", 4096)
+    monkeypatch.setenv("SEMA_TPU_IVF_NPROBE", "16")
+    store = make_store(tmp_path)
+    cs, vecs = chunks_and_vecs(4096, seed=13)
+    store.add_chunks(cs, vecs)
+    assert all(b.get("ivf_spill") is not None
+               for b in store.device_buckets())
+
+    stages, streamed = [], []
+    orig_stage = VectorStore._ivf_spill_stage
+    monkeypatch.setattr(
+        VectorStore, "_ivf_spill_stage",
+        lambda self, b, iv, lt, be, *a, **k:
+            stages.append((len(lt), be))
+            or orig_stage(self, b, iv, lt, be, *a, **k))
+    orig_stream = VectorStore._scan_host_bucket
+    monkeypatch.setattr(
+        VectorStore, "_scan_host_bucket",
+        lambda self, *a, **k: streamed.append(1)
+        or orig_stream(self, *a, **k))
+
+    scores, ids = store.search_batch(vecs[123:124], k=5)
+    assert not streamed, "split probe must not fall back to the stream"
+    assert len(stages) == 2, stages
+    n_live = sum(n for n, _ in stages)
+    assert n_live >= VectorStore.IVF_SPLIT_MIN_TILES
+    assert abs(stages[0][0] - stages[1][0]) <= 1  # balanced halves
+    from sema_tpu.index.vector_store import _stage_tiles
+    b = store.device_buckets()[0]
+    n_tiles = b["ivf_spill"]["n_pad"] // store._spill_tile()
+    budget = max(2, n_tiles // VectorStore.IVF_BUDGET_DIV)
+    assert sum(be for _, be in stages) == _stage_tiles(n_live, budget)
+    assert ids[0][0] == 123
+    assert scores[0][0] == pytest.approx(1.0, abs=1e-2)
+    store.close()
