@@ -187,17 +187,22 @@ def main() -> int:
         tiles_j = jnp.asarray(tiles_np)
         nl_j = jnp.asarray(nlive[:, None].astype(np.int32))
 
-        # recall@k of the single-query pruned scan vs the exact oracle
-        hits = 0
+        # recall@k of the single-query pruned scan vs the exact oracle —
+        # the full per-query distribution, not just the mean (VERDICT r3
+        # weak #8: a point estimate from small samples hides the worst
+        # tail; recall_p5 is the 5th-percentile per-query recall)
         got_all = []
         for i in range(qn):
             s, ids = pruned(store_perm, queries[i:i + 1], valid,
                             tiles_j[i], nl_j[i])
             got_all.append(np.asarray(ids)[0])
+        recs = np.empty(qn)
         for i in range(qn):
             got = set(perm[got_all[i]].tolist())
-            hits += len(got & set(oracle_ids[i].tolist()))
-        recall = hits / (qn * k)
+            recs[i] = len(got & set(oracle_ids[i].tolist())) / k
+        recall = float(recs.mean())
+        recall_p5 = float(np.percentile(recs, 5))
+        recall_min = float(recs.min())
 
         # chained latency: one dispatch = `chain` pruned scans
         chain = args.chain if on_tpu else 1
@@ -215,6 +220,8 @@ def main() -> int:
                                    n_calls=8 if on_tpu else 1) / chain
         rungs[f"nprobe{nprobe}"] = {
             "recall_at_k": round(recall, 4),
+            "recall_p5": round(recall_p5, 4),
+            "recall_min": round(recall_min, 4),
             "single_query_ms_device": round(single_s * 1e3, 4),
             "tiles_scanned_frac": round(float(nlive.mean()) / n_tiles, 4),
             "host_probe_ms": round(probe_ms, 3),
