@@ -173,20 +173,25 @@ def make_index_manager(config: Config, metrics=None):
             os.environ["SEMA_TPU_LOG"], "a", buffering=1))
 
     model_axis = config.mesh.model_axis or None
-    if model_axis:
-        # tensor parallelism: a third mesh axis for the encoder's weight
-        # shards. The store still shards rows over index_axis (its
-        # arrays are replicated across the model axis by their
-        # PartitionSpecs), so one mesh serves both programs.
+    slice_axis = config.mesh.slice_axis or None
+    if model_axis or slice_axis:
+        # extra mesh axes: "model" = tensor parallelism for the encoder's
+        # weight shards (the store's arrays replicate across it via
+        # their PartitionSpecs); "slice" = multislice DCN axis, OUTERMOST
+        # so store row blocks are slice-major (the two-level merge's
+        # shard-id arithmetic assumes that). One mesh serves every
+        # program.
         from sema_tpu.parallel.mesh import make_mesh
-        if len(config.mesh.shape) != 3:
+        axes = ([slice_axis] if slice_axis else []) \
+            + [config.mesh.data_axis] \
+            + ([model_axis] if model_axis else []) \
+            + [config.mesh.index_axis]
+        if len(config.mesh.shape) != len(axes):
             raise SystemExit(
-                "[mesh] model_axis requires an explicit 3-entry shape "
-                "(data x model x index), e.g. shape = [1, 2, 4] on 8 "
-                "chips")
-        mesh = make_mesh(shape=config.mesh.shape,
-                         axis_names=(config.mesh.data_axis, model_axis,
-                                     config.mesh.index_axis))
+                f"[mesh] model_axis/slice_axis require an explicit "
+                f"{len(axes)}-entry shape ({' x '.join(axes)}), e.g. "
+                f"shape = {[1] * (len(axes) - 1) + [8]} on 8 chips")
+        mesh = make_mesh(shape=config.mesh.shape, axis_names=tuple(axes))
     elif config.mesh.shape:
         from sema_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(shape=config.mesh.shape,
@@ -205,7 +210,8 @@ def make_index_manager(config: Config, metrics=None):
               "run on a networked machine.", file=sys.stderr)
     return IndexManager(
         data_dir(), encoder, store_dtype=config.index.store_dtype,
-        mesh=mesh, metrics=metrics, rescore_k=config.index.rescore_k,
+        mesh=mesh, slice_axis=slice_axis,
+        metrics=metrics, rescore_k=config.index.rescore_k,
         hbm_budget_mb=config.index.hbm_budget_mb,
         ivf=config.index.ivf, ivf_nprobe=config.index.ivf_nprobe)
 

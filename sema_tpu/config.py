@@ -107,6 +107,14 @@ class MeshConfig:
     # store keeps sharding over index (replicated across model). Empty
     # = off (the default: every in-tree model fits one chip).
     model_axis: str = ""
+    # Multislice (BASELINE config 5, e.g. 100M rows on v5p-32): name the
+    # axis that maps ACROSS slices (DCN) and give a matching explicit
+    # shape with the slice axis FIRST — cli.py builds a
+    # (slice, data[, model], index) mesh, store rows shard over
+    # (slice, index), and candidate merges run two-level: within the
+    # slice over ICI, slice winners over DCN (parallel/multislice.py).
+    # Empty = off.
+    slice_axis: str = ""
 
 
 @dataclass

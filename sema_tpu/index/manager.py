@@ -39,6 +39,7 @@ from sema_tpu.utils.metrics import Metrics, null_metrics
 class IndexManager:
     def __init__(self, data_dir: Path | str, encoder, store_dtype: str = "bfloat16",
                  mesh=None, index_axis: str = "index",
+                 slice_axis: Optional[str] = None,
                  metrics: Optional[Metrics] = None, rescore_k: int = 100,
                  hbm_budget_mb: float = 0.0, ivf: bool = False,
                  ivf_nprobe: int = 32):
@@ -47,6 +48,7 @@ class IndexManager:
         self.vector_store = VectorStore(
             data_dir, dim=encoder.spec.dim, model=encoder.spec.name,
             store_dtype=store_dtype, mesh=mesh, index_axis=index_axis,
+            slice_axis=slice_axis,
             rescore_k=rescore_k, hbm_budget_mb=hbm_budget_mb, ivf=ivf,
             ivf_nprobe=ivf_nprobe)
         self.text_index = make_text_index(data_dir)

@@ -130,6 +130,25 @@ def _stage_tiles(n_live: int, budget: int) -> int:
     return min(b_eff, budget)
 
 
+def _split_stage_halves(b_eff: int) -> tuple:
+    """Split a staging size into two pieces summing to ``b_eff``, each
+    rounded to the same pow2/64-step grid as :func:`_stage_tiles` so the
+    two-half dispatch reuses the single-probe compiled-kernel sizes
+    instead of minting arbitrary halves (e.g. 192 → 64 + 128, not
+    96 + 96, which would add a fresh jit variant per (k, dtype)).
+    For any on-grid ``b_eff`` both halves are on-grid; an off-grid
+    ``b_eff`` (the budget cap) contributes at most one off-grid
+    remainder."""
+    half = b_eff // 2
+    if half >= 64:
+        b1 = half // 64 * 64
+    else:
+        b1 = 1
+        while b1 * 2 <= half:
+            b1 *= 2
+    return b1, b_eff - b1
+
+
 class _Segment:
     """One immutable on-disk segment, accessed lazily.
 
@@ -276,7 +295,8 @@ class _Segment:
 class VectorStore:
     def __init__(self, data_dir: Path | str, dim: int, model: str,
                  store_dtype: str = "bfloat16", mesh=None,
-                 index_axis: str = "index", rescore_k: int = 100,
+                 index_axis: str = "index", slice_axis: Optional[str] = None,
+                 rescore_k: int = 100,
                  hbm_budget_mb: float = 0.0, ivf: bool = False,
                  ivf_nprobe: int = 32):
         self.dir = Path(data_dir) / "vector_index"
@@ -300,6 +320,16 @@ class VectorStore:
                                              ivf_nprobe))
         self.mesh = mesh
         self.index_axis = index_axis
+        # multislice (BASELINE config 5): a second mesh axis mapping
+        # across TPU slices (DCN). Store rows shard over BOTH axes
+        # (slice-major row blocks) and candidate merges run in two
+        # levels — within the slice over ICI, then only the slice
+        # winners over DCN (parallel/multislice.py). Honored whenever
+        # the axis exists on the mesh, even at size 1 (the level-2
+        # gather is then a no-op and program shapes stay uniform).
+        self.slice_axis = (
+            slice_axis if (mesh is not None and slice_axis
+                           and slice_axis in mesh.axis_names) else None)
         self.segments: List[_Segment] = []
         self._starts: Optional[np.ndarray] = None  # cumulative row offsets
         self.file_hashes: Dict[str, str] = {}
@@ -717,7 +747,19 @@ class VectorStore:
     def _shards(self) -> int:
         if self.mesh is None:
             return 1
-        return self.mesh.shape[self.index_axis]
+        n = self.mesh.shape[self.index_axis]
+        if self.slice_axis is not None:
+            n *= self.mesh.shape[self.slice_axis]
+        return n
+
+    def _row_axes(self):
+        """The PartitionSpec entry for the store's row dimension:
+        ``index`` alone, or ``(slice, index)`` on a multislice mesh —
+        slice-major row blocks, matching the two-level merge's
+        shard-id arithmetic (multislice._two_level)."""
+        if self.slice_axis is not None:
+            return (self.slice_axis, self.index_axis)
+        return self.index_axis
 
     def _align(self) -> int:
         # shards × 128: group-aligned for hierarchical selection per shard,
@@ -985,7 +1027,7 @@ class VectorStore:
             off += seg.rows
         valid = self._bucket_valid_host(seg_range, n_pad)
 
-        axis = self.index_axis
+        axis = self._row_axes()
         ivf_meta = None
         ivf_here = sealed and self._ivf_eligible(n_pad)
         if ivf_here:
@@ -1311,7 +1353,7 @@ class VectorStore:
                         # must follow the same permutation
                         host_valid = host_valid[ivf["perm"]]
                     b["valid"] = self._put(host_valid,
-                                           P(self.index_axis))
+                                           P(self._row_axes()))
         self._buckets = buckets
         self._valid_dirty = False
         # every segment is covered now: any pending device rows that a
@@ -1489,7 +1531,14 @@ class VectorStore:
                 pallas_fn = None
 
         def compile_one(local_fn):
-            if self.mesh is not None:
+            if self.mesh is not None and self.slice_axis is not None:
+                from sema_tpu.parallel.multislice import \
+                    make_multislice_topk
+                inner = make_multislice_topk(
+                    self.mesh, n_pad, k_eff, slice_axis=self.slice_axis,
+                    index_axis=self.index_axis,
+                    local_fn=local_fn, store_specs=self._store_specs)
+            elif self.mesh is not None:
                 from sema_tpu.parallel.sharded_topk import make_sharded_topk
                 inner = make_sharded_topk(
                     self.mesh, n_pad, k_eff, axis=self.index_axis,
@@ -1568,7 +1617,16 @@ class VectorStore:
                     store, q, valid, tiles, nl, k_eff,
                     tile_n=tile, interpret=not on_tpu)
 
-        if self.mesh is not None:
+        if self.mesh is not None and self.slice_axis is not None:
+            from sema_tpu.parallel.multislice import \
+                make_multislice_pruned_topk
+            inner = make_multislice_pruned_topk(
+                self.mesh, n_pad, k_eff, slice_axis=self.slice_axis,
+                index_axis=self.index_axis,
+                local_fn=lambda st, q, v, ti, nl, k: local(st, q, v,
+                                                           ti, nl),
+                store_specs=self._store_specs)
+        elif self.mesh is not None:
             from sema_tpu.parallel.sharded_topk import \
                 make_sharded_pruned_topk
             inner = make_sharded_pruned_topk(
@@ -1637,8 +1695,8 @@ class VectorStore:
                 tiles[s], n_live[s, 0] = sel
             fn = self._ivf_scan_fn(b["n_pad"], k_scan, budget)
             packed = fn(b["store"], q, b["valid"],
-                        self._put(tiles, P(self.index_axis, None)),
-                        self._put(n_live, P(self.index_axis, None)))
+                        self._put(tiles, P(self._row_axes(), None)),
+                        self._put(n_live, P(self._row_axes(), None)))
             return [b["row_offset"], packed, k_scan, ivf["perm"]]
         n_tiles = b["n_pad"] // self.IVF_TILE
         budget = max(2, n_tiles // self.IVF_BUDGET_DIV)
@@ -1720,13 +1778,18 @@ class VectorStore:
         tiles, n_live = sel
         live_tiles = tiles[:n_live]
         b_eff = _stage_tiles(n_live, budget)
-        if (n_live >= self.IVF_SPLIT_MIN_TILES and b_eff >= 4
+        if (n_live >= self.IVF_SPLIT_MIN_TILES
                 and os.environ.get("SEMA_TPU_IVF_SPLIT", "1") != "0"):
-            # n1 ≤ b_eff//2 and n_live-n1 ≤ b_eff-b_eff//2 both follow
-            # from b_eff ≥ n_live, so each half fits its buffer
-            n1, b1 = n_live // 2, b_eff // 2
+            # (n_live ≥ IVF_SPLIT_MIN_TILES already implies b_eff ≥ 16
+            # via b_eff ≥ n_live — no extra size guard needed.)
+            # Halves stay on the _stage_tiles grid (sum == b_eff) so
+            # the split reuses the unsplit path's compiled sizes; tiles
+            # apportion to fit: n1 ≤ b1 by construction and
+            # n_live - n1 ≤ b_eff - b1 follows from b_eff ≥ n_live.
+            b1, b2 = _split_stage_halves(b_eff)
+            n1 = min(n_live // 2, b1)
             specs = ((live_tiles[:n1], b1),
-                     (live_tiles[n1:], b_eff - b1))
+                     (live_tiles[n1:], b2))
         else:
             specs = ((live_tiles, b_eff),)
         return [self._ivf_spill_stage(b, iv, lt, be, q, k_scan, window)

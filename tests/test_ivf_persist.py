@@ -432,6 +432,34 @@ def test_spilled_ivf_probe_split_halves(tmp_path, spill_ivf_env,
     assert all(b.get("ivf_spill") is not None
                for b in store.device_buckets())
 
+    # Pin the probe size: whatever tiles k-means happens to produce,
+    # extend the live set to exactly IVF_SPLIT_MIN_TILES (extra tiles
+    # only ADD scan candidates — exactness is preserved — and the split
+    # condition stops hinging on clustering outcomes; ADVICE r3).
+    import sema_tpu.ops.ivf as ivf_ops
+    orig_sel = ivf_ops.select_tiles
+
+    def pinned_select(centroids, starts, queries, nprobe, tile_n,
+                      budget):
+        out = orig_sel(centroids, starts, queries, nprobe, tile_n,
+                       budget)
+        assert out is not None, "probe must fit the budget"
+        tiles, n_live = out
+        want = min(VectorStore.IVF_SPLIT_MIN_TILES, budget)
+        live = sorted(set(tiles[:n_live].tolist()))
+        n_tiles = int(starts[-1]) // tile_n
+        for extra in range(n_tiles):
+            if len(live) >= want:
+                break
+            if extra not in live:
+                live.append(extra)
+        live = np.asarray(sorted(live), dtype=np.int32)
+        padded = np.full(budget, live[-1], dtype=np.int32)
+        padded[:len(live)] = live
+        return padded, len(live)
+
+    monkeypatch.setattr(ivf_ops, "select_tiles", pinned_select)
+
     stages, streamed = [], []
     orig_stage = VectorStore._ivf_spill_stage
     monkeypatch.setattr(
@@ -450,12 +478,17 @@ def test_spilled_ivf_probe_split_halves(tmp_path, spill_ivf_env,
     assert len(stages) == 2, stages
     n_live = sum(n for n, _ in stages)
     assert n_live >= VectorStore.IVF_SPLIT_MIN_TILES
-    assert abs(stages[0][0] - stages[1][0]) <= 1  # balanced halves
-    from sema_tpu.index.vector_store import _stage_tiles
+    from sema_tpu.index.vector_store import (_split_stage_halves,
+                                             _stage_tiles)
     b = store.device_buckets()[0]
     n_tiles = b["ivf_spill"]["n_pad"] // store._spill_tile()
     budget = max(2, n_tiles // VectorStore.IVF_BUDGET_DIV)
-    assert sum(be for _, be in stages) == _stage_tiles(n_live, budget)
+    b_eff = _stage_tiles(n_live, budget)
+    # halves split the SAME staging buffer (total staged tiles identical
+    # to an unsplit probe) on the _stage_tiles size grid
+    assert (stages[0][1], stages[1][1]) == _split_stage_halves(b_eff)
+    assert sum(be for _, be in stages) == b_eff
+    assert all(n <= be for n, be in stages)  # each half fits its buffer
     assert ids[0][0] == 123
     assert scores[0][0] == pytest.approx(1.0, abs=1e-2)
     store.close()

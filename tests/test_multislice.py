@@ -70,3 +70,41 @@ def test_indivisible_rejected():
     mesh = make_mesh(shape=[2, 4], axis_names=("slice", "index"))
     with pytest.raises(ValueError, match="not divisible"):
         make_multislice_topk(mesh, 100, 5)
+
+
+def test_pruned_two_level_full_coverage():
+    """make_multislice_pruned_topk with every tile probed must equal the
+    exact oracle — the two-level merge and slice-major shard-id
+    globalization are what's under test, not the pruning."""
+    from sema_tpu.ops.pallas_topk import pallas_topk_pruned
+    from sema_tpu.parallel.multislice import make_multislice_pruned_topk
+
+    mesh = make_mesh(shape=[2, 4], axis_names=("slice", "index"))
+    tile_n, tiles_per_shard, k = 128, 2, 6
+    shard_rows = tile_n * tiles_per_shard
+    n = shard_rows * 8
+    store, queries = _data(n, q=4, seed=3)
+    valid = np.ones(n, bool)
+    valid[::11] = False
+    tiles = np.broadcast_to(np.arange(tiles_per_shard, dtype=np.int32),
+                            (8, tiles_per_shard)).copy()
+    n_live = np.full((8, 1), tiles_per_shard, dtype=np.int32)
+
+    def local_fn(st, q, v, ti, nl, kk):
+        return pallas_topk_pruned(st, q, v, ti, nl, kk, tile_n=tile_n,
+                                  interpret=True)
+
+    fn = make_multislice_pruned_topk(mesh, n, k, local_fn=local_fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    row = NamedSharding(mesh, P(("slice", "index"), None))
+    scores, idx = fn(
+        jax.device_put(jnp.asarray(store), row),
+        jnp.asarray(queries),
+        jax.device_put(jnp.asarray(valid),
+                       NamedSharding(mesh, P(("slice", "index")))),
+        jax.device_put(jnp.asarray(tiles), row),
+        jax.device_put(jnp.asarray(n_live), row))
+    ref_s, ref_i = _oracle(store, queries, valid, k)
+    for i in range(queries.shape[0]):
+        assert set(np.asarray(idx)[i].tolist()) == set(ref_i[i].tolist())
+    np.testing.assert_allclose(np.asarray(scores), ref_s, atol=2e-2)
