@@ -283,6 +283,32 @@ def run() -> int:
     p50_ms = p50_single_dev * 1e3
     p50_e2e, _ = _measure(scan_single, store, queries[:1], valid, iters=5)
 
+    # PROVISIONAL snapshot before the encoder stage: the scan metrics —
+    # the actual headline — are already measured, and the encoder
+    # forward is the slowest headline stage (minutes/core on CPU smoke
+    # runs). A kill from here on can no longer lose the QPS numbers.
+    target_p50_ms = 10.0  # BASELINE.json north-star serving target
+    # a single query can never cost more than a full batch; when the
+    # chained single-query measurement degraded to the noisy
+    # per-call-minus-RTT fallback, the batch device time is the tighter
+    # (and still honest) bound
+    p50_ms = min(p50_ms, per_batch_dev * 1e3)
+    _SNAPSHOT = {
+        "metric": f"exact_top10_qps_{rows // 1000}k_{dim}d_bf16_batch{qbatch}",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(target_p50_ms / p50_ms, 3),
+        "extra": {
+            "recall_at_10": recall,
+            "single_query_p50_ms_device": round(p50_ms, 3),
+            "single_query_p50_ms_e2e": round(p50_e2e * 1e3, 3),
+            "batch_p50_ms_device": round(per_batch_dev * 1e3, 3),
+            "embed_chunks_per_sec_per_chip": None,  # stage pending
+            "rows": rows, "dim": dim, "device": str(dev),
+        },
+    }
+    _emit()
+
     # --- encoder throughput (chunks/sec/chip), MiniLM bf16 batch 256
     from sema_tpu.models import get_spec
     from sema_tpu.models.bert import embed as embed_fn, resolve_attn_impl
@@ -322,30 +348,11 @@ def run() -> int:
     chunks_per_sec = encoder_rate("minilm-l6", ebatch, 256,
                                   n_calls=16 if ebatch >= 256 else 4)
 
-    # ---- HEADLINE SNAPSHOT: emit NOW, before any extras, then keep
-    # re-emitting after each ladder stage (the driver parses the last
-    # JSON line — nothing below can lose what is already measured)
-    target_p50_ms = 10.0  # BASELINE.json north-star serving target
-    # a single query can never cost more than a full batch; when the
-    # chained single-query measurement degraded to the noisy
-    # per-call-minus-RTT fallback, the batch device time is the tighter
-    # (and still honest) bound
-    p50_ms = min(p50_ms, per_batch_dev * 1e3)
-    extra = {
-        "recall_at_10": recall,
-        "single_query_p50_ms_device": round(p50_ms, 3),
-        "single_query_p50_ms_e2e": round(p50_e2e * 1e3, 3),
-        "batch_p50_ms_device": round(per_batch_dev * 1e3, 3),
-        "embed_chunks_per_sec_per_chip": round(chunks_per_sec, 1),
-        "rows": rows, "dim": dim, "device": str(dev),
-    }
-    _SNAPSHOT = {
-        "metric": f"exact_top10_qps_{rows // 1000}k_{dim}d_bf16_batch{qbatch}",
-        "value": round(qps, 1),
-        "unit": "qps",
-        "vs_baseline": round(target_p50_ms / p50_ms, 3),
-        "extra": extra,
-    }
+    # ---- FULL HEADLINE SNAPSHOT: encoder number lands, then the ladder
+    # below keeps re-emitting after each stage (the driver parses the
+    # last JSON line — nothing below can lose what is already measured)
+    extra = _SNAPSHOT["extra"]
+    extra["embed_chunks_per_sec_per_chip"] = round(chunks_per_sec, 1)
     extra["headline_s"] = round(time.perf_counter() - t_start, 1)
     _emit()
 
