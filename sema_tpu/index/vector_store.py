@@ -316,6 +316,19 @@ class VectorStore:
         env_ivf = os.environ.get("SEMA_TPU_IVF")
         self.ivf = (env_ivf not in ("", "0")) if env_ivf is not None \
             else ivf
+        # operator knob: a smaller seal threshold lets rehearsals/smokes
+        # engage the sealed-bucket machinery (IVF clustering, spill)
+        # without quarter-million-row builds — instance attr shadows the
+        # class constant, so tests that monkeypatch the class still win
+        env_seal = os.environ.get("SEMA_TPU_SEAL_ROWS")
+        if env_seal:
+            try:
+                self.SEAL_ROWS = max(1, int(env_seal))
+            except ValueError:
+                import sys as _sys
+                print(f"Warning: ignoring malformed "
+                      f"SEMA_TPU_SEAL_ROWS={env_seal!r}",
+                      file=_sys.stderr)
         self.ivf_nprobe = int(os.environ.get("SEMA_TPU_IVF_NPROBE",
                                              ivf_nprobe))
         self.mesh = mesh

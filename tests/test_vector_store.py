@@ -27,6 +27,18 @@ def make_store(tmp_path, d=32, **kw):
     return VectorStore(tmp_path, dim=d, model="test-tiny", **kw)
 
 
+def test_seal_rows_env_override(tmp_path, monkeypatch):
+    """SEMA_TPU_SEAL_ROWS lets rehearsals engage sealing at small scale;
+    malformed values warn and keep the class default."""
+    monkeypatch.setenv("SEMA_TPU_SEAL_ROWS", "4096")
+    store = make_store(tmp_path / "a")
+    assert store.SEAL_ROWS == 4096
+    assert VectorStore.SEAL_ROWS == 262_144  # class constant untouched
+    monkeypatch.setenv("SEMA_TPU_SEAL_ROWS", "2GB")
+    store2 = make_store(tmp_path / "b")
+    assert store2.SEAL_ROWS == 262_144
+
+
 def test_add_and_search_exact(tmp_path):
     store = make_store(tmp_path)
     cs, vecs = chunks_and_vecs(100)

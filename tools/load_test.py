@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import tempfile
 import threading
@@ -33,8 +34,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def build_store(tmp, rows: int, dim: int, seed: int = 0,
-                n_probe: int = 32, batches: int = 8):
-    """Synthetic normalized store with planted probe winners."""
+                n_probe: int = 32, batches: int = 0, ivf: bool = False,
+                store_dtype: str = "bfloat16"):
+    """Synthetic normalized store with planted probe winners.
+
+    With an explicit persistent ``tmp`` (``--data-dir``) a store that
+    already holds >= ``rows`` live rows is REUSED as-is: probes and
+    planted ids are pure functions of ``seed``, so the multi-minute 4M+
+    builds of the config-5 rehearsal happen once per directory and every
+    later serving run starts warm (IVF layouts + spill blobs also come
+    back from their sidecars instead of re-running device k-means)."""
     from sema_tpu.index.vector_store import VectorStore
     from sema_tpu.types import Chunk
 
@@ -42,9 +51,18 @@ def build_store(tmp, rows: int, dim: int, seed: int = 0,
     probes = rng.standard_normal((n_probe, dim)).astype(np.float32)
     probes /= np.linalg.norm(probes, axis=1, keepdims=True)
 
-    store = VectorStore(tmp, dim=dim, model="loadtest")
+    store = VectorStore(tmp, dim=dim, model="loadtest", ivf=ivf,
+                        store_dtype=store_dtype)
+    planted_ids = list(range(n_probe))
+    if store.live_rows >= rows:
+        print(f"# reusing existing store: {store.live_rows} live rows",
+              file=sys.stderr, flush=True)
+        return store, probes, planted_ids
+    # one add per SEAL_ROWS-sized batch: each lands as one sealed bucket
+    # (clustered at build when ivf=True) without multi-GB host staging
+    if not batches:
+        batches = max(8, rows // VectorStore.SEAL_ROWS)
     per = rows // batches
-    planted_ids = []
     for b in range(batches):
         vecs = rng.standard_normal((per, dim)).astype(np.float32)
         vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
@@ -53,24 +71,28 @@ def build_store(tmp, rows: int, dim: int, seed: int = 0,
             # overwrite the first n_probe rows with scaled probe copies:
             # cosine 0.95 beats any random row at realistic dims
             vecs[:n_probe] = probes * 0.95
-            planted_ids = list(range(n_probe))
         chunks = [Chunk(id=f"{path}:{i}", file_path=Path(path),
                         start_line=i, end_line=i + 1,
                         content=f"chunk {b}/{i}")
                   for i in range(per)]
         store.add_chunks(chunks, vecs)
+        print(f"# built {(b + 1) * per}/{rows} rows "
+              f"({time.strftime('%H:%M:%S')})", file=sys.stderr,
+              flush=True)
     return store, probes, planted_ids
 
 
 def run(rows: int, dim: int, clients: int, max_batch: int,
         duration: float, mutate: bool, k: int = 10,
-        data_dir: str | None = None, mut_batch: int = 4096) -> dict:
+        data_dir: str | None = None, mut_batch: int = 4096,
+        ivf: bool = False, store_dtype: str = "bfloat16") -> dict:
     from sema_tpu.search.server import QueryBatcher
     from sema_tpu.types import Chunk
 
     tmp = data_dir or tempfile.mkdtemp(prefix="sema-loadtest-")
     t0 = time.perf_counter()
-    store, probes, planted = build_store(tmp, rows, dim)
+    store, probes, planted = build_store(tmp, rows, dim, ivf=ivf,
+                                         store_dtype=store_dtype)
     n_probe = len(probes)
     build_s = time.perf_counter() - t0
 
@@ -221,6 +243,12 @@ def run(rows: int, dim: int, clients: int, max_batch: int,
         "mutated_batches": mutated_batches[0],
         "live_rows_end": store.live_rows,
         "build_s": round(build_s, 1), "warm_s": round(warm_s, 1),
+        # config-5 rehearsal evidence: where the store actually lives
+        # (spill engaged?) and which scan mode served it
+        "residency": store.device_residency(),
+        "ivf": ivf, "store_dtype": store_dtype,
+        "hbm_budget_mb": os.environ.get("SEMA_TPU_HBM_BUDGET_MB"),
+        "scan_paths": sorted({str(k[0]) for k in store._topk_fns}),
     }
     batcher.close()
     store.close()
@@ -239,17 +267,29 @@ def main() -> int:
     ap.add_argument("--mut-batch", type=int, default=4096,
                     help="rows per streamed re-index batch (every 0.5 s)")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--ivf", action="store_true",
+                    help="cluster sealed buckets; serve via pruned probes")
+    ap.add_argument("--store-dtype", default="bfloat16",
+                    choices=["bfloat16", "float32", "int8"])
+    ap.add_argument("--hbm-budget-mb", type=float, default=None,
+                    help="force an HBM budget (engages spill when the "
+                    "store exceeds it); sets SEMA_TPU_HBM_BUDGET_MB")
+    ap.add_argument("--data-dir", default=None,
+                    help="persistent store directory (reused if it "
+                    "already holds >= --rows live rows)")
     args = ap.parse_args()
 
+    if args.hbm_budget_mb is not None:
+        os.environ["SEMA_TPU_HBM_BUDGET_MB"] = str(args.hbm_budget_mb)
     from sema_tpu.utils.jaxcache import enable as enable_comp_cache
     enable_comp_cache()
-    import os
     if os.environ.get("SEMA_TPU_PLATFORM"):
         import jax
         jax.config.update("jax_platforms", os.environ["SEMA_TPU_PLATFORM"])
     result = run(args.rows, args.dim, args.clients, args.max_batch,
                  args.duration, args.mutate, k=args.k,
-                 mut_batch=args.mut_batch)
+                 mut_batch=args.mut_batch, ivf=args.ivf,
+                 store_dtype=args.store_dtype, data_dir=args.data_dir)
     print(json.dumps(result))
     ok = result["errors"] == 0 and result["mismatches"] == 0
     return 0 if ok else 1
