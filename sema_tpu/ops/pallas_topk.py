@@ -37,7 +37,7 @@ K_PAD = 128    # lane-aligned width of the running top-k state
 
 def _merge_and_emit(scores, i, row0, out_s_ref, out_i_ref,
                     run_s, run_i, wide, tmp_s, tmp_i, *, k: int,
-                    tile_n: int):
+                    tile_n: int, thr0=None):
     """Shared tail of the scan kernels: init running state, threshold
     screen, survivor-bounded insertion merge, and the final-tile emit.
     ``scores`` is (Q, TILE_N) f32 with NEG in dead slots; ``row0`` is
@@ -85,6 +85,14 @@ def _merge_and_emit(scores, i, row0, out_s_ref, out_i_ref,
     # never takes (round-3 A/B: this cut ~2 full-width VPU passes per
     # tile vs computing surv/scores-thr unconditionally).
     thr = run_s[:, k - 1:k]                         # (Q, 1)
+    if thr0 is not None:
+        # warm start (scan A/B #15): ``thr0`` is a per-query UNDER-
+        # estimate of the true k-th score (strictly below it — the
+        # caller samples a store prefix and backs off one ULP), so
+        # screening against max(running, thr0) rejects the early tiles
+        # that a cold NEG threshold merges while every true top-k
+        # member still survives (subset k-th <= global k-th).
+        thr = jnp.maximum(thr, thr0)
     rowmax = jnp.max(scores, axis=1, keepdims=True)  # (Q, 1)
     tile_best = jnp.max(rowmax - thr)               # scalar
 
@@ -161,6 +169,39 @@ def _scan_kernel_nomask(q_ref, store_ref, out_s_ref, out_i_ref,
                     run_s, run_i, wide, tmp_s, tmp_i, k=k, tile_n=tile_n)
 
 
+def _scan_kernel_warm(thr0_ref, q_ref, store_ref, valid_ref,
+                      out_s_ref, out_i_ref,
+                      run_s, run_i, wide, tmp_s, tmp_i, *, k: int,
+                      tile_n: int):
+    """Masked kernel + the per-query warm-start threshold (A/B #15)."""
+    i = pl.program_id(0)
+    q = q_ref[:]
+    tile = store_ref[:]
+    scores = jax.lax.dot_general(
+        q, tile, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    vmask = valid_ref[:]
+    scores = jnp.where(vmask > 0, scores, NEG)
+    _merge_and_emit(scores, i, i * tile_n, out_s_ref, out_i_ref,
+                    run_s, run_i, wide, tmp_s, tmp_i, k=k, tile_n=tile_n,
+                    thr0=thr0_ref[:])
+
+
+def _scan_kernel_nomask_warm(thr0_ref, q_ref, store_ref,
+                             out_s_ref, out_i_ref,
+                             run_s, run_i, wide, tmp_s, tmp_i, *, k: int,
+                             tile_n: int):
+    i = pl.program_id(0)
+    q = q_ref[:]
+    tile = store_ref[:]
+    scores = jax.lax.dot_general(
+        q, tile, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    _merge_and_emit(scores, i, i * tile_n, out_s_ref, out_i_ref,
+                    run_s, run_i, wide, tmp_s, tmp_i, k=k, tile_n=tile_n,
+                    thr0=thr0_ref[:])
+
+
 def _scan_kernel_int8(q_ref, store_ref, scale_ref, valid_ref,
                       out_s_ref, out_i_ref,
                       run_s, run_i, wide, tmp_s, tmp_i, *, k: int,
@@ -182,19 +223,44 @@ def _scan_kernel_int8(q_ref, store_ref, scale_ref, valid_ref,
                     run_s, run_i, wide, tmp_s, tmp_i, k=k, tile_n=tile_n)
 
 
+def _warm_thr0(store, queries, valid, k: int, warm_rows: int,
+               masked: bool):
+    """Per-query warm-start threshold: one ULP below the k-th best score
+    of the first ``warm_rows`` store rows. A subset's k-th best can never
+    exceed the global k-th best, and the one-ULP backoff keeps scores
+    EQUAL to the sample k-th strictly above the screen — so every true
+    top-k member still merges (exactness argument in _merge_and_emit).
+    Fully-masked samples degrade to -inf, i.e. a cold start."""
+    sample = store[:warm_rows]
+    s = jax.lax.dot_general(
+        queries.astype(store.dtype), sample,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (Q, warm_rows)
+    if masked:
+        s = jnp.where(valid[:warm_rows][None, :], s, -jnp.inf)
+    t_k = jax.lax.top_k(s, k)[0][:, k - 1:k]         # (Q, 1)
+    return jnp.nextafter(t_k, jnp.float32(-jnp.inf))
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("k", "tile_n", "interpret", "masked"))
+                   static_argnames=("k", "tile_n", "interpret", "masked",
+                                    "warm_rows"))
 def _pallas_topk_padded(store, queries, valid, k: int, tile_n: int,
-                        interpret: bool, masked: bool = True):
+                        interpret: bool, masked: bool = True,
+                        warm_rows: int = 0):
     n, d = store.shape
     qn = queries.shape[0]
     grid = (n // tile_n,)
 
+    warm = warm_rows > 0
     if masked:
-        kernel = functools.partial(_scan_kernel, k=k, tile_n=tile_n)
+        kernel = functools.partial(
+            _scan_kernel_warm if warm else _scan_kernel,
+            k=k, tile_n=tile_n)
     else:
-        kernel = functools.partial(_scan_kernel_nomask, k=k,
-                                   tile_n=tile_n)
+        kernel = functools.partial(
+            _scan_kernel_nomask_warm if warm else _scan_kernel_nomask,
+            k=k, tile_n=tile_n)
     in_specs = [
         pl.BlockSpec((qn, d), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -206,6 +272,11 @@ def _pallas_topk_padded(store, queries, valid, k: int, tile_n: int,
         in_specs.append(pl.BlockSpec((1, tile_n), lambda i: (0, i),
                                      memory_space=pltpu.VMEM))
         operands.append(valid.astype(jnp.float32).reshape(1, n))
+    if warm:
+        thr0 = _warm_thr0(store, queries, valid, k, warm_rows, masked)
+        in_specs.insert(0, pl.BlockSpec((qn, 1), lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM))
+        operands.insert(0, thr0)
     out_s, out_i = pl.pallas_call(
         kernel,
         grid=grid,
@@ -233,16 +304,23 @@ def _pallas_topk_padded(store, queries, valid, k: int, tile_n: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "tile_n", "interpret", "masked"))
+                   static_argnames=("k", "tile_n", "interpret", "masked",
+                                    "warm_rows"))
 def pallas_topk(store: jax.Array, queries: jax.Array, valid: jax.Array,
                 k: int, tile_n: int = 2048, interpret: bool = False,
-                masked: bool = True):
+                masked: bool = True, warm_rows: int = 0):
     """Exact top-k of ``queries @ store.T`` with validity masking.
 
     Jitted as a whole (kernel + sentinel normalization + slicing): the
     post-processing ops must not become separate dispatches — on
     tunneled hosts each dispatch costs ~27 ms of pump time and unjitted
     callers measured ~2× slower end-to-end.
+
+    ``warm_rows > 0`` enables the warm-start screen (scan A/B #15): the
+    first ``warm_rows`` store rows are pre-scored in XLA and each
+    query's sample k-th best (minus one ULP) seeds the kernel's
+    threshold, so early tiles stop merging. Exact for any value; 0
+    keeps the shipped cold-start kernels (identical HLO).
 
     store:   (N, d) bf16/f32, N % tile_n == 0, d a lane multiple
     queries: (Q, d) — cast to the store dtype for the MXU
@@ -255,7 +333,8 @@ def pallas_topk(store: jax.Array, queries: jax.Array, valid: jax.Array,
     if k > K_PAD:
         raise ValueError(f"k={k} exceeds the kernel's K_PAD={K_PAD}")
     out_s, out_i = _pallas_topk_padded(store, queries, valid, k, tile_n,
-                                       interpret, masked=masked)
+                                       interpret, masked=masked,
+                                       warm_rows=min(warm_rows, n))
     # normalize the masked-slot contract to match the XLA paths: inside the
     # kernel invalid/padded rows carry the finite sentinel NEG (Mosaic
     # embeds it literally); consumers filter masked slots with isfinite, so
@@ -266,14 +345,16 @@ def pallas_topk(store: jax.Array, queries: jax.Array, valid: jax.Array,
 
 
 def pallas_topk_scores(store, queries, valid, k, tile_n: int = 2048,
-                       interpret: bool = False, masked: bool = True):
+                       interpret: bool = False, masked: bool = True,
+                       warm_rows: int = 0):
     """Drop-in replacement for ops.topk.batched_topk_scores (same contract);
     pads are expected to be pre-masked via ``valid``. Pass
     ``masked=False`` ONLY when every row of the store is live (no
     tombstones, no padding) — the validity input is then ignored and
     the per-tile mask select is skipped."""
     return pallas_topk(store, queries, valid, k, tile_n=tile_n,
-                       interpret=interpret, masked=masked)
+                       interpret=interpret, masked=masked,
+                       warm_rows=warm_rows)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))

@@ -260,3 +260,78 @@ def test_maskless_variant_matches_masked():
                            masked=False)
     np.testing.assert_array_equal(np.asarray(s_m), np.asarray(s_u))
     np.testing.assert_array_equal(np.asarray(i_m), np.asarray(i_u))
+
+
+class TestWarmStart:
+    """warm_rows > 0 seeds the screen with a sampled k-th-score estimate
+    (scan A/B #15). Must stay EXACT: the estimate is one ULP below the
+    sample k-th, so scores equal to it still merge."""
+
+    @pytest.mark.parametrize("warm_rows", [128, 512, 1024])
+    @pytest.mark.parametrize("k", [1, 10])
+    def test_matches_cold(self, k, warm_rows):
+        store, queries = _data(1024, seed=3)
+        valid = np.ones(1024, bool)
+        valid[::13] = False
+        cold = pallas_topk(jnp.asarray(store), jnp.asarray(queries),
+                           jnp.asarray(valid), k, tile_n=128,
+                           interpret=True)
+        warm = pallas_topk(jnp.asarray(store), jnp.asarray(queries),
+                           jnp.asarray(valid), k, tile_n=128,
+                           interpret=True, warm_rows=warm_rows)
+        np.testing.assert_array_equal(np.asarray(cold[1]),
+                                      np.asarray(warm[1]))
+        np.testing.assert_allclose(np.asarray(cold[0]),
+                                   np.asarray(warm[0]), atol=0)
+
+    def test_exact_when_kth_ties_sample_kth(self):
+        """Adversarial: the global k-th best EQUALS the sample k-th best
+        (the sample holds some of the true winners) — the one-ULP
+        backoff must keep those rows above the strict > screen."""
+        d = 128
+        store = np.zeros((512, d), dtype=np.float32)
+        q = np.zeros((1, d), dtype=np.float32)
+        q[0, 0] = 1.0
+        # winners inside AND outside the 128-row sample, exact ties
+        for r in (5, 60, 200, 400):
+            store[r, 0] = 0.75
+        store[300, 0] = 0.9          # unique top-1 outside the sample
+        valid = np.ones(512, bool)
+        ps, pi = pallas_topk(jnp.asarray(store), jnp.asarray(q),
+                             jnp.asarray(valid), 5, tile_n=128,
+                             interpret=True, warm_rows=128)
+        assert np.asarray(pi)[0].tolist() == [300, 5, 60, 200, 400]
+
+    def test_fully_masked_sample_degrades_cold(self):
+        store, queries = _data(512, q=2, seed=4)
+        valid = np.ones(512, bool)
+        valid[:128] = False           # the whole sample is tombstoned
+        ps, pi = pallas_topk(jnp.asarray(store), jnp.asarray(queries),
+                             jnp.asarray(valid), 3, tile_n=128,
+                             interpret=True, warm_rows=128)
+        ns, ni = batched_topk_scores(jnp.asarray(store),
+                                     jnp.asarray(queries),
+                                     jnp.asarray(valid), 3)
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(ni))
+
+    def test_nomask_variant(self):
+        store, queries = _data(1024, seed=5)
+        valid = np.ones(1024, bool)
+        warm = pallas_topk(jnp.asarray(store), jnp.asarray(queries),
+                           jnp.asarray(valid), 10, tile_n=128,
+                           interpret=True, masked=False, warm_rows=256)
+        ns, ni = batched_topk_scores(jnp.asarray(store),
+                                     jnp.asarray(queries),
+                                     jnp.asarray(valid), 10)
+        np.testing.assert_array_equal(np.asarray(warm[1]), np.asarray(ni))
+
+    def test_warm_rows_larger_than_store_clamped(self):
+        store, queries = _data(256, q=2, seed=6)
+        valid = np.ones(256, bool)
+        warm = pallas_topk(jnp.asarray(store), jnp.asarray(queries),
+                           jnp.asarray(valid), 4, tile_n=128,
+                           interpret=True, warm_rows=4096)
+        ns, ni = batched_topk_scores(jnp.asarray(store),
+                                     jnp.asarray(queries),
+                                     jnp.asarray(valid), 4)
+        np.testing.assert_array_equal(np.asarray(warm[1]), np.asarray(ni))
