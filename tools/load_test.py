@@ -170,6 +170,11 @@ def run(rows: int, dim: int, clients: int, max_batch: int,
                 res = batcher.search(probes[pi], k, timeout=120.0)
             except Exception:
                 errors[ci] += 1
+                # back off as a real client honoring 503/Retry-After
+                # would — at saturation an immediate retry turns every
+                # client into a busy error loop (the 4M rehearsal
+                # counted 21M queue-full retries in 158 s)
+                stop.wait(0.1)
                 continue
             latencies[ci].append(time.perf_counter() - t)
             if not res or res[0][0].id != f"planted.txt:{planted[pi]}":

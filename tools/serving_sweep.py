@@ -51,6 +51,7 @@ def rung(batcher, probes, planted, clients: int, duration: float,
                 res = batcher.search(probes[pi], k, timeout=120.0)
             except Exception:
                 errors[ci] += 1
+                stop.wait(0.1)   # Retry-After-style backoff
                 continue
             lat[ci].append(time.perf_counter() - t)
             if not res or res[0][0].id != f"planted.txt:{planted[pi]}":
