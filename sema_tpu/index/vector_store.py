@@ -355,6 +355,9 @@ class VectorStore:
         self._pending_dev: Dict[str, "jax.Array"] = {}
         self._topk_fns: Dict[Tuple[int, int, str], callable] = {}
         self._spill_ex = None   # lazy 1-thread slice-fill prefetcher
+        # union probe views over the spilled buckets' IVF layouts
+        # (_spill_union_view), keyed by bucket-list identity
+        self._spill_union: Dict[tuple, dict] = {}
         # bounded row→chunk cache: serving materializes the same hot rows
         # over and over (rows are immutable once written; compaction only
         # happens at load, before any caller holds row ids)
@@ -1745,26 +1748,72 @@ class VectorStore:
     # host→device upload (see _ivf_spill_dispatch)
     IVF_SPLIT_MIN_TILES = 16
 
-    def _ivf_spill_dispatch(self, b: dict, q, q_live_host: np.ndarray,
+    def _spill_union_view(self, spill_bs: list) -> dict:
+        """Concatenated probe view over spilled buckets' IVF layouts.
+
+        The union centroid matrix plus a cluster→row-span table in a
+        VIRTUAL blob space where bucket ``bi``'s (tile-aligned) blob
+        occupies rows ``[voffs[bi], voffs[bi+1])``. ``select_tiles``
+        runs on this view unchanged — a global tile id maps back to
+        (bucket, local tile) through the voffs ranges, which stay
+        tile-aligned because every blob's total is a tile multiple.
+
+        Cached by bucket content identity ((seg_range, row_offset) per
+        bucket): bucket dicts are immutable once built, and a rebuild
+        that re-covers the same segments reuses the same persisted
+        layout, so cross-rebuild reuse is sound."""
+        key = tuple((b["seg_range"], b["row_offset"]) for b in spill_bs)
+        view = self._spill_union.get(key)
+        if view is not None:
+            return view
+        t = self._spill_tile()
+        cents, starts, offs = [], [], [0]
+        v = 0
+        for b in spill_bs:
+            iv = b["ivf_spill"]
+            c = len(iv["centroids"])
+            cents.append(np.asarray(iv["centroids"], np.float32))
+            starts.append(np.asarray(iv["starts"][:c], np.int64) + v)
+            v += int(iv["n_pad"])     # aligned blob total (== starts[c])
+            offs.append(v)
+        starts.append(np.asarray([v], dtype=np.int64))
+        view = {"centroids": np.concatenate(cents, axis=0),
+                "starts": np.concatenate(starts),
+                "voffs": np.asarray(offs, dtype=np.int64),
+                "n_tiles": v // t}
+        if len(self._spill_union) > 8:    # bucket lists churn slowly;
+            self._spill_union.clear()     # bound the stale views
+        self._spill_union[key] = view
+        return view
+
+    def _ivf_spill_dispatch(self, spill_bs: list, q,
+                            q_live_host: np.ndarray,
                             k_scan: int, window: list):
-        """Pruned probe over a SPILLED bucket: gather only the probed
-        tiles from the tile-aligned cluster-major disk blob (one
-        coalesced read per probed cluster), upload a probe-sized staging
-        buffer (``_stage_tiles`` rounding), and scan it with the pruned
-        kernel (identity tile ids; pad steps repeat the last live tile
-        so Mosaic elides their DMA).
+        """Pruned probe over the UNION of spilled buckets: select each
+        query's top-nprobe clusters across every spilled bucket's
+        centroids at once (_spill_union_view), gather only the probed
+        tiles from the tile-aligned cluster-major disk blobs (one
+        coalesced read per probed cluster), upload ONE probe-sized
+        staging buffer (``_stage_tiles`` rounding), and scan it with
+        the pruned kernel (identity tile ids; pad steps repeat the last
+        live tile so Mosaic elides their DMA).
+
         This is what makes an over-HBM store SERVABLE for interactive
-        queries: the exact streamed scan moves the whole bucket
+        queries: the exact streamed scan moves the whole spilled tier
         host→device per batch, the probe moves ~1/IVF_BUDGET_DIV of it
-        at most and typically a few percent.
+        at most and typically a few percent. The union matters as much
+        as the pruning: per-bucket probes pay nprobe clusters PER
+        BUCKET per query — on a live build that spilled 17 SEAL_ROWS
+        buckets, a 16-query batch probed most of every bucket and
+        served at ~33 s/batch (4M config-5 rehearsal, r4); the union
+        probe picks nprobe clusters TOTAL per query, skips unprobed
+        buckets entirely, and serves the same store at the
+        consolidated-single-bucket speed (~2 s for the same batch).
 
         Probes of ≥ IVF_SPLIT_MIN_TILES live tiles stage in two halves
         dispatched back-to-back: PJRT uploads are async, so the second
         half's memmap gather runs while the first half streams
-        host→device — the only overlap available inside ONE bucket
-        (across buckets the loop in search_batch_async already overlaps
-        implicitly, but big stores consolidate to a single spilled
-        bucket). The halves split the SAME ``_stage_tiles(n_live)``
+        host→device. The halves split the SAME ``_stage_tiles(n_live)``
         buffer (b_eff//2 + remainder), so total staged bytes — and the
         accounting in tools/spill_ivf_bench.py — are identical to an
         unsplit probe. Each half is its own pending entry; the merge
@@ -1772,7 +1821,8 @@ class VectorStore:
 
         Returns a non-empty list of pending entries (joined to the
         shared staging ``window`` — same HBM bound as streamed slices),
-        or None → caller falls back to the full streamed scan."""
+        or None → caller retries per bucket, then falls back to the
+        full streamed scan."""
         from sema_tpu.ops.ivf import select_tiles
         if k_scan > 128:           # K_PAD ceiling of the fused kernels
             return None
@@ -1780,12 +1830,11 @@ class VectorStore:
         if not (on_tpu
                 or os.environ.get("SEMA_TPU_SCAN_BACKEND") == "pallas"):
             return None
-        iv = b["ivf_spill"]
         t = self._spill_tile()
-        n_tiles = iv["n_pad"] // t
-        budget = max(2, n_tiles // self.IVF_BUDGET_DIV)
-        sel = select_tiles(iv["centroids"], iv["starts"], q_live_host,
-                           self.ivf_nprobe, t, budget)
+        view = self._spill_union_view(spill_bs)
+        budget = max(2, view["n_tiles"] // self.IVF_BUDGET_DIV)
+        sel = select_tiles(view["centroids"], view["starts"],
+                           q_live_host, self.ivf_nprobe, t, budget)
         if sel is None:
             return None
         tiles, n_live = sel
@@ -1805,58 +1854,85 @@ class VectorStore:
                      (live_tiles[n1:], b2))
         else:
             specs = ((live_tiles, b_eff),)
-        return [self._ivf_spill_stage(b, iv, lt, be, q, k_scan, window)
+        return [self._ivf_spill_stage(spill_bs, view, lt, be, q, k_scan,
+                                      window)
                 for lt, be in specs]
 
-    def _ivf_spill_stage(self, b: dict, iv: dict,
+    def _ivf_spill_stage(self, spill_bs: list, view: dict,
                          live_tiles: np.ndarray, b_eff: int, q,
                          k_scan: int, window: list):
-        """Gather one probe tile-subset from the spill blob, upload the
-        staging buffer, dispatch the pruned kernel (async), and return
-        the pending entry (see _ivf_spill_dispatch)."""
+        """Gather one probe tile-subset (possibly spanning several
+        spilled buckets' blobs) into a single staging buffer, upload,
+        dispatch the pruned kernel (async), and return the pending
+        entry (see _ivf_spill_dispatch).
+
+        Tile ids are in the union view's virtual blob space. Staged
+        order == ``live_tiles`` order, so bucket ``bi``'s staged tiles
+        are exactly the contiguous run of ``live_tiles`` inside its
+        ``voffs`` range. The entry's rowmap carries GLOBAL row ids
+        (bucket-local row + row_offset), so the merge applies no
+        per-entry offset (entry offset 0)."""
         t = self._spill_tile()
         n_live = len(live_tiles)
         # int8 stores carry a QUANTIZED blob (int8 rows + per-row f32
         # scales): half the staged upload, selection on the int8 pruned
         # kernel, and the ordinary rescore_k full-precision re-rank
-        # downstream — same contract as the store's device buckets
-        scales_mm = iv.get("scales")
+        # downstream — same contract as the store's device buckets.
+        # (The caller groups buckets by blob kind, so presence on the
+        # first bucket speaks for the whole list.)
+        scales_present = (spill_bs[0]["ivf_spill"].get("scales")
+                          is not None)
         staged = np.zeros((b_eff * t, self.dim),
-                          dtype=np.int8 if scales_mm is not None
+                          dtype=np.int8 if scales_present
                           else self.np_dtype)
         staged_scales = (np.zeros((b_eff * t,), dtype=np.float32)
-                         if scales_mm is not None else None)
-        # tile ids are sorted-unique and clusters are contiguous tile
-        # runs in the aligned blob, so coalesce consecutive ids into one
-        # memmap read per probed cluster instead of one per tile
-        cut = np.flatnonzero(np.diff(live_tiles) != 1) + 1
-        j = 0
-        for run in np.split(live_tiles, cut):
-            a, n = int(run[0]), len(run)
-            staged[j * t:(j + n) * t] = iv["vectors"][a * t:(a + n) * t]
-            if staged_scales is not None:
-                staged_scales[j * t:(j + n) * t] = \
-                    scales_mm[a * t:(a + n) * t]
-            j += n
-        # staged position -> original bucket row (for the merge), and
-        # validity: alignment-gap slots (sentinel perm entries >= rows)
-        # + tombstones
-        pos = (live_tiles[:, None].astype(np.int64) * t
-               + np.arange(t)).ravel()
+                         if scales_present else None)
         rowmap = np.zeros((b_eff * t,), dtype=np.int32)
-        rowmap[:n_live * t] = iv["perm"][pos]
-        rows = b["rows"]
-        # also reject NEGATIVE ids: the sidecar is unchecksummed (a torn
-        # write is caught by atomic rename + size check, but bit rot
-        # isn't) and a corrupt negative perm entry would pass `< rows`,
-        # survive the scan, and fetch a wrong chunk downstream
-        rm = rowmap[:n_live * t]
-        v = (rm >= 0) & (rm < rows)
-        dead = self._dead_bitmap(b["seg_range"], rows)
-        if dead is not None:
-            v &= ~dead[np.clip(rm, 0, rows - 1)]
         valid = np.zeros((b_eff * t,), dtype=bool)
-        valid[:n_live * t] = v
+        voffs = view["voffs"]
+        for bi, b in enumerate(spill_bs):
+            iv = b["ivf_spill"]
+            t_lo = int(voffs[bi]) // t
+            t_hi = int(voffs[bi + 1]) // t
+            lo_i = int(np.searchsorted(live_tiles, t_lo, "left"))
+            hi_i = int(np.searchsorted(live_tiles, t_hi, "left"))
+            if hi_i == lo_i:
+                continue           # no probed tiles in this bucket
+            loc = live_tiles[lo_i:hi_i] - t_lo
+            # tile ids are sorted-unique and clusters are contiguous
+            # tile runs in the aligned blob, so coalesce consecutive ids
+            # into one memmap read per probed cluster, not one per tile
+            cut = np.flatnonzero(np.diff(loc) != 1) + 1
+            j = lo_i
+            for run in np.split(loc, cut):
+                a, n = int(run[0]), len(run)
+                staged[j * t:(j + n) * t] = \
+                    iv["vectors"][a * t:(a + n) * t]
+                if staged_scales is not None:
+                    staged_scales[j * t:(j + n) * t] = \
+                        iv["scales"][a * t:(a + n) * t]
+                j += n
+            # staged position → original row (for the merge), and
+            # validity: alignment-gap slots (sentinel perm entries
+            # >= rows) + tombstones. Also reject NEGATIVE ids: the
+            # sidecar is unchecksummed (a torn write is caught by atomic
+            # rename + size check, but bit rot isn't) and a corrupt
+            # negative perm entry would pass `< rows`, survive the scan,
+            # and fetch a wrong chunk downstream.
+            pos = (loc[:, None].astype(np.int64) * t
+                   + np.arange(t)).ravel()
+            rm = iv["perm"][pos]
+            rows = b["rows"]
+            v = (rm >= 0) & (rm < rows)
+            dead = self._dead_bitmap(b["seg_range"], rows)
+            if dead is not None:
+                v &= ~dead[np.clip(rm, 0, rows - 1)]
+            # clip BEFORE the global offset: even a (-inf-masked)
+            # sentinel slot then maps inside this bucket's own range
+            # and can never alias a neighbor bucket's rows
+            s0, s1 = lo_i * t, hi_i * t
+            rowmap[s0:s1] = np.clip(rm, 0, rows - 1) + b["row_offset"]
+            valid[s0:s1] = v
         # identity tile ids over the staging buffer; pad steps repeat the
         # last live tile (DMA elided), their scores are masked by n_live
         tiles_ident = np.minimum(np.arange(b_eff, dtype=np.int32),
@@ -1874,7 +1950,7 @@ class VectorStore:
         packed = fn(store_op, q, jnp.asarray(valid),
                     jnp.asarray(tiles_ident),
                     jnp.asarray([n_live], dtype=jnp.int32))
-        entry = [b["row_offset"], packed, k_scan, rowmap]
+        entry = [0, packed, k_scan, rowmap]
         window.append(entry)
         if len(window) >= self.SPILL_INFLIGHT:
             oldest = window.pop(0)
@@ -2021,26 +2097,47 @@ class VectorStore:
         pending = []
         spill_window = []   # staged-slice bound shared across buckets
         q_live_host = None  # lazy one-time fetch for IVF probes
+        # HBM-spill: IVF-clustered spilled buckets probe as ONE logical
+        # index (union centroid selection, one staged upload + kernel —
+        # see _ivf_spill_dispatch for why per-bucket probes collapse on
+        # multi-bucket spills); buckets the union can't serve retry
+        # individually, then stream whole. All spill paths block for the
+        # staged portion (bounded staging HBM beats async purity for an
+        # over-capacity store).
+        spill_served: set = set()
+        spill_ivf = [b for b in buckets
+                     if b.get("host_resident")
+                     and b.get("ivf_spill") is not None]
+        if spill_ivf:
+            q_live_host = np.asarray(query_vecs[:live], np.float32)
+            # legacy mixed dirs: an int8 store can carry an unquantized
+            # (pre-v2) blob next to quantized ones — the staging buffer
+            # is one dtype, so dispatch one union per blob kind
+            by_kind: Dict[bool, list] = {}
+            for b in spill_ivf:
+                kind = b["ivf_spill"].get("scales") is not None
+                by_kind.setdefault(kind, []).append(b)
+            for group in by_kind.values():
+                entries = self._ivf_spill_dispatch(
+                    group, q, q_live_host, k_class, spill_window)
+                if entries is None and len(group) > 1:
+                    # union probe over budget (huge query batch):
+                    # per-bucket probes may still fit their own budgets
+                    for b in group:
+                        e = self._ivf_spill_dispatch(
+                            [b], q, q_live_host, k_class, spill_window)
+                        if e is not None:
+                            pending.extend(e)
+                            spill_served.add(id(b))
+                elif entries is not None:
+                    pending.extend(entries)
+                    spill_served.update(id(b) for b in group)
         for b in buckets:
             if b.get("host_resident"):
-                # HBM-spill: IVF-clustered spilled buckets try the pruned
-                # probe first (upload only the probed tiles from the
-                # cluster-major blob); otherwise stream the whole bucket
-                # through the scan now. Both block for the staged
-                # portion (bounded staging HBM beats async purity for an
-                # over-capacity store).
-                entries = None
-                if b.get("ivf_spill") is not None:
-                    if q_live_host is None:
-                        q_live_host = np.asarray(query_vecs[:live],
-                                                 np.float32)
-                    entries = self._ivf_spill_dispatch(
-                        b, q, q_live_host, k_class, spill_window)
-                if entries is not None:
-                    pending.extend(entries)
-                else:
-                    pending.extend(self._scan_host_bucket(b, q, k_class,
-                                                          spill_window))
+                if id(b) in spill_served:
+                    continue
+                pending.extend(self._scan_host_bucket(b, q, k_class,
+                                                      spill_window))
                 continue
             k_scan = min(k_class, b["n_pad"])
             if b.get("ivf") is not None:

@@ -492,3 +492,124 @@ def test_spilled_ivf_probe_split_halves(tmp_path, spill_ivf_env,
     assert ids[0][0] == 123
     assert scores[0][0] == pytest.approx(1.0, abs=1e-2)
     store.close()
+
+
+# ---------------------------------------------------------------------------
+# union probe over MULTIPLE spilled buckets (the live-build spill shape)
+# ---------------------------------------------------------------------------
+
+def test_spilled_ivf_union_probe_multibucket(tmp_path, spill_ivf_env,
+                                             monkeypatch):
+    """A live build that spills MANY buckets probes them as ONE logical
+    index: a single union dispatch (one staged upload + kernel), nprobe
+    clusters selected per query across ALL buckets' centroids, unprobed
+    buckets skipped outright. Per-bucket probes lose their selectivity
+    exactly when spills multiply — nprobe clusters PER BUCKET per query
+    approaches whole-bucket staging on batched queries (4M config-5
+    rehearsal served at ~33 s/batch that way; r4). Correctness: each
+    bucket's planted winner surfaces with its exact GLOBAL row id (the
+    union rowmap folds per-bucket offsets), tombstoned winners don't.
+
+    nprobe scales with the union: the fixture's nprobe=2 is tuned for
+    ONE bucket's 16 clusters — across 6x16 union clusters the winner's
+    own centroid can lose a top-2 race on random data (that's the
+    recall/cost dial, not a routing bug), so probe 8 of 96 here."""
+    monkeypatch.setenv("SEMA_TPU_IVF_NPROBE", "8")
+    monkeypatch.setattr(VectorStore, "IVF_BUDGET_DIV", 1)
+    store = make_store(tmp_path)
+    n_b = 6
+    all_vecs = []
+    for b in range(n_b):
+        cs, vecs = chunks_and_vecs(512, path=f"f{b}.txt", seed=20 + b)
+        store.add_chunks(cs, vecs)
+        all_vecs.append(vecs)
+    buckets = store.device_buckets()
+    assert len([b for b in buckets if b.get("host_resident")]) == n_b
+    assert all(b.get("ivf_spill") is not None for b in buckets)
+
+    calls = []
+    orig_disp = VectorStore._ivf_spill_dispatch
+    monkeypatch.setattr(
+        VectorStore, "_ivf_spill_dispatch",
+        lambda self, bs, *a, **k: calls.append(len(bs))
+        or orig_disp(self, bs, *a, **k))
+    streamed = []
+    orig_stream = VectorStore._scan_host_bucket
+    monkeypatch.setattr(
+        VectorStore, "_scan_host_bucket",
+        lambda self, *a, **k: streamed.append(1)
+        or orig_stream(self, *a, **k))
+
+    # one probe aimed at each bucket: every bucket's winner must surface
+    q = np.stack([all_vecs[b][7] for b in range(n_b)])
+    scores, ids = store.search_batch(q, k=3)
+    assert calls == [n_b], "ONE union dispatch over all spilled buckets"
+    assert not streamed
+    for b in range(n_b):
+        assert ids[b][0] == b * 512 + 7, f"bucket {b} winner id"
+        assert scores[b][0] == pytest.approx(1.0, abs=1e-2)
+
+    # tombstones hold across the union: delete bucket 2's file — its
+    # winner must vanish while every other bucket's still surfaces
+    store.remove_file_chunks(Path("f2.txt"))
+    calls.clear()
+    scores2, ids2 = store.search_batch(q, k=3)
+    assert calls == [n_b]
+    finite2 = [int(i) for i, s in zip(ids2[2], scores2[2])
+               if np.isfinite(s)]
+    assert all(not (2 * 512 <= i < 3 * 512) for i in finite2), \
+        "tombstoned bucket rows must not surface"
+    for b in (0, 1, 3, 4, 5):
+        assert ids2[b][0] == b * 512 + 7
+    store.close()
+
+
+def test_spilled_ivf_union_budget_fallback(tmp_path, spill_ivf_env,
+                                           monkeypatch):
+    """A union probe past its global budget retries per bucket: buckets
+    whose own probes fit still serve pruned; results stay correct.
+    (The fixture's nprobe=2 per bucket keeps each per-bucket probe
+    inside its own budget — the union "failure" is forced below.)"""
+    store = make_store(tmp_path)
+    n_b = 3
+    all_vecs = []
+    for b in range(n_b):
+        cs, vecs = chunks_and_vecs(512, path=f"f{b}.txt", seed=40 + b)
+        store.add_chunks(cs, vecs)
+        all_vecs.append(vecs)
+    buckets = store.device_buckets()
+    assert all(b.get("ivf_spill") is not None for b in buckets)
+    n_union = sum(len(b["ivf_spill"]["centroids"]) for b in buckets)
+
+    import sema_tpu.ops.ivf as ivf_ops
+    orig_sel = ivf_ops.select_tiles
+
+    def sel(centroids, starts, queries, nprobe, tile_n, budget):
+        if len(centroids) == n_union:
+            return None     # force "union over budget"
+        return orig_sel(centroids, starts, queries, nprobe, tile_n,
+                        budget)
+
+    monkeypatch.setattr(ivf_ops, "select_tiles", sel)
+    calls = []
+    orig_disp = VectorStore._ivf_spill_dispatch
+    monkeypatch.setattr(
+        VectorStore, "_ivf_spill_dispatch",
+        lambda self, bs, *a, **k: calls.append(len(bs))
+        or orig_disp(self, bs, *a, **k))
+    streamed = []
+    orig_stream = VectorStore._scan_host_bucket
+    monkeypatch.setattr(
+        VectorStore, "_scan_host_bucket",
+        lambda self, *a, **k: streamed.append(1)
+        or orig_stream(self, *a, **k))
+
+    q = np.stack([all_vecs[b][11] for b in range(n_b)])
+    scores, ids = store.search_batch(q, k=2)
+    # one failed union call, then one per bucket
+    assert calls == [n_b] + [1] * n_b
+    assert not streamed, "per-bucket probes fit — nothing streams"
+    for b in range(n_b):
+        assert ids[b][0] == b * 512 + 11
+        assert scores[b][0] == pytest.approx(1.0, abs=1e-2)
+    store.close()
