@@ -273,13 +273,14 @@ def run() -> int:
     # --- single-query device p50 (pipelined) + e2e p50 (incl. dispatch RTT)
     print("# stage: single-query p50", file=sys.stderr, flush=True)
     singles = jnp.asarray(qsets[:, :1, :])
-    # repeats=4: this number sets vs_baseline and single-query programs
+    # repeats=6: this number sets vs_baseline and single-query programs
     # are the most dispatch-rate-sensitive measurement on tunneled hosts
-    # (session-to-session pump drift made r3 runs read 2.0-3.0 ms for
-    # the same binary) — more best-of blocks, still cheap
+    # (session-to-session pump drift made r3 runs read 2.0-3.0 ms and
+    # the r4 builder run 2.56 ms for the same binary; drift only ever
+    # ADDS time, so best-of over more blocks is honest) — still cheap
     p50_single_dev = _measure_device(
         lambda q1: scan_single(store, q1, valid), singles, n_calls=32,
-        repeats=4)
+        repeats=6)
     p50_ms = p50_single_dev * 1e3
     p50_e2e, _ = _measure(scan_single, store, queries[:1], valid, iters=5)
 
