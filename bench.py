@@ -463,7 +463,7 @@ def run() -> int:
                           "tools", "load_test.py"),
              "--rows", str(serve_rows), "--dim", "384",
              "--clients", "1024", "--max-batch", "256",
-             "--duration", "12", "--mutate"],
+             "--warmup", "8", "--duration", "12", "--mutate"],
             capture_output=True, text=True,
             timeout=max(60, stages.left()))
         try:
@@ -514,6 +514,7 @@ def run() -> int:
             # nothing for this rung
             ladder["ivf_fallback"] = True
             return
+        ladder["ivf_fallback"] = False  # schema-stable across rounds
         ladder["ivf_recall_at_10"] = rung["recall_at_k"]
         ladder["ivf_recall_p5"] = rung["recall_p5"]
         ladder["ivf_recall_min"] = rung["recall_min"]
@@ -538,7 +539,7 @@ def run() -> int:
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tools", "spill_ivf_bench.py"),
              "--rows", "262144", "--dim", "384",
-             "--repeats", "3", "--recall-queries", "8"],
+             "--repeats", "3", "--recall-queries", "256"],
             capture_output=True, text=True,
             timeout=max(60, stages.left()))
         try:
@@ -548,13 +549,16 @@ def run() -> int:
                 f"spill-ivf bench failed: {proc.stderr[-1500:]}")
         ladder["spill_ivf_speedup_vs_streamed"] = sp["value"]
         ladder["spill_ivf_recall_at_10"] = sp["recall_at_k"]
+        ladder["spill_ivf_recall_p5"] = sp["recall_p5"]
+        ladder["spill_ivf_recall_min"] = sp["recall_min"]
         ladder["spill_ivf_probe_batch_s"] = sp["probe_batch_s"]
         ladder["spill_ivf_streamed_batch_s"] = sp["streamed_batch_s"]
         ladder["spill_ivf_upload_mb"] = sp["probe_upload_mb"]
+        ladder["spilled_buckets"] = sp["spilled_buckets"]
 
     if not skip_ivf:
         stages.run("spilled-ivf probe (262k on-disk, forced spill)",
-                   est_s=150, fn=stage_spill_ivf)
+                   est_s=300, fn=stage_spill_ivf)
 
     # --- BASELINE config 3's actual serving metric: exact top-10 p50
     # over 1M × 768-d bf16 (e5-base)

@@ -213,7 +213,8 @@ def make_index_manager(config: Config, metrics=None):
         mesh=mesh, slice_axis=slice_axis,
         metrics=metrics, rescore_k=config.index.rescore_k,
         hbm_budget_mb=config.index.hbm_budget_mb,
-        ivf=config.index.ivf, ivf_nprobe=config.index.ivf_nprobe)
+        ivf=config.index.ivf, ivf_nprobe=config.index.ivf_nprobe,
+        ivf_min_recall=config.index.ivf_min_recall)
 
 
 def cmd_index(args) -> int:

@@ -91,6 +91,11 @@ class IndexConfig:
                                      # the reference (LanceDB offers IVF but
                                      # lance_indexer.rs never builds one).
     ivf_nprobe: int = 32             # clusters probed per query in IVF mode
+    ivf_min_recall: float = 0.0      # recall contract (docs/API.md): mean
+                                     # recall@10 target mapped to nprobe via
+                                     # the measured frontier; >= 0.97 routes
+                                     # every query to the exact scan (the
+                                     # only per-query recall floor). 0 = off.
 
 
 @dataclass

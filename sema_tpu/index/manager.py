@@ -42,7 +42,7 @@ class IndexManager:
                  slice_axis: Optional[str] = None,
                  metrics: Optional[Metrics] = None, rescore_k: int = 100,
                  hbm_budget_mb: float = 0.0, ivf: bool = False,
-                 ivf_nprobe: int = 32):
+                 ivf_nprobe: int = 32, ivf_min_recall: float = 0.0):
         self.encoder = encoder
         self.metrics = metrics or null_metrics()
         self.vector_store = VectorStore(
@@ -50,7 +50,7 @@ class IndexManager:
             store_dtype=store_dtype, mesh=mesh, index_axis=index_axis,
             slice_axis=slice_axis,
             rescore_k=rescore_k, hbm_budget_mb=hbm_budget_mb, ivf=ivf,
-            ivf_nprobe=ivf_nprobe)
+            ivf_nprobe=ivf_nprobe, ivf_min_recall=ivf_min_recall)
         self.text_index = make_text_index(data_dir)
 
     # -- indexing ------------------------------------------------------------
@@ -207,8 +207,13 @@ class IndexManager:
 
     # -- search ----------------------------------------------------------------
 
-    def search(self, query: str, limit: int) -> List[Tuple[Chunk, float]]:
-        """Dispatch on the ``'`` prefix (storage/mod.rs:112-125)."""
+    def search(self, query: str, limit: int,
+               exact: bool = False) -> List[Tuple[Chunk, float]]:
+        """Dispatch on the ``'`` prefix (storage/mod.rs:112-125).
+
+        ``exact=True``: per-query recall-contract routing — the vector
+        scan bypasses IVF pruning (recall@k 1.0 by construction); no-op
+        for text queries and non-IVF stores."""
         query = query.strip()
         if query.startswith("'"):
             stripped = query[1:]
@@ -232,7 +237,7 @@ class IndexManager:
                 # device-side embed failure only materializes at the
                 # scan's fetch — it must hit the same degrade path
                 # (review finding, r3)
-                return self.vector_store.search(qvec, limit)
+                return self.vector_store.search(qvec, limit, exact=exact)
         except Exception as e:  # noqa: BLE001 — parity: degrade, don't fail
             # embed-failure fallback: the reference degrades a failed query
             # embedding to a substring scan (lance_indexer.rs:143-148)

@@ -298,7 +298,7 @@ class VectorStore:
                  index_axis: str = "index", slice_axis: Optional[str] = None,
                  rescore_k: int = 100,
                  hbm_budget_mb: float = 0.0, ivf: bool = False,
-                 ivf_nprobe: int = 32):
+                 ivf_nprobe: int = 32, ivf_min_recall: float = 0.0):
         self.dir = Path(data_dir) / "vector_index"
         self.dir.mkdir(parents=True, exist_ok=True)
         self.dim = dim
@@ -331,6 +331,22 @@ class VectorStore:
                       file=_sys.stderr)
         self.ivf_nprobe = int(os.environ.get("SEMA_TPU_IVF_NPROBE",
                                              ivf_nprobe))
+        # Recall contract (docs/API.md "IVF recall contract"): a MEAN
+        # recall@10 target that maps to nprobe through the measured
+        # frontier, or — above the ANN plateau — routes every query to
+        # the exact scan, the only true recall floor. Clustering still
+        # happens at seal time, so the knob can be relaxed later without
+        # a rebuild. An explicit SEMA_TPU_IVF_NPROBE wins: it is the
+        # expert override the contract is built on top of.
+        self.ivf_min_recall = float(os.environ.get(
+            "SEMA_TPU_IVF_MIN_RECALL", ivf_min_recall))
+        self._ivf_route_exact = False
+        if self.ivf and self.ivf_min_recall > 0:
+            nprobe = self.nprobe_for_recall(self.ivf_min_recall)
+            if nprobe is None:
+                self._ivf_route_exact = True
+            elif "SEMA_TPU_IVF_NPROBE" not in os.environ:
+                self.ivf_nprobe = max(self.ivf_nprobe, nprobe)
         self.mesh = mesh
         self.index_axis = index_axis
         # multislice (BASELINE config 5): a second mesh axis mapping
@@ -748,6 +764,32 @@ class VectorStore:
     # 128 rows is Mosaic's lane floor. min() with IVF_TILE so test
     # geometries that shrink IVF_TILE shrink the spill tile with it.
     IVF_SPILL_TILE = 128
+    # Measured mean-recall@10 frontier for the nprobe knob (docs/PERF.md
+    # "IVF" rung: TPU v5e-1, 1M×384 bf16, 2048 clusters, the bench's
+    # deliberately hard clustered synthetic — real embedding corpora
+    # cluster better, so these are floor estimates for the MEAN).
+    # (min_mean_recall, nprobe), ascending. Above the last entry the ANN
+    # plateau is exhausted and the only honest answer is the exact scan.
+    IVF_RECALL_FRONTIER: Tuple[Tuple[float, int], ...] = (
+        (0.934, 8), (0.938, 16), (0.941, 32), (0.950, 64))
+
+    @classmethod
+    def nprobe_for_recall(cls, target: float) -> Optional[int]:
+        """Smallest measured nprobe whose mean recall@10 meets ``target``,
+        or ``None`` when the target exceeds the ANN plateau (route exact).
+
+        The contract this encodes (docs/API.md "IVF recall contract"):
+        the mapping is for MEAN recall on an adversarial corpus; IVF's
+        per-query tail is long (measured p5 0.20 / min 0.0 at nprobe 32,
+        docs/PERF.md "IVF tail recall") and no nprobe guarantees a
+        per-query floor — only the exact scan does. Targets at or above
+        0.97 therefore return None."""
+        if target >= 0.97:
+            return None
+        for mean_recall, nprobe in cls.IVF_RECALL_FRONTIER:
+            if mean_recall >= target:
+                return nprobe
+        return None
 
     def _invalidate_device(self, tail_only: bool = False) -> None:
         if tail_only and self._buckets:
@@ -2064,7 +2106,8 @@ class VectorStore:
         return out
 
     def search_batch_async(self, query_vecs: np.ndarray, k: int,
-                           live: Optional[int] = None):
+                           live: Optional[int] = None,
+                           exact: bool = False):
         """Dispatch a batched scan WITHOUT waiting for the device: every
         bucket's executable is enqueued (PJRT dispatch is async) and an
         opaque pending handle is returned. ``search_batch_finish``
@@ -2077,8 +2120,15 @@ class VectorStore:
         the host merge (and the int8 full-precision rescore — up to
         rescore_k preads per row) would process up to max_batch-1
         phantom all-zero queries per underfilled batch. The device scan
-        itself always runs the padded shape (one executable)."""
+        itself always runs the padded shape (one executable).
+
+        ``exact=True`` is the per-query recall-contract routing (docs/
+        API.md): IVF pruning is skipped for THIS dispatch — device IVF
+        buckets take the exact scan of the (permuted) bucket and spilled
+        IVF buckets stream whole — so recall@k is 1.0 by construction at
+        the exact scan's cost. No rebuild, no store-level mode flip."""
         live = len(query_vecs) if live is None else live
+        exact = exact or self._ivf_route_exact
         buckets = self.device_buckets()
         quantized = self.store_dtype == "int8"
         if not buckets:  # empty store: nothing to scan
@@ -2105,9 +2155,9 @@ class VectorStore:
         # staged portion (bounded staging HBM beats async purity for an
         # over-capacity store).
         spill_served: set = set()
-        spill_ivf = [b for b in buckets
-                     if b.get("host_resident")
-                     and b.get("ivf_spill") is not None]
+        spill_ivf = [] if exact else [
+            b for b in buckets
+            if b.get("host_resident") and b.get("ivf_spill") is not None]
         if spill_ivf:
             q_live_host = np.asarray(query_vecs[:live], np.float32)
             # legacy mixed dirs: an int8 store can carry an unquantized
@@ -2140,7 +2190,7 @@ class VectorStore:
                                                       spill_window))
                 continue
             k_scan = min(k_class, b["n_pad"])
-            if b.get("ivf") is not None:
+            if b.get("ivf") is not None and not exact:
                 if q_live_host is None:
                     q_live_host = np.asarray(query_vecs[:live],
                                              np.float32)
@@ -2195,11 +2245,13 @@ class VectorStore:
         return self._merge_candidates(scores, idx, query_vecs[:live], k,
                                       quantized, n_parts=len(pending))
 
-    def search_batch(self, query_vecs: np.ndarray, k: int
+    def search_batch(self, query_vecs: np.ndarray, k: int,
+                     exact: bool = False
                      ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched scan: (Q, dim) queries → (scores (Q,k'), ids (Q,k'))."""
         return self.search_batch_finish(
-            self.search_batch_async(query_vecs, k), query_vecs)
+            self.search_batch_async(query_vecs, k, exact=exact),
+            query_vecs)
 
     def _merge_candidates(self, scores, idx, query_vecs, k: int,
                           quantized: bool, n_parts: int):
@@ -2252,19 +2304,24 @@ class VectorStore:
                         return out
         return out
 
-    def search(self, query_vec: np.ndarray, k: int
-               ) -> List[Tuple[Chunk, float]]:
-        """Exact top-k scan (single query). Scores are true cosine
+    def search(self, query_vec: np.ndarray, k: int,
+               exact: bool = False) -> List[Tuple[Chunk, float]]:
+        """Top-k scan (single query). Scores are true cosine
         similarities — the reference discards them (storage/mod.rs:123
         returns constant 1.0); keeping them is a strict improvement that
-        makes result ordering meaningful."""
+        makes result ordering meaningful.
+
+        ``exact=True``: recall-contract routing — bypass IVF pruning for
+        this query (recall@k 1.0 by construction). A no-op on non-IVF
+        stores, where every scan is already exact."""
         if self.live_rows == 0:
             return []
         k_eff = min(k, self.live_rows)
         # jnp.asarray keeps an already-device-resident query (the serve
         # path's encode_query_device output) on device — no host hop
         scores, idx = self.search_batch(
-            jnp.asarray(query_vec, dtype=jnp.float32)[None, :], k_eff)
+            jnp.asarray(query_vec, dtype=jnp.float32)[None, :], k_eff,
+            exact=exact)
         out: List[Tuple[Chunk, float]] = []
         for s, i in zip(scores[0], idx[0]):
             if not np.isfinite(s):

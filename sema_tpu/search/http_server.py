@@ -48,7 +48,7 @@ class SearchService:
             max_wait_ms=max_wait_ms, max_queue=max_queue,
             deadline_ms=deadline_ms)
 
-    def search(self, query: str, k: int):
+    def search(self, query: str, k: int, exact: bool = False):
         query = query.strip()
         if query.startswith("'"):
             # delegate the keyword branch to the manager's dispatch (one
@@ -64,7 +64,11 @@ class SearchService:
                 f"query must be at least {MIN_QUERY_BYTES} bytes")
         try:
             qvec = self.manager.encoder.encode_query(query)
-            return self.batcher.search(qvec, k)
+            # exact: the per-query recall contract (docs/API.md) — IVF
+            # stores serve THIS request through the exact scan
+            # (recall@k 1.0); the batcher partitions so pruned traffic
+            # keeps its latency
+            return self.batcher.search(qvec, k, exact=exact)
         except (ServerOverloaded, TimeoutError):
             raise   # shed load; degrading a timed-out query to a host
             #         substring scan would ADD load under overload
@@ -111,13 +115,13 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet by default
         pass
 
-    def _handle_search(self, query, k: int) -> None:
+    def _handle_search(self, query, k: int, exact: bool = False) -> None:
         if not query or not isinstance(query, str):
             self._send(400, {"error": "missing query parameter 'q'"})
             return
         t0 = time.perf_counter()
         try:
-            results = self.service.search(query, k)
+            results = self.service.search(query, k, exact=exact)
         except (ServerOverloaded, TimeoutError) as e:
             # shed load explicitly: clients should back off and retry
             # rather than pile onto a 60 s timeout
@@ -149,7 +153,8 @@ class _Handler(BaseHTTPRequestHandler):
             except ValueError:
                 self._send(400, {"error": "k must be an integer"})
                 return
-            self._handle_search(query, max(1, min(k, 1000)))
+            exact = (qs.get("exact") or ["0"])[0] not in ("0", "", "false")
+            self._handle_search(query, max(1, min(k, 1000)), exact=exact)
             return
         self._send(404, {"error": f"unknown path {url.path}"})
 
@@ -166,13 +171,14 @@ class _Handler(BaseHTTPRequestHandler):
             query = payload.get("q")
             k = int(payload.get("k") if payload.get("k") is not None
                     else 10)
+            exact = bool(payload.get("exact", False))
         except (ValueError, TypeError, json.JSONDecodeError):
             # TypeError covers valid-JSON-wrong-shape bodies like
             # {"k": null} / {"k": [1]} — previously these escaped
             # do_POST and reset the connection with no HTTP response
             self._send(400, {"error": "invalid JSON body"})
             return
-        self._handle_search(query, max(1, min(k, 1000)))
+        self._handle_search(query, max(1, min(k, 1000)), exact=exact)
 
 
 def make_server(service: SearchService, host: str = "127.0.0.1",

@@ -50,6 +50,12 @@ class _Request:
     query_vec: np.ndarray
     k: int
     t_enq: float
+    # recall-contract routing (docs/API.md): True bypasses IVF pruning
+    # for this request. The dispatcher PARTITIONS each drained batch by
+    # this flag — exact and pruned requests never share a device batch,
+    # so one exact caller cannot silently drag a whole IVF batch to the
+    # exact scan's cost (6-7× at 1M rows)
+    exact: bool = False
     event: threading.Event = field(default_factory=threading.Event)
     # raw (scores, ids) row — chunk metadata materializes in the CALLER
     # thread so the dispatcher's next device batch isn't stalled behind
@@ -94,7 +100,7 @@ class QueryBatcher:
     # -- caller side -----------------------------------------------------------
 
     def search(self, query_vec: np.ndarray, k: int,
-               timeout: Optional[float] = 60.0):
+               timeout: Optional[float] = 60.0, exact: bool = False):
         # validate at enqueue time: a malformed vector must fail ITS
         # caller, not blow up inside the dispatcher where the exception
         # would be delivered to every request in the batch
@@ -106,7 +112,7 @@ class QueryBatcher:
                 f"store dim is {dim}")
         if self._stop.is_set():
             raise ServerOverloaded("batcher closed")
-        req = _Request(query_vec, k, time.perf_counter())
+        req = _Request(query_vec, k, time.perf_counter(), exact=exact)
         try:
             self._queue.put_nowait(req)
         except queue.Full:
@@ -234,37 +240,50 @@ class QueryBatcher:
             batch = self._expire(batch, t0)
             if not batch:
                 continue
-            try:
-                k_max = max(r.k for r in batch)
-                dim = batch[0].query_vec.shape[0]
-                # pad to the fixed compiled batch shape
-                q = np.zeros((self.max_batch, dim), dtype=np.float32)
-                for i, r in enumerate(batch):
-                    q[i] = r.query_vec
-                # live= keeps the host merge (and int8 rescore preads)
-                # off the zero-padded phantom rows of underfilled batches
-                handle = self.store.search_batch_async(
-                    q, k_max, live=len(batch))
-                t1 = time.perf_counter()
-                # blocks when 2 batches are already in flight — the
-                # natural backpressure that keeps device queueing bounded.
-                # Bounded put: on shutdown the completion thread stops
-                # consuming, and an unbounded put would strand this
-                # thread (and this batch's callers) forever
-                while not self._stop.is_set():
-                    try:
-                        self._inflight.put((batch, handle, q, t0, t1),
-                                           timeout=0.2)
-                        break
-                    except queue.Full:
-                        continue
-                else:
-                    raise RuntimeError("batcher shut down")
-            except Exception as e:  # noqa: BLE001 — deliver to callers
-                for r in batch:
-                    if not r.event.is_set():
-                        r.error = e
-                        r.event.set()
+            # recall-contract partition: exact requests dispatch as their
+            # own device batch (usually absent or rare — the common case
+            # is one group and zero extra work). Both groups pad to the
+            # same compiled shape, so no new executables are compiled.
+            groups = [[r for r in batch if not r.exact],
+                      [r for r in batch if r.exact]]
+            for gi, group in enumerate(groups):
+                if not group:
+                    continue
+                self._dispatch_group(group, exact=bool(gi), t0=t0)
+
+    def _dispatch_group(self, batch: List[_Request], exact: bool,
+                        t0: float) -> None:
+        try:
+            k_max = max(r.k for r in batch)
+            dim = batch[0].query_vec.shape[0]
+            # pad to the fixed compiled batch shape
+            q = np.zeros((self.max_batch, dim), dtype=np.float32)
+            for i, r in enumerate(batch):
+                q[i] = r.query_vec
+            # live= keeps the host merge (and int8 rescore preads)
+            # off the zero-padded phantom rows of underfilled batches
+            handle = self.store.search_batch_async(
+                q, k_max, live=len(batch), exact=exact)
+            t1 = time.perf_counter()
+            # blocks when 2 batches are already in flight — the
+            # natural backpressure that keeps device queueing bounded.
+            # Bounded put: on shutdown the completion thread stops
+            # consuming, and an unbounded put would strand this
+            # thread (and this batch's callers) forever
+            while not self._stop.is_set():
+                try:
+                    self._inflight.put((batch, handle, q, t0, t1),
+                                       timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+            else:
+                raise RuntimeError("batcher shut down")
+        except Exception as e:  # noqa: BLE001 — deliver to callers
+            for r in batch:
+                if not r.event.is_set():
+                    r.error = e
+                    r.event.set()
 
     # -- completion stage --------------------------------------------------------
 

@@ -63,6 +63,17 @@ def test_semantic_search_get(server):
             "content"} <= set(r)
 
 
+def test_semantic_search_get_exact(server):
+    """exact=1 (recall-contract routing, docs/API.md) serves the same
+    results on a non-IVF store — the flag is a no-op there but must
+    plumb through without error."""
+    status, body = get(f"{server}/search?q=token+verification&k=3&exact=1")
+    assert status == 200
+    _, base = get(f"{server}/search?q=token+verification&k=3")
+    assert [r["id"] for r in body["results"]] == \
+        [r["id"] for r in base["results"]]
+
+
 def test_keyword_search_get(server):
     status, body = get(f"{server}/search?q='eviction&k=10")
     assert status == 200

@@ -85,7 +85,8 @@ def build_store(tmp, rows: int, dim: int, seed: int = 0,
 def run(rows: int, dim: int, clients: int, max_batch: int,
         duration: float, mutate: bool, k: int = 10,
         data_dir: str | None = None, mut_batch: int = 4096,
-        ivf: bool = False, store_dtype: str = "bfloat16") -> dict:
+        ivf: bool = False, store_dtype: str = "bfloat16",
+        warmup: float = 6.0) -> dict:
     from sema_tpu.search.server import QueryBatcher
     from sema_tpu.types import Chunk
 
@@ -121,8 +122,17 @@ def run(rows: int, dim: int, clients: int, max_batch: int,
     warm_s = time.perf_counter() - warm_t0
 
     stop = threading.Event()
-    latencies: list[list[float]] = [[] for _ in range(clients)]
+    # every sample is (query_start_timestamp, latency_s): stats are later
+    # computed over the STEADY-STATE window only — queries issued during
+    # the first `warmup` seconds (thundering-herd queue buildup from
+    # `clients` threads starting at once, plus any residual first-touch
+    # compile the warm phase above missed) are counted but excluded from
+    # qps/p50/p99. A 12 s test whose first seconds are cold produces an
+    # arbitrary p99; r4's driver capture (p99 8.4 s vs 649 ms in-session,
+    # same binary) was exactly that artifact.
+    latencies: list[list[tuple[float, float]]] = [[] for _ in range(clients)]
     errors = [0] * clients
+    err_times: list[list[float]] = [[] for _ in range(clients)]
     mismatches = [0] * clients
 
     # -- capacity phase: full scan batches straight through the store
@@ -170,13 +180,14 @@ def run(rows: int, dim: int, clients: int, max_batch: int,
                 res = batcher.search(probes[pi], k, timeout=120.0)
             except Exception:
                 errors[ci] += 1
+                err_times[ci].append(t)
                 # back off as a real client honoring 503/Retry-After
                 # would — at saturation an immediate retry turns every
                 # client into a busy error loop (the 4M rehearsal
                 # counted 21M queue-full retries in 158 s)
                 stop.wait(0.1)
                 continue
-            latencies[ci].append(time.perf_counter() - t)
+            latencies[ci].append((t, time.perf_counter() - t))
             if not res or res[0][0].id != f"planted.txt:{planted[pi]}":
                 mismatches[ci] += 1
 
@@ -212,15 +223,27 @@ def run(rows: int, dim: int, clients: int, max_batch: int,
     t0 = time.perf_counter()
     for t in threads:
         t.start()
-    time.sleep(duration)
+    time.sleep(warmup + duration)
     stop.set()
+    t_stop = time.perf_counter()
     for t in threads:
         t.join(timeout=180)
     if mut_thread:
         mut_thread.join(timeout=60)
-    elapsed = time.perf_counter() - t0
 
-    lats = np.asarray(sorted(x for l in latencies for x in l))
+    # steady-state window: queries ISSUED in [t0+warmup, stop). Queries
+    # issued before the window but completing inside it are warm-up
+    # backlog and excluded; queries issued inside but completing after
+    # stop() still count (their latency is real serving latency).
+    m_start = t0 + warmup
+    all_samples = [s for l in latencies for s in l]
+    warm_n = sum(1 for ts, _ in all_samples if ts < m_start)
+    window = np.asarray(sorted(lat for ts, lat in all_samples
+                               if ts >= m_start))
+    win_elapsed = t_stop - m_start
+    win_errors = sum(1 for l in err_times for ts in l if ts >= m_start)
+    lats = window
+    elapsed = win_elapsed
     cap_p50 = float(np.percentile(cap_times, 50)) if cap_times else None
     cap_seq_p50 = (float(np.percentile(cap_seq_times, 50))
                    if cap_seq_times else None)
@@ -237,6 +260,8 @@ def run(rows: int, dim: int, clients: int, max_batch: int,
         "max_batch": max_batch,
         "rows": rows, "dim": dim, "k": k,
         "duration_s": round(elapsed, 2),
+        "warmup_s": warmup,
+        "warmup_queries": int(warm_n),
         "queries": int(lats.size),
         "qps": round(lats.size / elapsed, 1),
         "p50_ms": round(float(np.percentile(lats, 50)) * 1e3, 2)
@@ -244,6 +269,7 @@ def run(rows: int, dim: int, clients: int, max_batch: int,
         "p99_ms": round(float(np.percentile(lats, 99)) * 1e3, 2)
         if lats.size else None,
         "errors": int(sum(errors)),
+        "errors_steady": int(win_errors),
         "mismatches": int(sum(mismatches)),
         "mutated_batches": mutated_batches[0],
         "live_rows_end": store.live_rows,
@@ -266,7 +292,12 @@ def main() -> int:
     ap.add_argument("--dim", type=int, default=384)
     ap.add_argument("--clients", type=int, default=1024)
     ap.add_argument("--max-batch", type=int, default=256)
-    ap.add_argument("--duration", type=float, default=15.0)
+    ap.add_argument("--duration", type=float, default=15.0,
+                    help="steady-state measurement window (seconds); "
+                    "runs AFTER --warmup")
+    ap.add_argument("--warmup", type=float, default=6.0,
+                    help="seconds of client traffic excluded from stats "
+                    "(thundering-herd queue buildup + residual compiles)")
     ap.add_argument("--mutate", action="store_true",
                     help="stream a re-index concurrently with serving")
     ap.add_argument("--mut-batch", type=int, default=4096,
@@ -294,7 +325,8 @@ def main() -> int:
     result = run(args.rows, args.dim, args.clients, args.max_batch,
                  args.duration, args.mutate, k=args.k,
                  mut_batch=args.mut_batch, ivf=args.ivf,
-                 store_dtype=args.store_dtype, data_dir=args.data_dir)
+                 store_dtype=args.store_dtype, data_dir=args.data_dir,
+                 warmup=args.warmup)
     print(json.dumps(result))
     ok = result["errors"] == 0 and result["mismatches"] == 0
     return 0 if ok else 1
