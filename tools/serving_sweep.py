@@ -35,9 +35,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def rung(batcher, probes, planted, clients: int, duration: float,
-         k: int) -> dict:
+         k: int, warmup: float = 3.0) -> dict:
+    """One closed-loop rung. Stats cover only the steady-state window
+    [t0+warmup, stop): queries issued while `clients` threads are still
+    starting (the thundering-herd queue buildup) would otherwise put an
+    arbitrary cold spike in a 10 s rung's p99 — same artifact the load
+    test's --warmup excludes (tools/load_test.py)."""
     stop = threading.Event()
-    lat: list[list[float]] = [[] for _ in range(clients)]
+    lat: list[list[tuple[float, float]]] = [[] for _ in range(clients)]
     errors = [0] * clients
     mismatches = [0] * clients
     n_probe = len(probes)
@@ -53,7 +58,7 @@ def rung(batcher, probes, planted, clients: int, duration: float,
                 errors[ci] += 1
                 stop.wait(0.1)   # Retry-After-style backoff
                 continue
-            lat[ci].append(time.perf_counter() - t)
+            lat[ci].append((t, time.perf_counter() - t))
             if not res or res[0][0].id != f"planted.txt:{planted[pi]}":
                 mismatches[ci] += 1
 
@@ -62,12 +67,15 @@ def rung(batcher, probes, planted, clients: int, duration: float,
     t0 = time.perf_counter()
     for t in threads:
         t.start()
-    time.sleep(duration)
+    time.sleep(warmup + duration)
     stop.set()
+    t_stop = time.perf_counter()
     for t in threads:
         t.join(timeout=180)
-    elapsed = time.perf_counter() - t0
-    lats = np.asarray(sorted(x for l in lat for x in l))
+    m_start = t0 + warmup
+    lats = np.asarray(sorted(x for l in lat for ts, x in l
+                             if ts >= m_start))
+    elapsed = t_stop - m_start
     return {
         "clients": clients,
         "qps": round(lats.size / elapsed, 1),
@@ -88,7 +96,11 @@ def main() -> int:
     ap.add_argument("--clients", type=int, nargs="+",
                     default=[8, 32, 128, 512, 1024])
     ap.add_argument("--max-batch", type=int, default=256)
-    ap.add_argument("--duration", type=float, default=10.0)
+    ap.add_argument("--duration", type=float, default=10.0,
+                    help="steady-state window per rung (after --warmup)")
+    ap.add_argument("--warmup", type=float, default=3.0,
+                    help="per-rung seconds excluded from stats "
+                    "(thread-start herd)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--data-dir", default=None)
     args = ap.parse_args()
@@ -128,7 +140,8 @@ def main() -> int:
 
     rungs = []
     for c in args.clients:
-        r = rung(batcher, probes, planted, c, args.duration, args.k)
+        r = rung(batcher, probes, planted, c, args.duration, args.k,
+                 warmup=args.warmup)
         r["frac_of_capacity"] = round(r["qps"] / capacity_qps, 3)
         rungs.append(r)
         print(f"# clients {c}: qps {r['qps']} p50 {r['p50_ms']} "
