@@ -67,6 +67,29 @@ def _on_sigterm(signum, frame):
     os._exit(0)
 
 
+def _run_tool(cmd: list, timeout_s: float) -> tuple[str, str]:
+    """Run a tool subprocess; terminate with grace on timeout.
+
+    ``subprocess.run(timeout=...)`` SIGKILLs the child, which on this
+    tunneled device lands mid-dispatch and wedges the chip for ~15 min,
+    poisoning every LATER stage and even the next bench process
+    (observed twice in round 5: post-kill ladders ran 3-10x slow).
+    SIGTERM first gives the child's flush/atexit paths a chance;
+    SIGKILL only as a last resort."""
+    import subprocess
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+    try:
+        return proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        proc.terminate()
+        try:
+            return proc.communicate(timeout=60)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            return proc.communicate()
+
+
 def _measure(fn, *args, warmup=2, iters=10):
     """End-to-end wall time per call (includes host dispatch)."""
     for _ in range(warmup):
@@ -457,21 +480,20 @@ def run() -> int:
         # and a large jitted-executable census — in-process serving
         # measured ~3x slower than the same load test standalone (r3).
         # A clean process is also what production serving looks like.
-        proc = subprocess.run(
+        out, err = _run_tool(
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tools", "load_test.py"),
              "--rows", str(serve_rows), "--dim", "384",
              "--clients", "1024", "--max-batch", "256",
              "--warmup", "8", "--duration", "12", "--mutate"],
-            capture_output=True, text=True,
-            timeout=max(60, stages.left()))
+            timeout_s=max(60, stages.left()))
         try:
-            serve = json.loads(proc.stdout.strip().splitlines()[-1])
+            serve = json.loads(out.strip().splitlines()[-1])
             serve["capacity_qps"]   # key drift → the stderr-carrying path
         except (json.JSONDecodeError, IndexError, KeyError):
             raise RuntimeError(
-                f"serving load test failed: {proc.stderr[-2000:]}")
+                f"serving load test failed: {(err or '')[-2000:]}")
         ladder["serve_capacity_qps"] = serve["capacity_qps"]
         ladder["serve_capacity_batch_p50_ms"] = serve["capacity_batch_p50_ms"]
         ladder["serve_1024c_qps"] = serve["qps"]
@@ -495,18 +517,17 @@ def run() -> int:
     skip_ivf = not on_tpu or bool(os.environ.get("SEMA_BENCH_SKIP_IVF"))
 
     def stage_ivf():
-        proc = subprocess.run(
+        out, err = _run_tool(
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tools", "ivf_bench.py"),
              "--rows", str(min(rows, 1 << 20)), "--dim", "384",
              "--q", "256", "--nprobe", "32"],
-            capture_output=True, text=True,
-            timeout=max(60, stages.left()))
+            timeout_s=max(60, stages.left()))
         try:
-            ivf = json.loads(proc.stdout.strip().splitlines()[-1])
+            ivf = json.loads(out.strip().splitlines()[-1])
         except (json.JSONDecodeError, IndexError):
-            raise RuntimeError(f"ivf bench failed: {proc.stderr[-1500:]}")
+            raise RuntimeError(f"ivf bench failed: {(err or '')[-1500:]}")
         rung = ivf["rungs"]["nprobe32"]
         if rung.get("fallback"):
             # documented over-budget outcome, not an error: the probe's
@@ -534,19 +555,27 @@ def run() -> int:
     # Subprocess: the tool forces a tiny HBM budget via env before its
     # store exists.
     def stage_spill_ivf():
-        proc = subprocess.run(
+        # The tool sheds work against --deadline-s and exits cleanly on
+        # its own; the Popen timeout below is a backstop only, and even
+        # then terminates with a grace period first — SIGKILLing a JAX
+        # process mid-dispatch wedges the device for minutes and
+        # poisons every LATER stage and run (observed twice in round 5:
+        # the post-kill ladder ran 3-10x slow for ~15 min).
+        deadline = max(120.0, stages.left() - 90.0)
+        out, err = _run_tool(
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tools", "spill_ivf_bench.py"),
              "--rows", "262144", "--dim", "384",
-             "--repeats", "3", "--recall-queries", "256"],
-            capture_output=True, text=True,
-            timeout=max(60, stages.left()))
+             "--repeats", "3", "--recall-queries", "256",
+             "--keep", "/tmp/sema-bench-spill-262k-384",
+             "--deadline-s", str(deadline)],
+            timeout_s=deadline + 120)
         try:
-            sp = json.loads(proc.stdout.strip().splitlines()[-1])
+            sp = json.loads(out.strip().splitlines()[-1])
         except (json.JSONDecodeError, IndexError):
             raise RuntimeError(
-                f"spill-ivf bench failed: {proc.stderr[-1500:]}")
+                f"spill-ivf bench failed: {(err or '')[-1500:]}")
         ladder["spill_ivf_speedup_vs_streamed"] = sp["value"]
         ladder["spill_ivf_recall_at_10"] = sp["recall_at_k"]
         ladder["spill_ivf_recall_p5"] = sp["recall_p5"]
@@ -558,7 +587,7 @@ def run() -> int:
 
     if not skip_ivf:
         stages.run("spilled-ivf probe (262k on-disk, forced spill)",
-                   est_s=300, fn=stage_spill_ivf)
+                   est_s=240, fn=stage_spill_ivf)
 
     # --- BASELINE config 3's actual serving metric: exact top-10 p50
     # over 1M × 768-d bf16 (e5-base)

@@ -139,7 +139,24 @@ def main() -> int:
                     help="time the streamed exact leg as ONE oracle "
                          "batch instead of warmup+repeats — for stores "
                          "whose full stream takes tens of minutes")
+    ap.add_argument("--split-ab", action="store_true",
+                    help="same-process interleaved A/B of the two-half "
+                         "staging overlap (SEMA_TPU_IVF_SPLIT=1 vs 0)")
+    ap.add_argument("--deadline-s", type=float, default=None,
+                    help="soft wall-clock budget: the tool sheds work "
+                         "(fewer recall queries, one-batch streamed "
+                         "leg) and exits cleanly with partial evidence "
+                         "instead of overrunning — a parent that "
+                         "SIGKILLs a JAX process mid-dispatch wedges "
+                         "the device for minutes (docs/PERF.md "
+                         "\"Environment gotchas\")")
     args = ap.parse_args()
+
+    t_start = time.perf_counter()
+
+    def overtime() -> bool:
+        return (args.deadline_s is not None
+                and time.perf_counter() - t_start > args.deadline_s)
 
     # force the sealed bucket host-resident BEFORE the store is built
     os.environ.setdefault("SEMA_TPU_HBM_BUDGET_MB", "16")
@@ -205,9 +222,49 @@ def main() -> int:
                   if b.get("ivf_spill"))
 
     probe_s, _ = _measure(store, q, args.k, args.repeats)
-    # recall sample: one probe per query (the interactive shape)
-    probe_ids = np.stack([store.search_batch(q_all[i:i + 1], args.k)[1][0]
-                          for i in range(rq)])
+    split_ab = None
+    if args.split_ab and not overtime():
+        # Same-process interleaved A/B of the two-half staging overlap:
+        # SEMA_TPU_IVF_SPLIT is read per dispatch
+        # (vector_store.py:_ivf_spill_dispatch), so both arms share one
+        # process / store / persisted layout — the only decision-grade
+        # comparison on this box (PERF.md "Environment gotchas":
+        # cross-process absolutes vary ±2x on sub-10 ms readings).
+        # Warm both arms' compiled size classes before timing.
+        for arm in ("0", "1"):
+            os.environ["SEMA_TPU_IVF_SPLIT"] = arm
+            store.search_batch(q, args.k)
+        arms: dict = {"1": [], "0": []}
+        ids_by_arm: dict = {}
+        for _ in range(args.repeats):
+            for arm in ("1", "0"):
+                os.environ["SEMA_TPU_IVF_SPLIT"] = arm
+                t0 = time.perf_counter()
+                _, ids = store.search_batch(q, args.k)
+                arms[arm].append(time.perf_counter() - t0)
+                ids_by_arm[arm] = ids
+        os.environ.pop("SEMA_TPU_IVF_SPLIT", None)
+        split_s = float(np.median(arms["1"]))
+        unsplit_s = float(np.median(arms["0"]))
+        split_ab = {
+            "split_s": round(split_s, 4),
+            "unsplit_s": round(unsplit_s, 4),
+            "split_speedup": round(unsplit_s / split_s, 3),
+            "ids_equal": bool(np.array_equal(ids_by_arm["1"],
+                                             ids_by_arm["0"])),
+        }
+    # recall sample: one probe per query (the interactive shape). Under
+    # a deadline, shed queries past a 32-query floor — a smaller honest
+    # distribution beats a SIGKILLed run that records nothing.
+    probe_id_rows = []
+    for i in range(rq):
+        probe_id_rows.append(store.search_batch(q_all[i:i + 1],
+                                                args.k)[1][0])
+        if len(probe_id_rows) >= 32 and overtime():
+            break
+    rq = len(probe_id_rows)
+    q_all = q_all[:rq]
+    probe_ids = np.stack(probe_id_rows)
     # staged bytes of one dispatch: EVERY spilled bucket stages its own
     # probe (search_batch walks them all), so sum across buckets —
     # reporting only bucket 0 understated a 4-bucket store's upload 4x
@@ -241,7 +298,8 @@ def main() -> int:
     store2 = VectorStore(work, args.dim, "bench", ivf=False,
                          store_dtype=args.store_dtype)
     exact_bytes = rows * args.dim * itemsize
-    if args.exact_oracle_only:
+    oracle_only = bool(args.exact_oracle_only or overtime())
+    if oracle_only:
         # 100M-class stores: one full stream is tens of minutes — time
         # the oracle batch itself (the streamed scan's wall is
         # upload-bound and independent of the query-batch size)
@@ -280,7 +338,8 @@ def main() -> int:
         "spilled_buckets": len(spilled),
         "total_tiles": n_tiles, "nprobe": store.ivf_nprobe,
         "store_dtype": args.store_dtype,
-        "exact_oracle_only": bool(args.exact_oracle_only),
+        "exact_oracle_only": oracle_only,
+        "split_ab": split_ab,
         "backend": jax.default_backend(),
     }
     print(json.dumps(out), flush=True)
